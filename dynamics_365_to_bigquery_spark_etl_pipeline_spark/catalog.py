@@ -1,0 +1,81 @@
+"""Table catalog over the test star schema.
+
+The reference's catalog is implicit: one GCS folder of CSVs per entity,
+folder name == table name (``incremental_etl_v1.py:43-46``,
+``helper_functions.py:109``). Here the catalog is explicit: named parquet
+tables under a scale-factor directory, registered as temp views so both
+the DataFrame and SQL surfaces see them.
+
+Parquet carries its own schema, so loads are single-scan (no
+``inferSchema`` double-read -- the reference's CSV inference at
+``helper_functions.py:115`` is an anti-pattern at scale; see
+sources/csv_entity.py for the explicit-schema CSV path).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=None)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — metadata-only footer
+    read, done once per path on the driver."""
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.
+
+    The fixture parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read nanos as long (legacy conf) and convert to
+    microsecond timestamps by truncation — the same ns→us truncation
+    DuckDB applies, so oracle comparisons line up exactly.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        df = df.select(
+            [
+                F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).alias(c)
+                if c in nano_cols
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every fixture table and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

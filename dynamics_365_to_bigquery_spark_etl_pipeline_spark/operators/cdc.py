@@ -1,0 +1,135 @@
+"""CDC merge semantics (SURVEY.md F1/F2/F3, A2, A4; §1.2).
+
+The reference's core computation, re-expressed Spark-first:
+
+- soft-delete sentinel: a row with NULL created/modified timestamps and
+  all-zero created/modified GUIDs (``helper_functions.py:143-151``);
+  any key that EVER emits the sentinel is removed entirely via
+  ``NOT IN`` (``helper_functions.py:146-152``). We use an explicit
+  ``left_anti`` join on a distinct, null-free key set — the same result
+  Catalyst's RewritePredicateSubquery produces for the reference's NOT IN
+  (whose sentinel keys are never NULL), without the three-valued-logic
+  footgun.
+- latest-version-per-key: ``ROW_NUMBER() OVER (PARTITION BY systemid
+  ORDER BY systemmodifiedat DESC)`` then ``rn = 1``
+  (``helper_functions.py:158-167``). The reference's tie-break is
+  nondeterministic; we always append deterministic tie-break columns.
+- incremental merge = drift-union(snapshot, delta) -> same resolve
+  (``incremental_etl_v1.py:119-175``).
+
+Scale notes (100 TB):
+- The deleted-key set is a distinct projection of one column — tiny
+  relative to the table — so the anti-join broadcasts under AQE.
+- The window dedup is ONE shuffle on the key. At 100 TB you keep the
+  snapshot bucketed/partitioned by ``systemid`` so the union inherits a
+  compatible partitioning and the window does not re-shuffle the
+  snapshot side; the delta (small) is the only moved data. The
+  full-union re-resolve here mirrors the reference's overwrite
+  semantics; ``merge_cdc_delta_only`` touches only affected keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .coerce import drift_union
+
+ZERO_GUID = "{00000000-0000-0000-0000-000000000000}"
+
+KEY = "systemid"
+CREATED_AT = "systemcreatedat"
+MODIFIED_AT = "systemmodifiedat"
+CREATED_BY = "systemcreatedby"
+MODIFIED_BY = "systemmodifiedby"
+
+
+def sentinel_predicate() -> Column:
+    """Soft-delete marker row (``helper_functions.py:151``)."""
+    return (
+        F.col(CREATED_AT).isNull()
+        & F.col(MODIFIED_AT).isNull()
+        & (F.col(CREATED_BY) == ZERO_GUID)
+        & (F.col(MODIFIED_BY) == ZERO_GUID)
+    )
+
+
+def deleted_keys(df: DataFrame, key: str = KEY) -> DataFrame:
+    """Distinct, null-free key set of sentinel rows."""
+    return df.filter(sentinel_predicate()).filter(F.col(key).isNotNull()).select(key).distinct()
+
+
+def filter_soft_deletes(df: DataFrame, key: str = KEY) -> DataFrame:
+    """Remove every version of any key that has a sentinel row
+    (``helper_functions.py:146-152`` NOT IN, as an anti-join)."""
+    return df.join(deleted_keys(df, key), on=key, how="left_anti")
+
+
+def latest_version_per_key(
+    df: DataFrame,
+    key: str = KEY,
+    order_col: str = MODIFIED_AT,
+    tie_breakers: tuple[str, ...] = (),
+) -> DataFrame:
+    """Keep the newest version per key (``helper_functions.py:158-167``),
+    with deterministic tie-breaking (the reference has none)."""
+    ordering = [F.col(order_col).desc_nulls_last()] + [
+        F.col(c).desc_nulls_last() for c in tie_breakers
+    ]
+    w = Window.partitionBy(key).orderBy(*ordering)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def resolve_snapshot(
+    df: DataFrame,
+    key: str = KEY,
+    order_col: str = MODIFIED_AT,
+    tie_breakers: tuple[str, ...] = (),
+) -> DataFrame:
+    """Full-load resolution (``helper_functions.py:140-173``):
+    soft-delete anti-filter then latest-version-per-key."""
+    return latest_version_per_key(filter_soft_deletes(df, key), key, order_col, tie_breakers)
+
+
+def merge_cdc(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    key: str = KEY,
+    order_col: str = MODIFIED_AT,
+    tie_breakers: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental merge (``incremental_etl_v1.py:119-181``): drift-union
+    the prior snapshot with the delta, then re-resolve.
+
+    Invariant (tested): merge_cdc(resolve(batch1), batch2) ==
+    resolve(batch1 ∪ batch2) — incremental ≡ full-load.
+    """
+    return resolve_snapshot(drift_union(delta, snapshot), key, order_col, tie_breakers)
+
+
+def merge_cdc_delta_only(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    key: str = KEY,
+    order_col: str = MODIFIED_AT,
+    tie_breakers: tuple[str, ...] = (),
+) -> DataFrame:
+    """Scale-path merge: only keys present in the delta are re-resolved;
+    untouched snapshot rows pass through without entering the window.
+
+    At 100 TB this is the difference between shuffling the whole table
+    nightly (the reference's overwrite, ``incremental_etl_v1.py:184-188``)
+    and shuffling ~|delta| rows: untouched rows take a semi/anti join
+    against the (broadcastable) delta-key set and skip the sort.
+    """
+    delta_keys = delta.select(key).filter(F.col(key).isNotNull()).distinct()
+    touched_snapshot = snapshot.join(F.broadcast(delta_keys), on=key, how="left_semi")
+    untouched = snapshot.join(F.broadcast(delta_keys), on=key, how="left_anti")
+    resolved_touched = merge_cdc(touched_snapshot, delta, key, order_col, tie_breakers)
+    return untouched.unionByName(resolved_touched, allowMissingColumns=True)
+
+
+def add_audit(df: DataFrame, tz: str = "Africa/Nairobi") -> DataFrame:
+    """Audit column ``extracted_at`` (``helper_functions.py:186-189``).
+    Nondeterministic by nature — excluded from oracle-hashed outputs."""
+    return df.withColumn("extracted_at", F.from_utc_timestamp(F.current_timestamp(), tz))

@@ -13,9 +13,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import tune_existing
-from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import cdc_queries
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
+    analytics_queries,
+    cdc_queries,
+    tpch_queries,
+)
 
-_PLAN_MODULES = [cdc_queries]
+_PLAN_MODULES = [cdc_queries, tpch_queries, analytics_queries]
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,0 +1,174 @@
+"""Event-stream analytics: time windows, sessionization, JSON props
+(SURVEY.md §7.1 Tier B event-stream ops).
+
+These are the batch expressions of the streaming constructs the
+reference hand-rolls (§2.6): tumbling windows over event time, session
+assignment via gap detection, and JSON prop extraction. The streaming
+variants (withWatermark / session_window / foreachBatch) live in
+``streaming/`` and are pytest-verified; these batch twins are the
+oracle-checked semantics.
+
+Scale notes: all three shapes are single-shuffle (groupBy on the
+window/user key); sessionization is one window function pass over a
+user-partitioned sort — at 100 TB, partition the source by date and
+user bucketing keeps the sort local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import dsum, dsum_sql
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling window per event type (F.window ≡ date_trunc for
+    aligned 1-hour windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction + aggregation (props is a JSON string)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    > 30 min (lag + cumulative sum — the batch twin of session_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    micros = F.unix_micros(F.col("ts"))
+    gap_us = micros - F.lag(micros).over(w)
+    with_flag = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    with_sid = with_flag.select(
+        "user_id",
+        "ts",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user over the event-type enum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("view").alias("n_view"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"),
+            F.col("error").alias("n_error"),
+        )
+    )
+
+
+def q_events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact row-level dedup on a projection (dropDuplicates ≡ GROUP BY
+    at scale: one hash-aggregate shuffle on the dedup key)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+
+
+QUERIES = {
+    "q_events_tumbling": q_events_tumbling,
+    "q_events_json_props": q_events_json_props,
+    "q_events_sessionize": q_events_sessionize,
+    "q_events_pivot": q_events_pivot,
+    "q_events_dedup_exact": q_events_dedup_exact,
+}
+
+ORACLES = {
+    "q_events_tumbling": f"""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+  COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    "q_events_json_props": """
+SELECT event_type, COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    "q_events_sessionize": f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_MIN * 60 * 1000000}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    "q_events_pivot": """
+SELECT user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events
+GROUP BY user_id
+""",
+    "q_events_dedup_exact": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+}

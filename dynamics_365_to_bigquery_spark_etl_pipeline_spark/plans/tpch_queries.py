@@ -1,0 +1,396 @@
+"""General relational query surface over the TPC-H-ish star schema
+(SURVEY.md §2.4: the reference has no joins/aggregations beyond the CDC
+window, so this family supplies the full join/agg/window/set-op surface
+the new engine must offer, all stock DataFrame ops).
+
+Scale notes (100 TB):
+- Dimension tables (region/nation/customer/supplier/part) are broadcast
+  — no shuffle of the fact side for star joins. ``F.broadcast`` makes
+  it explicit; AQE would also convert post-filter.
+- Aggregations are partial (map-side combine) by construction with
+  ``groupBy().agg()`` — one shuffle each, on the grouping key.
+- Top-k uses window row_number with a deterministic tie-break, a single
+  shuffle on the partition key; global top-k uses orderBy+limit which
+  Spark executes as per-partition top-k + driver merge (TakeOrdered).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import davg, davg_sql, dsum, dsum_sql
+
+SHIP_CUTOFF = "1998-09-02"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg, 2 grouping cols, 8 aggregates.
+    Exact decimal sums keep the result AQE/partitioning-invariant."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= SHIP_CUTOFF)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, scale=4).alias("sum_disc_price"),
+            dsum(charge, scale=6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg(F.col("l_discount"), scale=2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, small dims broadcast."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, scale=4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — A2's window pattern
+    generalized from k=1 (``helper_functions.py:158-167``)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice").alias("sum_price"), F.count("*").alias("n_orders"))
+    )
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer ordered by date (rowsBetween frame)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).over(w).cast("double").alias(
+            "running_total"
+        ),
+    )
+
+
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer price delta vs previous order (lag)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag(F.col("o_totalprice").cast("decimal(25,2)")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(25,2)") - prev).cast("double").alias("price_delta"),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one urgent order (EXISTS → left_semi)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no big urgent order (NOT EXISTS → left_anti) — the
+    same anti-join shape as the reference's soft-delete NOT IN (F1)."""
+    cust = _t(spark, sf_dir, "customer")
+    big_urgent = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 200000)
+    )
+    return cust.join(
+        big_urgent, cust.c_custkey == big_urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ∪-tagged with EXCEPT: customers with both open and
+    finished orders vs only-open ones."""
+    orders = _t(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_c.intersect(done_c).withColumn("tag", F.lit("both"))
+    only_open = open_c.exceptAll(done_c).withColumn("tag", F.lit("only_open"))
+    return both.unionByName(only_open)
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + MIN/MAX per priority class."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math/conditional surface (SURVEY §2.5 generalized)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_brand", 7, 2).alias("brand_num"),
+        F.length("p_type").alias("type_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        (F.col("p_size") + 1).alias("size_plus"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+        .alias("size_class"),
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_items": q10_returned_items,
+    "q_topk_per_group": q_topk_per_group,
+    "q_rollup_sales": q_rollup_sales,
+    "q_cube_orders": q_cube_orders,
+    "q_window_running_total": q_window_running_total,
+    "q_lag_delta": q_lag_delta,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_set_ops": q_set_ops,
+    "q_agg_distinct": q_agg_distinct,
+    "q_scalar_functions": q_scalar_functions,
+}
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql(_REV, scale=4)} AS sum_disc_price,
+  {dsum_sql(f'{_REV} * (1 + l_tax)', scale=6)} AS sum_charge,
+  {davg_sql('l_quantity')} AS avg_qty,
+  {davg_sql('l_extendedprice')} AS avg_price,
+  {davg_sql('l_discount', scale=2)} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q3_shipping_priority": f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {dsum_sql(_REV, scale=4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "q5_local_supplier_volume": f"""
+SELECT n_name, {dsum_sql(_REV, scale=4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    "q10_returned_items": f"""
+SELECT c_custkey, c_name, n_name, {dsum_sql(_REV, scale=4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "q_topk_per_group": """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+    "q_rollup_sales": f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+    "q_cube_orders": f"""
+SELECT o_orderstatus, o_orderpriority,
+  {dsum_sql('o_totalprice')} AS sum_price, COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+    "q_window_running_total": """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+       OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+  AS running_total
+FROM orders
+""",
+    "q_lag_delta": """
+SELECT o_custkey, o_orderkey,
+  CAST(CAST(o_totalprice AS DECIMAL(25,2)) -
+       LAG(CAST(o_totalprice AS DECIMAL(25,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+       AS DOUBLE) AS price_delta
+FROM orders
+""",
+    "q_semi_join": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    "q_anti_join": """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_totalprice > 200000)
+""",
+    "q_set_ops": """
+WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     done_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM done_c)
+UNION ALL
+SELECT o_custkey, 'only_open' AS tag FROM (SELECT o_custkey FROM open_c EXCEPT ALL SELECT o_custkey FROM done_c)
+""",
+    "q_agg_distinct": """
+SELECT o_orderpriority,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(*) AS n_orders,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    "q_scalar_functions": """
+SELECT p_partkey,
+  UPPER(p_name) AS name_upper,
+  SUBSTRING(p_brand, 7, 2) AS brand_num,
+  LENGTH(p_type) AS type_len,
+  CONCAT_WS('/', p_brand, p_type) AS brand_type,
+  p_size + 1 AS size_plus,
+  ABS(p_size - 25) AS size_dist,
+  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+  CASE WHEN p_size < 10 THEN 'small'
+       WHEN p_size < 30 THEN 'medium'
+       ELSE 'large' END AS size_class
+FROM part
+""",
+}

@@ -16,10 +16,20 @@ from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import tune_exist
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
     analytics_queries,
     cdc_queries,
+    dedup_queries,
+    similarity_queries,
+    text_queries,
     tpch_queries,
 )
 
-_PLAN_MODULES = [cdc_queries, tpch_queries, analytics_queries]
+_PLAN_MODULES = [
+    cdc_queries,
+    tpch_queries,
+    analytics_queries,
+    text_queries,
+    dedup_queries,
+    similarity_queries,
+]
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

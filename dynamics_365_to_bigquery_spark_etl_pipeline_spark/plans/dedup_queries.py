@@ -1,0 +1,239 @@
+"""Deduplication query family (Tier B): exact, MinHash+LSH, SimHash,
+n-gram Jaccard — oracle-checked end to end, including the LSH banding.
+
+The fixture corpus has no duplicates, so each query runs over
+``documents`` plus deterministically injected copies:
+- every 10th doc gets an EXACT copy   (dup_id = doc_id + 2_000_000)
+- every 20th doc gets a NEAR copy     (dup_id = doc_id + 1_000_000,
+  first 24 characters dropped — high shingle overlap, different hash)
+
+Both engines build the same corpus in-query, so the oracle checks the
+full pipeline: normalize → shingle → minhash → band → bucket-join →
+exact-Jaccard verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+
+EXACT_MOD = 10
+NEAR_MOD = 20
+NEAR_DROP = 24
+JACCARD_MIN = 0.5
+HAMMING_MAX = 3
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = (
+        docs.filter(F.col("doc_id") % EXACT_MOD == 0)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") % NEAR_MOD == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.substring("text", NEAR_DROP + 1, 1_000_000).alias("text"),
+        )
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % {EXACT_MOD} = 0
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, substring(text, {NEAR_DROP + 1}) AS text
+FROM documents WHERE doc_id % {NEAR_MOD} = 0
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-content fingerprint: duplicate
+    groups with the survivor (min id) and group size."""
+    from ..operators.text import fingerprint
+
+    corpus = _corpus(spark, sf_dir)
+    return D.exact_dedup(corpus, fingerprint(F.col("text")), "doc_id").filter(
+        F.col("n_copies") >= 2
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → 16-hash signature → 8 bands
+    → bucket self-join → exact-Jaccard ≥ 0.5 verification.
+
+    Scale: candidate generation is an equi-join on (band_id, band_hash)
+    — uniform md5 keys, skew-free shuffle, never O(n²)."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", D.shingles(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.select("doc_id", "sh", D.band_keys(D.minhash_signature(F.col("sh"))).alias("bands"))
+    banded = sig.select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", D.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc"))
+        .filter(F.col("jacc") >= JACCARD_MIN)
+    )
+    return verified
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signature, byte-block LSH
+    (hamming ≤ 3 guarantees one equal byte of four), verify bit_count."""
+    corpus = _corpus(spark, sf_dir)
+    sigs = corpus.select("doc_id", D.simhash32(F.col("text")).alias("sim"))
+    blocks = sigs.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright("sim", i * 8).bitwiseAND(F.lit(255)).alias("block_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "sim", "blk.block_id", "blk.block_val")
+    pairs = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= HAMMING_MAX)
+
+
+def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard top-k: the 10 documents most similar to doc 0 by
+    3-token-shingle Jaccard (brute force against a broadcast query doc)."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select("doc_id", D.shingles(F.col("text")).alias("sh"))
+    query = sh.filter(F.col("doc_id") == 0).select(F.col("sh").alias("qsh"))
+    return (
+        sh.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select("doc_id", D.jaccard(F.col("sh"), F.col("qsh")).alias("jacc"))
+        .orderBy(F.col("jacc").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_ngram_topk": q_dedup_ngram_topk,
+}
+
+_FP = "md5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')))"
+_SHINGLED_SQL = f"""
+corpus AS ({_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, {D.normalized_tokens_sql('text')} AS t FROM corpus
+),
+shingled AS (
+  SELECT doc_id, {D.shingles_from_tokens_sql('t')} AS sh FROM toks
+  WHERE LEN({D.shingles_from_tokens_sql('t')}) > 0
+)
+"""
+
+ORACLES = {
+    "q_dedup_exact": f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT {_FP} AS content_key, MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+FROM corpus
+GROUP BY 1
+HAVING COUNT(*) >= 2
+""",
+    "q_dedup_minhash_lsh": f"""
+WITH {_SHINGLED_SQL},
+sigs AS (
+  SELECT doc_id, sh, {D.band_keys_sql(D.minhash_signature_sql('sh'))} AS bands
+  FROM shingled
+),
+banded AS (
+  SELECT doc_id, b - 1 AS band_id, bands[b] AS band_hash
+  FROM sigs, (SELECT unnest(range(1, {D.LSH_BANDS + 1})) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b, {D.jaccard_sql('sa.sh', 'sb.sh')} AS jacc
+FROM pairs p
+JOIN shingled sa ON sa.doc_id = p.id_a
+JOIN shingled sb ON sb.doc_id = p.id_b
+WHERE {D.jaccard_sql('sa.sh', 'sb.sh')} >= {JACCARD_MIN}
+""",
+    "q_dedup_simhash": f"""
+WITH corpus AS ({_CORPUS_SQL}),
+hashed AS (
+  SELECT doc_id, {D.token_hashes_sql('text')} AS h FROM corpus
+),
+sigs AS (
+  SELECT doc_id, {D.simhash_from_hashes_sql('h')} AS sim FROM hashed
+),
+blocks AS (
+  SELECT doc_id, sim, blk AS block_id,
+         (sim >> (blk * 8)) & 255 AS block_val
+  FROM sigs, (SELECT unnest(range(0, 4)) AS blk)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sim AS sim_a, b.sim AS sim_b
+  FROM blocks a JOIN blocks b
+    ON a.block_id = b.block_id AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+""",
+    "q_dedup_ngram_topk": f"""
+WITH {_SHINGLED_SQL},
+query AS (SELECT sh AS qsh FROM shingled WHERE doc_id = 0)
+SELECT s.doc_id, {D.jaccard_sql('s.sh', 'q.qsh')} AS jacc
+FROM shingled s CROSS JOIN query q
+WHERE s.doc_id != 0
+ORDER BY jacc DESC, s.doc_id ASC
+LIMIT 10
+""",
+}

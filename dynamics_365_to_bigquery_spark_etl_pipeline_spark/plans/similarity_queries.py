@@ -1,0 +1,172 @@
+"""Similarity-search query family over ``embeddings`` (Tier B).
+
+Outputs are (query_id, neighbor_id, rank) — ids and ranks, not float
+scores, so the oracle comparison is robust to last-ulp float noise
+while still verifying the actual ranking end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import similarity as S
+
+TOP_K = 10
+QUERY_MOD = 100   # query set: every 100th vector
+N_CENTROIDS = 16  # IVF: first N vectors are the (deterministic) centroids
+N_PROBE = 4
+
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the query subset against the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.brute_force_topk(emb, queries, k=TOP_K)
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: nearest-centroid bucketing, nprobe=4 probing.
+
+    The scale path: at 100 TB the corpus is written partitioned by
+    bucket_id, so each query reads nprobe partitions, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    bucketed = S.assign_ivf_buckets(emb, centroids)
+
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cent = centroids.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("centroid_id").asc()
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            S.cosine(F.col("qvec"), F.col("cent_vec")).alias("qsim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= N_PROBE)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(probed), bucketed.bucket_id == probed.centroid_id
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats (exact integers only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+    )
+
+
+QUERIES = {
+    "q_sim_bruteforce_topk": q_sim_bruteforce_topk,
+    "q_sim_ivf_topk": q_sim_ivf_topk,
+    "q_embedding_stats": q_embedding_stats,
+}
+
+_COS_CQ = S.cosine_sql("c.embedding", "q.qvec")
+_COS_EC = S.cosine_sql("e.embedding", "c.cvec")
+_COS_QC = S.cosine_sql("q.qvec", "c.cvec")
+_COS_BQ = S.cosine_sql("b.embedding", "q.qvec")
+
+ORACLES = {
+    "q_sim_bruteforce_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.query_id
+      ORDER BY {_COS_CQ} DESC, c.vec_id ASC
+    ) AS rank
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= {TOP_K}
+""",
+    "q_sim_ivf_topk": f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {N_CENTROIDS}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_COS_EC} DESC, c.centroid_id ASC
+    ) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+bucketed AS (
+  SELECT vec_id, embedding, centroid_id AS bucket_id FROM assign WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id % {QUERY_MOD} = 0
+),
+qprobe AS (
+  SELECT q.query_id, q.qvec, c.centroid_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY q.query_id
+      ORDER BY {_COS_QC} DESC, c.centroid_id ASC
+    ) AS pr
+  FROM q CROSS JOIN cent c
+),
+probed AS (SELECT query_id, qvec, centroid_id FROM qprobe WHERE pr <= {N_PROBE}),
+cand AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY p.query_id
+      ORDER BY (SELECT {S.dot_sql('b.embedding', 'p.qvec')}
+                / ({S.norm_sql('b.embedding')} * {S.norm_sql('p.qvec')})) DESC,
+               b.vec_id ASC
+    ) AS rank
+  FROM probed p JOIN bucketed b ON b.bucket_id = p.centroid_id
+  WHERE b.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM cand WHERE rank <= {TOP_K}
+""",
+    "q_embedding_stats": """
+SELECT label, COUNT(*) AS n_vecs,
+  MIN(LEN(embedding)) AS min_dim, MAX(LEN(embedding)) AS max_dim,
+  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+FROM embeddings
+GROUP BY label
+""",
+}

@@ -1,0 +1,143 @@
+"""Entity ETL pipeline: the reference's two entry paths (SURVEY.md §3
+E2 incremental, E3 full-load) as a reusable, transactional runtime.
+
+Per entity folder of CSV deltas:
+
+    full_load:    read all files -> normalize names -> drop dup columns
+                  -> soft-delete anti-filter -> latest-per-key window
+                  -> stringify temporals -> $company rename -> audit col
+                  -> overwrite sink        (helper_functions.py:107-198)
+
+    incremental:  prune files by watermark -> read delta -> same prep
+                  -> drift-union with prior snapshot -> re-resolve
+                  -> overwrite sink        (incremental_etl_v1.py:57-188)
+
+Fixes over the reference:
+- watermark commits PER ENTITY and only AFTER the sink write succeeds
+  (the reference advances all watermarks even for failed entities —
+  ``incremental_etl_v1.py:193-202`` — silently dropping their files).
+- explicit schema reuse: the snapshot's schema drives delta casting, and
+  CSV reads get an explicit schema after first load.
+- single-select projections keep the plan O(1) in column count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import cdc
+from .operators.coerce import stringify_temporal
+from .operators.names import normalize_columns, rename_company, table_name_from_path
+from .sources import csv_entity
+from .sources.state import WatermarkStore
+
+
+def prepare_entity_frame(df: DataFrame) -> DataFrame:
+    """Shared prep: name normalize + dup-drop, temporal stringify,
+    $company rename (P1/P2/P9/P10/P4)."""
+    return rename_company(stringify_temporal(normalize_columns(df)))
+
+
+def full_load(df: DataFrame, tie_breakers: tuple[str, ...] = ()) -> DataFrame:
+    """E3: full-load resolution of a prepared changelog frame."""
+    return cdc.resolve_snapshot(prepare_entity_frame(df), tie_breakers=tie_breakers)
+
+
+def incremental_merge(
+    snapshot: DataFrame, delta: DataFrame, tie_breakers: tuple[str, ...] = ()
+) -> DataFrame:
+    """E2: merge a prepared delta into the prior snapshot."""
+    return cdc.merge_cdc(snapshot, prepare_entity_frame(delta), tie_breakers=tie_breakers)
+
+
+class EntityPipeline:
+    """Filesystem-backed runner for a landing zone of entity folders.
+
+    Layout: ``{landing_dir}/{entity}/*.csv`` -> ``{sink_dir}/{table}``
+    (parquet), with per-entity watermark state in ``{state_dir}``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_dir: str,
+        sink_dir: str,
+        state_dir: str,
+        tie_breakers: tuple[str, ...] = (),
+    ):
+        self.spark = spark
+        self.landing_dir = landing_dir
+        self.sink_dir = sink_dir
+        self.store = WatermarkStore(state_dir)
+        self.tie_breakers = tie_breakers
+
+    def entities(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.landing_dir)
+            if os.path.isdir(os.path.join(self.landing_dir, d))
+        )
+
+    def _sink_path(self, entity: str) -> str:
+        return os.path.join(self.sink_dir, table_name_from_path(entity))
+
+    def read_snapshot(self, entity: str) -> DataFrame | None:
+        path = self._sink_path(entity)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def run_entity(self, entity: str) -> dict:
+        """Process one entity; returns a status dict. Watermark commits
+        only after the sink write succeeds."""
+        entity_dir = os.path.join(self.landing_dir, entity)
+        files = csv_entity.list_entity_files(entity_dir)
+        state = self.store.get(entity)
+        watermark = state["max_mtime"] if state else None
+        pending = csv_entity.prune_files(files, watermark)
+        if not pending:
+            return {"entity": entity, "status": "no_new_files", "files": 0}
+
+        delta = csv_entity.read_entity(self.spark, [f.path for f in pending])
+        snapshot = self.read_snapshot(entity) if state else None
+        if snapshot is None:
+            result = full_load(delta, self.tie_breakers)
+        else:
+            result = incremental_merge(snapshot, delta, self.tie_breakers)
+        result = cdc.add_audit(result)
+
+        # Overwrite sink first (idempotent), then commit the offset.
+        # The merge plan READS the current sink, so materialize to a
+        # staging dir before overwriting (at scale: write a versioned
+        # dir and atomically swap a pointer instead of double-writing).
+        out = self._sink_path(entity)
+        tmp = out + "__staging"
+        result.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(out)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        newest = max(pending, key=lambda f: (f.mtime, f.path))
+        self.store.commit(entity, newest.path, newest.mtime)
+        return {"entity": entity, "status": "ok", "files": len(pending)}
+
+    def run(self, only: list[str] | None = None) -> list[dict]:
+        """Process every entity (or the CLI-style subset, S9). Failures
+        are isolated per entity and reported, never swallowed silently —
+        and a failed entity's watermark is NOT advanced."""
+        results = []
+        for entity in only or self.entities():
+            try:
+                results.append(self.run_entity(entity))
+            except Exception as exc:  # noqa: BLE001 - per-entity isolation
+                msg = str(exc).split("\n", 1)[0] or type(exc).__name__
+                results.append(
+                    {
+                        "entity": entity,
+                        "status": "error",
+                        "error": f"{type(exc).__name__}: {msg}",
+                    }
+                )
+        return results

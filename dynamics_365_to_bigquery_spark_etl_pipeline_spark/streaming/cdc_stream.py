@@ -1,0 +1,107 @@
+"""Structured Streaming CDC merge (SURVEY.md §2.6 re-expressed).
+
+The reference hand-rolls micro-batch incremental processing: manual file
+watermark, manual pruning, manual merge. Structured Streaming's file
+source does exactly this natively — offset tracking in the checkpoint
+replaces ``latest.csv``, ``maxFilesPerTrigger`` replaces the manual
+batching, and ``foreachBatch`` runs the same merge the batch path uses,
+transactionally per micro-batch.
+
+At scale: the same code runs continuously against a cloud landing zone;
+checkpointing gives exactly-once file-source semantics, and the sink
+overwrite is idempotent (the reference's own recovery story, kept).
+
+Also here: watermarked tumbling-window and session-window streaming
+aggregations over event time — the streaming twins of the batch
+``q_events_tumbling`` / ``q_events_sessionize`` oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import cdc
+
+
+def stream_cdc_merge(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    sink_dir: str,
+    checkpoint_dir: str,
+    key: str = cdc.KEY,
+    order_col: str = cdc.MODIFIED_AT,
+    tie_breakers: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """File-source stream -> foreachBatch CDC merge into a parquet sink.
+
+    Each micro-batch replays the batch merge against the current sink
+    (read fresh inside the batch function), so restart/recovery is the
+    file-source checkpoint plus the idempotent overwrite."""
+    reader = spark.readStream.schema(schema)
+    stream = reader.parquet(source_dir) if fmt == "parquet" else reader.options(
+        header=True, multiLine=True, quote='"'
+    ).csv(source_dir)
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(sink_dir):
+            snapshot = batch_df.sparkSession.read.parquet(sink_dir)
+            merged = cdc.merge_cdc(snapshot, batch_df, key, order_col, tie_breakers)
+        else:
+            merged = cdc.resolve_snapshot(batch_df, key, order_col, tie_breakers)
+        staging = sink_dir + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        batch_df.sparkSession.read.parquet(staging).write.mode("overwrite").parquet(sink_dir)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming DataFrame in,
+    streaming DataFrame out). Late rows beyond the watermark are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session-window aggregation per user (native session_window)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

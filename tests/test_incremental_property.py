@@ -1,0 +1,91 @@
+"""Property-based test (SURVEY.md §5 item 5): replaying a random CDC
+stream through the incremental path in arbitrary batch splits yields
+exactly the single-shot full-load snapshot.
+
+Constraint inherited from the reference's semantics: a delete sentinel
+is terminal for its key within the replayed window (the full-load NOT IN
+removes every version of a deleted key — ``helper_functions.py:146-152``
+— so a post-delete re-insert diverges between paths BY DESIGN; the
+incremental path forgets the sentinel once its batch is resolved).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import cdc
+
+LIVE = "{11111111-1111-1111-1111-111111111111}"
+KEYS = ["k0", "k1", "k2", "k3", "k4"]
+
+
+@st.composite
+def cdc_streams(draw):
+    """A stream of (key, ts_offset, op) with terminal deletes, plus a
+    list of batch-split points."""
+    n = draw(st.integers(min_value=1, max_value=40))
+    events = []
+    deleted: set[str] = set()
+    for i in range(n):
+        key = draw(st.sampled_from(KEYS))
+        if key in deleted:
+            continue
+        is_delete = draw(st.booleans()) and draw(st.booleans())  # ~25%
+        if is_delete:
+            deleted.add(key)
+        events.append((key, i, "delete" if is_delete else "upsert"))
+    n_splits = draw(st.integers(min_value=0, max_value=3))
+    splits = sorted(
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(events)),
+                min_size=n_splits,
+                max_size=n_splits,
+            )
+        )
+    )
+    return events, splits
+
+
+def _frame(spark, events):
+    rows = []
+    for key, i, op in events:
+        ts = f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}"
+        if op == "delete":
+            rows.append((key, None, None, cdc.ZERO_GUID, cdc.ZERO_GUID, i))
+        else:
+            rows.append((key, ts, ts, LIVE, LIVE, i))
+    return spark.createDataFrame(
+        rows,
+        "systemid string, systemcreatedat string, systemmodifiedat string, "
+        "systemcreatedby string, systemmodifiedby string, seq long",
+    )
+
+
+@given(cdc_streams())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_equals_full_load(spark, data):
+    events, splits = data
+    if not events:
+        return
+    full = cdc.resolve_snapshot(_frame(spark, events), tie_breakers=("seq",))
+
+    bounds = [0, *splits, len(events)]
+    snapshot = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = events[lo:hi]
+        if not batch:
+            continue
+        frame = _frame(spark, batch)
+        if snapshot is None:
+            snapshot = cdc.resolve_snapshot(frame, tie_breakers=("seq",))
+        else:
+            snapshot = cdc.merge_cdc(snapshot, frame, tie_breakers=("seq",))
+    if snapshot is None:
+        return
+    assert {tuple(r) for r in snapshot.collect()} == {tuple(r) for r in full.collect()}

@@ -1,0 +1,143 @@
+"""End-to-end EntityPipeline tests over a temp CSV landing zone:
+full-load, incremental merge, watermark isolation on failure
+(the reference bug fixed — SURVEY.md §2.6), and dup-column dropping
+through the real CSV path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.pipeline import EntityPipeline
+
+LIVE = "{11111111-1111-1111-1111-111111111111}"
+ZERO = "{00000000-0000-0000-0000-000000000000}"
+
+HEADER = "SystemId,SystemCreatedAt-2000000001,SystemModifiedAt-2000000002,SystemCreatedBy,SystemModifiedBy,Amount,$Company\n"
+
+
+def _write_csv(path: str, rows: list[str], mtime: float) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(HEADER)
+        f.writelines(r + "\n" for r in rows)
+    os.utime(path, (mtime, mtime))
+
+
+def _live_row(key, ts, amount):
+    return f"{key},{ts},{ts},{LIVE},{LIVE},{amount},acme"
+
+
+def _delete_row(key):
+    return f"{key},,,{ZERO},{ZERO},,acme"
+
+
+@pytest.fixture()
+def zone(tmp_path):
+    landing = tmp_path / "landing"
+    sink = tmp_path / "sink"
+    state = tmp_path / "state"
+    landing.mkdir()
+    return landing, sink, state
+
+
+def _pipeline(spark, zone):
+    landing, sink, state = zone
+    return EntityPipeline(
+        spark, str(landing), str(sink), str(state), tie_breakers=("amount",)
+    )
+
+
+def test_full_load_then_incremental(spark, zone):
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Sales Invoice" / "b1.csv"),
+        [
+            _live_row("a", "2024-01-01 10:00:00", 5),
+            _live_row("b", "2024-01-01 11:00:00", 7),
+        ],
+        t0,
+    )
+    pipe = _pipeline(spark, zone)
+    res = pipe.run()
+    assert res == [{"entity": "Sales Invoice", "status": "ok", "files": 1}]
+
+    snap = spark.read.parquet(str(sink / "salesinvoice"))
+    assert set(snap.columns) >= {"systemid", "systemmodifiedat", "amount", "_company", "extracted_at"}
+    assert {(r.systemid, r.amount) for r in snap.collect()} == {("a", 5), ("b", 7)}
+
+    # idempotent re-run: no new files
+    assert pipe.run() == [{"entity": "Sales Invoice", "status": "no_new_files", "files": 0}]
+
+    # incremental: update a, delete b, insert c
+    _write_csv(
+        str(landing / "Sales Invoice" / "b2.csv"),
+        [
+            _live_row("a", "2024-01-02 09:00:00", 9),
+            _delete_row("b"),
+            _live_row("c", "2024-01-02 10:00:00", 1),
+        ],
+        t0 + 50,
+    )
+    assert pipe.run() == [{"entity": "Sales Invoice", "status": "ok", "files": 1}]
+    snap = spark.read.parquet(str(sink / "salesinvoice"))
+    assert {(r.systemid, r.amount) for r in snap.collect()} == {("a", 9), ("c", 1)}
+
+
+def test_failed_entity_watermark_not_advanced(spark, zone, monkeypatch):
+    """The reference advances watermarks for FAILED entities
+    (incremental_etl_v1.py:193-202) — files are then skipped forever.
+    Here the failed entity's watermark must stay put so a retry
+    reprocesses its files."""
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(str(landing / "Bad" / "b1.csv"), [_live_row("x", "2024-01-01 10:00:00", 1)], t0)
+    _write_csv(str(landing / "Good" / "b1.csv"), [_live_row("y", "2024-01-01 10:00:00", 2)], t0)
+
+    pipe = _pipeline(spark, zone)
+    real = pipe.run_entity
+
+    def flaky(entity):
+        if entity == "Bad" and not (sink / "bad").exists():
+            raise RuntimeError("transient sink failure")
+        return real(entity)
+
+    monkeypatch.setattr(pipe, "run_entity", flaky)
+    res = pipe.run()
+    assert {r["entity"]: r["status"] for r in res} == {"Bad": "error", "Good": "ok"}
+    assert pipe.store.get("Bad") is None  # watermark NOT advanced
+    assert pipe.store.get("Good") is not None
+
+    # retry succeeds and reprocesses the failed entity's file
+    monkeypatch.setattr(pipe, "run_entity", real)
+    res2 = pipe.run()
+    assert {r["entity"]: r["status"] for r in res2} == {
+        "Bad": "ok",
+        "Good": "no_new_files",
+    }
+    snap = spark.read.parquet(str(sink / "bad"))
+    assert [(r.systemid, r.amount) for r in snap.collect()] == [("x", 1)]
+
+
+def test_duplicate_normalized_columns_dropped(spark, zone):
+    """Columns colliding after suffix-strip normalization are ALL
+    dropped (helper_functions.py:16-23), through the real CSV read."""
+    landing, sink, state = zone
+    path = str(landing / "Items" / "b1.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(
+            "SystemId,SystemCreatedAt,SystemModifiedAt,SystemCreatedBy,SystemModifiedBy,No-1,no-2,Qty\n"
+        )
+        f.write(f"a,2024-01-01 10:00:00,2024-01-01 10:00:00,{LIVE},{LIVE},1,2,30\n")
+    os.utime(path, None)
+    pipe = _pipeline(spark, zone)
+    pipe.tie_breakers = ()
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    snap = spark.read.parquet(str(sink / "items"))
+    assert "no" not in snap.columns
+    assert {r.qty for r in snap.collect()} == {30}

@@ -1,0 +1,125 @@
+"""Structured Streaming tests: file-source CDC merge via foreachBatch
+(availableNow drains synchronously), streaming ≡ batch equivalence, and
+watermarked tumbling/session window aggregations on the events fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import cdc
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.changelog import (
+    changelog_from_events,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+    stream_cdc_merge,
+    stream_session_counts,
+    stream_tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    return changelog_from_events(load_table(spark, SF_DIR, "events"))
+
+
+def test_stream_cdc_merge_equals_batch(spark, tmp_path, changelog):
+    """Drain the changelog through the streaming merge in two micro-
+    batches; the final sink must equal the batch full-load snapshot."""
+    source = tmp_path / "source"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Split so delete sentinels are terminal for their key (the
+    # incremental ≡ full-load invariant's precondition — a re-insert
+    # after a delete diverges between the two paths BY DESIGN; see
+    # tests/test_incremental_property.py). Sentinels have NULL
+    # systemmodifiedat, so the second batch takes them all.
+    split = "2024-01-16 00:00:00"
+    b1 = changelog.filter(F.col("systemmodifiedat") < split)
+    b2 = changelog.filter(
+        F.col("systemmodifiedat").isNull() | (F.col("systemmodifiedat") >= split)
+    )
+    b1.write.parquet(str(source), mode="append")
+
+    q = stream_cdc_merge(
+        spark, str(source), changelog.schema, sink, ckpt, tie_breakers=("event_id",)
+    )
+    q.awaitTermination(120)
+
+    b2.write.parquet(str(source), mode="append")
+    q2 = stream_cdc_merge(
+        spark, str(source), changelog.schema, sink, ckpt, tie_breakers=("event_id",)
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .select("systemid", "event_id", "value")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in cdc.resolve_snapshot(changelog, tie_breakers=("event_id",))
+        .select("systemid", "event_id", "value")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = stream_tumbling_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r) for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        tuple(r)
+        for r in events.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_session_window_runs(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = stream_session_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert len(rows) > 0
+    total = sum(r.n_events for r in rows)
+    assert total == events.count()
+    assert all(r.session_end > r.session_start for r in rows)

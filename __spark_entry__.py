@@ -17,6 +17,7 @@ from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
     analytics_queries,
     cdc_queries,
     dedup_queries,
+    multimodal_queries,
     similarity_queries,
     text_queries,
     tpch_queries,
@@ -29,6 +30,7 @@ _PLAN_MODULES = [
     text_queries,
     dedup_queries,
     similarity_queries,
+    multimodal_queries,
 ]
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing (Tier B, BASELINE north star).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. The Spark-side machinery — schema, partition-preserving
+``mapInPandas`` with Arrow batches, deterministic feature extraction —
+is real and tested; the actual media decode is STUBBED (the container
+has no image/audio libraries) behind ``decode_media``, which raises
+``NotImplementedError`` unless a caller supplies a decoder.
+
+Scale notes:
+- ``mapInPandas`` streams Arrow record batches — the blob column never
+  materializes as Python objects row-by-row; per-batch numpy/pandas ops
+  only. Batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+- Feature extraction is embarrassingly parallel (no shuffle); keep
+  blobs in their landing partitioning and extract in place.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def attach_binary(docs: DataFrame, mime: str = "text/plain") -> DataFrame:
+    """Promote a text column to an opaque binary payload + metadata —
+    the shape a real image/audio table would land in."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length("text").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
+    """STUB: real deployments plug a decoder (PIL/librosa/ffmpeg) in via
+    ``extract_features(decoder=...)``. The container image has none."""
+    raise NotImplementedError(
+        f"no media decoder available for {mime}; supply decoder= to extract_features"
+    )
+
+
+def extract_features(
+    binary_df: DataFrame,
+    decoder: Callable[[bytes, str], dict] | None = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    Without a decoder, emits deterministic byte-level features (size,
+    first byte, md5) — the plumbing a real extractor would use, with the
+    decode step swapped in via ``decoder``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            mimes = pdf["meta"].map(lambda m: m["mime"])
+            if decoder is not None:
+                feats = [decoder(p, m) for p, m in zip(payloads, mimes)]
+                out = pd.DataFrame(feats)
+                out.insert(0, "doc_id", pdf["doc_id"].values)
+                yield out
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": mimes,
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return binary_df.mapInPandas(run, FEATURE_SCHEMA)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import tune_existing
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
+    advanced_queries,
     analytics_queries,
     cdc_queries,
     dedup_queries,
@@ -31,6 +32,7 @@ _PLAN_MODULES = [
     dedup_queries,
     similarity_queries,
     multimodal_queries,
+    advanced_queries,
 ]
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,94 @@
+"""As-of and range joins — operators Spark lacks natively (SURVEY.md §2.3
+notes the reference has no join family at all; these complete the
+temporal-join surface a CDC/analytics engine needs).
+
+As-of join, scalable form: instead of per-group ``merge_asof`` in
+Python, union the two sides with a side tag, window-sort once per key,
+and fill the right side's attributes forward (``last_value ignorenulls``
+over rows unbounded-preceding). ONE shuffle on the key, no Python, no
+per-group pandas — this is the 100 TB implementation; DuckDB's native
+ASOF JOIN is the oracle.
+
+Range join, scalable form: bucketize the range key to width = range
+span, equi-join on (key, bucket) ∪ (key, bucket+1), then filter the
+exact predicate — turns an inequality join (which Spark executes as
+broadcast-nested-loop) into two skew-free hash joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the newest right row with
+    ``right_ts <= left_ts`` (``<`` when strict) for the same key.
+
+    Left columns pass through; right payload columns arrive suffixed
+    ``_asof`` (NULL when no prior right row exists).
+    """
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs_cols = [F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side")] + [
+        F.col(c).alias(f"__r_{c}") for c in right_payload
+    ]
+    rhs = right.select(rhs_cols)
+    lhs_aligned = lhs.select(
+        *left.columns,
+        "__side",
+        "__ts",
+        *[F.lit(None).cast(dict(rhs.dtypes)[f"__r_{c}"]).alias(f"__r_{c}") for c in right_payload],
+    )
+    unioned = lhs_aligned.unionByName(rhs, allowMissingColumns=True)
+
+    # Tie order decides whether an exact-tie right row is visible to the
+    # left row: right-before-left (side 0 first) for <=, left-before-
+    # right for strict <. The frame never changes.
+    order = [F.col("__ts").asc(), F.col("__side").asc() if not strict else F.col("__side").desc()]
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}_asof")
+            for c in right_payload
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop(
+        "__side", "__ts", *[f"__r_{c}" for c in right_payload]
+    )
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_val: Column,
+    right_val: Column,
+    span: int,
+    predicate,
+) -> DataFrame:
+    """Equi-join on (key, bucket) and (key, bucket+1) with bucket width
+    = span, then apply the exact range predicate. ``predicate`` takes
+    (left_val_col, right_val_col) -> Column over the joined frame."""
+    lb = left.withColumn("__v", left_val).withColumn(
+        "__b", F.floor(F.col("__v") / F.lit(span)).cast("long")
+    )
+    rb = right.withColumn("__w", right_val).withColumn(
+        "__b", F.floor(F.col("__w") / F.lit(span)).cast("long")
+    )
+    # A right row can only satisfy the predicate from its own bucket or
+    # the one below (span == predicate width), so the bucket is part of
+    # the JOIN KEY — two hash joins instead of a per-key cross join.
+    shifted = rb.withColumn("__b", F.col("__b") - 1)
+    candidates = lb.join(rb, on=[key, "__b"], how="inner").unionByName(
+        lb.join(shifted, on=[key, "__b"], how="inner")
+    )
+    return candidates.filter(predicate(F.col("__v"), F.col("__w"))).drop("__v", "__w", "__b")

@@ -1,0 +1,327 @@
+"""Advanced relational surface: as-of join, bucketized range join, SCD2
+history, window-function zoo, exact percentiles, conditional-aggregate
+ratios, HAVING, complex predicates, salted (skew-safe) aggregation, and
+the delta-only CDC merge.
+
+The as-of and range joins are the custom temporal operators Spark lacks
+natively; DuckDB's native ASOF JOIN / inequality join are their oracles,
+so the scalable re-expressions (union+fill-forward; bucketized hash
+join) are verified against reference semantics, not just themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.portable import dsum, dsum_sql
+from ..operators import cdc
+from ..operators.asof import asof_join, range_join_buckets
+from .changelog import CHANGELOG_SQL, changelog_from_events
+
+RANGE_SPAN_US = 86_400 * 1_000_000  # pairs within one day
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each non-purchase event: the same user's most recent purchase
+    at-or-before it (event id + value), NULL if none yet."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # One purchase per (user, ts): dedupe so the as-of pick is
+    # deterministic in both engines.
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    out = asof_join(
+        left,
+        right,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_id", "purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_id_asof").alias("last_purchase_id"),
+        F.col("purchase_value_asof").alias("last_purchase_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within one day (b strictly after a) —
+    bucketized range join (two hash joins, no nested loop)."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.select("user_id", F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    right = events.select("user_id", F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    pairs = range_join_buckets(
+        left,
+        right,
+        key="user_id",
+        left_val=F.unix_micros(F.col("ts_a")),
+        right_val=F.unix_micros(F.col("ts_b")),
+        span=RANGE_SPAN_US,
+        predicate=lambda v, w: (w > v) & (w - v <= RANGE_SPAN_US),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"), F.min("id_a").alias("first_id"))
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals per key from the changelog: each live
+    version with valid_from / valid_to (= next version's start) and an
+    is_current flag."""
+    log = changelog_from_events(load_table(spark, sf_dir, "events")).filter(
+        F.col("systemmodifiedat").isNotNull()
+    )
+    w = Window.partitionBy("systemid").orderBy(
+        F.col("systemmodifiedat").asc(), F.col("event_id").asc()
+    )
+    return log.select(
+        "systemid",
+        "event_id",
+        F.col("systemmodifiedat").alias("valid_from"),
+        F.lead("systemmodifiedat").over(w).alias("valid_to"),
+        F.lead("systemmodifiedat").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank / first_value in one
+    pass (single shuffle on the partition key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.first("o_orderkey").over(w).alias("best_order"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate revenue share."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(promo_rev, scale=4).alias("promo_revenue"),
+            dsum(rev, scale=4).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.col("promo_revenue") * 100 / F.col("total_revenue")).alias("promo_pct"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across a join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") >= 0.05))
+    )
+    return joined.filter(pred).agg(
+        dsum(rev, scale=4).alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the hot key space, partial-
+    aggregate per (key, salt), then finalize per key. Result is
+    IDENTICAL to the direct groupBy (the oracle proves it); at 100 TB
+    this is the manual fallback when AQE skew handling isn't enough."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    salted = (
+        li.withColumn("__salt", (F.col("l_linenumber") % 4).cast("int"))
+        .groupBy("l_orderkey", "__salt")
+        .agg(
+            F.sum(rev.cast("decimal(25,4)")).alias("partial_rev"),
+            F.count("*").alias("partial_n"),
+        )
+    )
+    return (
+        salted.groupBy("l_orderkey")
+        .agg(
+            F.sum("partial_rev").cast("double").alias("revenue"),
+            F.sum("partial_n").alias("n_items"),
+        )
+    )
+
+
+def cdc_merge_delta_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path merge: only delta-touched keys are re-resolved; the
+    rest of the snapshot bypasses the window. Shares the full-resolve
+    oracle — proof of equivalence with the reference semantics."""
+    from .cdc_queries import OUT_COLS, SPLIT_TS, TIE
+
+    log = changelog_from_events(load_table(spark, sf_dir, "events"))
+    batch1 = log.filter(F.col("systemmodifiedat") < SPLIT_TS)
+    batch2 = log.filter(
+        F.col("systemmodifiedat").isNull() | (F.col("systemmodifiedat") >= SPLIT_TS)
+    )
+    snapshot = cdc.resolve_snapshot(batch1, tie_breakers=TIE)
+    return cdc.merge_cdc_delta_only(snapshot, batch2, tie_breakers=TIE).select(OUT_COLS)
+
+
+QUERIES = {
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_scd2_history": q_scd2_history,
+    "q_window_zoo": q_window_zoo,
+    "q_percentiles": q_percentiles,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive": q19_disjunctive,
+    "q_salted_agg": q_salted_agg,
+    "cdc_merge_delta_only": cdc_merge_delta_only,
+}
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+ORACLES = {
+    "q_asof_join": """
+WITH lhs AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type != 'purchase'
+),
+rhs AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT lhs.event_id, lhs.user_id,
+       rhs.purchase_id AS last_purchase_id,
+       rhs.purchase_value AS last_purchase_value
+FROM lhs ASOF LEFT JOIN rhs
+  ON lhs.user_id = rhs.user_id AND lhs.ts >= rhs.ts
+""",
+    "q_range_join": f"""
+SELECT a.user_id, COUNT(*) AS n_pairs, MIN(a.event_id) AS first_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {RANGE_SPAN_US}
+GROUP BY a.user_id
+""",
+    "q_scd2_history": f"""
+WITH changelog AS ({CHANGELOG_SQL}),
+live AS (SELECT * FROM changelog WHERE systemmodifiedat IS NOT NULL)
+SELECT systemid, event_id,
+  systemmodifiedat AS valid_from,
+  LEAD(systemmodifiedat) OVER w AS valid_to,
+  LEAD(systemmodifiedat) OVER w IS NULL AS is_current
+FROM live
+WINDOW w AS (PARTITION BY systemid ORDER BY systemmodifiedat ASC, event_id ASC)
+""",
+    "q_window_zoo": """
+SELECT o_custkey, o_orderkey,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  NTILE(4) OVER w AS quartile,
+  PERCENT_RANK() OVER w AS prank,
+  FIRST_VALUE(o_orderkey) OVER w AS best_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+    "q_percentiles": """
+SELECT o_orderpriority,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS p25,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS p75
+FROM orders
+GROUP BY o_orderpriority
+""",
+    "q14_promo_revenue": f"""
+SELECT promo_revenue, total_revenue,
+       promo_revenue * 100 / total_revenue AS promo_pct
+FROM (
+  SELECT
+    {dsum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0.0 END", scale=4)} AS promo_revenue,
+    {dsum_sql(_REV, scale=4)} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+)
+""",
+    "q18_large_orders": f"""
+WITH big AS (
+  SELECT l_orderkey, {dsum_sql('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING {dsum_sql('l_quantity')} > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "q19_disjunctive": f"""
+SELECT {dsum_sql(_REV, scale=4)} AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 5)
+   OR (p_type = 'PROMO' AND l_discount >= 0.05)
+""",
+    "q_salted_agg": f"""
+SELECT l_orderkey, {dsum_sql(_REV, scale=4)} AS revenue, COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_orderkey
+""",
+}
+
+from .cdc_queries import ORACLES as _CDC_ORACLES  # noqa: E402
+
+ORACLES["cdc_merge_delta_only"] = _CDC_ORACLES["cdc_snapshot"]

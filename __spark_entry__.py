@@ -18,6 +18,7 @@ from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
     analytics_queries,
     cdc_queries,
     dedup_queries,
+    functions_queries,
     multimodal_queries,
     similarity_queries,
     text_queries,
@@ -33,6 +34,7 @@ _PLAN_MODULES = [
     similarity_queries,
     multimodal_queries,
     advanced_queries,
+    functions_queries,
 ]
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

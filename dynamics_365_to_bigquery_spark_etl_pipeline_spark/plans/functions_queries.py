@@ -1,0 +1,219 @@
+"""Scalar-function and SQL-surface coverage: datetime, string, null-
+handling and integer math functions, GROUPING SETS through the SQL API,
+explode/lateral token flattening, and approximate aggregates (the
+approx entries ship without oracles — the driver records the weaker
+rows-only check, since HLL/KLL sketches are engine-specific by design).
+
+Functions with float-rounding divergence risk (log, pow on doubles,
+trig) are deliberately expressed through exact forms (integer math,
+decimal casts) so the oracle comparison stays bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_tables
+
+
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function family over order dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias("days_to_2002"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus_30"),
+    )
+
+
+def q_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part attributes."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.initcap("p_type").alias("type_title"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_digits"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lower_vowels"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat(F.substring("p_brand", 1, 1), 3).alias("b3"),
+        F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_num2"),
+    )
+
+
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / nvl2 / null-safe equality over the changelog
+    (which has real NULLs in the sentinel rows)."""
+    from .changelog import changelog_from_events
+
+    log = changelog_from_events(load_table(spark, sf_dir, "events"))
+    return log.select(
+        "event_id",
+        F.coalesce("systemmodifiedat", F.lit("<deleted>")).alias("modified_or_tag"),
+        F.nullif("event_type", F.lit("error")).alias("type_no_error"),
+        F.when(F.col("systemcreatedat").isNotNull(), "live")
+        .otherwise("tombstone")
+        .alias("row_kind"),
+        F.col("systemcreatedat").eqNullSafe(F.col("systemmodifiedat")).alias("same_ts"),
+    )
+
+
+def q_int_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact math family: integer ops, pmod, powers of ints, sign."""
+    part = load_table(spark, sf_dir, "part")
+    s = F.col("p_size")
+    return part.select(
+        "p_partkey",
+        (s % 7).alias("mod7"),
+        F.pmod(s - 25, F.lit(7)).alias("pmod7"),
+        F.pow(F.lit(2), (s % 10)).cast("long").alias("pow2"),
+        F.signum(s - 25).cast("int").alias("sign_off"),
+        F.greatest(s, F.lit(25)).alias("hi"),
+        F.least(s, F.lit(25)).alias("lo"),
+        # round (HALF_UP) not bround (HALF_EVEN): DuckDB rounds decimals
+        # half-away-from-zero, which matches HALF_UP for positive prices.
+        F.round(F.col("p_retailprice").cast("decimal(12,2)") / 10, 1)
+        .cast("double")
+        .alias("price_div"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL API (same Catalyst plan as the
+    DataFrame surface — exercises the engine's SQL front end)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral flatten: explode document tokens, count global token
+    frequencies, deterministic top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")), " ")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — sketch values are engine-specific, so
+    no SQL oracle (driver records rows-only). The exact twin
+    `q_agg_distinct` is the correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx sketch — no oracle for the same reason; the
+    exact twin is `q_percentiles`."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("median_approx")
+    )
+
+
+QUERIES = {
+    "q_scalar_datetime": q_scalar_datetime,
+    "q_scalar_strings": q_scalar_strings,
+    "q_null_handling": q_null_handling,
+    "q_int_math": q_int_math,
+    "q_grouping_sets": q_grouping_sets,
+    "q_token_explode": q_token_explode,
+    "q_approx_distinct": q_approx_distinct,
+    "q_approx_quantiles": q_approx_quantiles,
+}
+
+from .changelog import CHANGELOG_SQL  # noqa: E402
+
+ORACLES = {
+    "q_scalar_datetime": """
+SELECT o_orderkey,
+  year(o_orderdate) AS yr,
+  month(o_orderdate) AS mo,
+  day(o_orderdate) AS dom,
+  dayofweek(o_orderdate) + 1 AS dow,
+  quarter(o_orderdate) AS qtr,
+  strftime(o_orderdate, '%Y-%m') AS ym,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30
+FROM orders
+""",
+    "q_scalar_strings": """
+SELECT p_partkey,
+  -- DuckDB has no initcap; title-case each space-separated word
+  array_to_string(list_transform(string_split(p_type, ' '),
+    w -> upper(w[1]) || lower(w[2:])), ' ') AS type_title,
+  lpad(p_brand, 12, '*') AS brand_pad,
+  COALESCE(regexp_extract(p_brand, '#(\\d+)', 1), '') AS brand_digits,
+  translate(p_type, 'AEIOU', 'aeiou') AS type_lower_vowels,
+  instr(p_name, 'a') AS first_a,
+  reverse(p_name) AS name_rev,
+  repeat(substring(p_brand, 1, 1), 3) AS b3,
+  split_part(p_brand, '#', 2) AS brand_num2
+FROM part
+""",
+    "q_null_handling": f"""
+WITH changelog AS ({CHANGELOG_SQL})
+SELECT event_id,
+  COALESCE(systemmodifiedat, '<deleted>') AS modified_or_tag,
+  NULLIF(event_type, 'error') AS type_no_error,
+  CASE WHEN systemcreatedat IS NOT NULL THEN 'live' ELSE 'tombstone' END AS row_kind,
+  systemcreatedat IS NOT DISTINCT FROM systemmodifiedat AS same_ts
+FROM changelog
+""",
+    "q_int_math": """
+SELECT p_partkey,
+  p_size % 7 AS mod7,
+  ((p_size - 25) % 7 + 7) % 7 AS pmod7,
+  CAST(power(2, p_size % 10) AS BIGINT) AS pow2,
+  CAST(sign(p_size - 25) AS INT) AS sign_off,
+  GREATEST(p_size, 25) AS hi,
+  LEAST(p_size, 25) AS lo,
+  CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) / 10, 1) AS DOUBLE) AS price_div
+FROM part
+""",
+    "q_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    "q_token_explode": """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+  FROM documents
+)
+WHERE LENGTH(token) > 0
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+}

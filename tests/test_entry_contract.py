@@ -32,3 +32,14 @@ def test_every_oracle_key_has_query():
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
 def test_oracle_parity(spark, name):
     compare(spark, SF_DIR, entry_mod.queries()[name], entry_mod.oracle_sql()[name])
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+)
+def test_no_oracle_rows_only(spark, name):
+    """Driver's weaker check for non-SQL-expressible queries: runs and
+    returns rows with a stable schema."""
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert len(df.schema.fields) > 0
+    assert df.count() > 0

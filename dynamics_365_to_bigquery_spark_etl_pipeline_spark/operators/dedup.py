@@ -44,16 +44,22 @@ def normalized_tokens_sql(expr: str) -> str:
 
 
 def shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct k-token shingles (k consecutive tokens joined by a space)."""
+    """Distinct k-token shingles (k consecutive tokens joined by a space).
+
+    NB: guard the < k-token case explicitly — ``sequence(0, size-k)``
+    with a negative stop generates a DESCENDING sequence in Spark, which
+    then indexes out of bounds."""
     toks = normalized_tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
     joined = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
         ),
     )
-    return F.array_distinct(joined)
+    return F.when(F.size(toks) >= k, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingles_from_tokens_sql(t: str, k: int = SHINGLE_K) -> str:

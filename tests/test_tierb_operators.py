@@ -1,0 +1,95 @@
+"""Edge-case unit tests for the Tier B operator library: shingling,
+Jaccard, MinHash, SimHash, cosine, and text metrics on boundary inputs
+(empty/short strings, identical inputs, self-similarity).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import dedup as D
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import similarity as S
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import text as X
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+def test_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([("one two",), ("",), ("a b c d",)], ["text"])
+    out = df.select(D.shingles(F.col("text")).alias("sh")).collect()
+    assert out[0].sh == []  # fewer than k=3 tokens
+    assert out[1].sh == []
+    assert out[2].sh == ["a b c", "b c d"]
+
+
+def test_jaccard_bounds(spark):
+    df = spark.createDataFrame([(["a", "b"], ["a", "b"])], ["x", "y"])
+    assert df.select(D.jaccard(F.col("x"), F.col("y")).alias("j")).first().j == 1.0
+    df2 = spark.createDataFrame([(["a"], ["b"])], ["x", "y"])
+    assert df2.select(D.jaccard(F.col("x"), F.col("y")).alias("j")).first().j == 0.0
+    df3 = spark.createDataFrame([([], [])], "x array<string>, y array<string>")
+    assert df3.select(D.jaccard(F.col("x"), F.col("y")).alias("j")).first().j == 0.0
+
+
+def test_minhash_identical_texts_identical_signatures(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, t), (2, t), (3, "totally different words here")], ["id", "text"])
+    sigs = df.select(
+        "id", D.minhash_signature(D.shingles(F.col("text"))).alias("sig")
+    ).collect()
+    by_id = {r.id: r.sig for r in sigs}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    assert len(by_id[1]) == D.N_MINHASH
+
+
+def test_simhash_identical_zero_hamming(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, t), (2, t)], ["id", "text"])
+    sims = [r.s for r in df.select(D.simhash32(F.col("text")).alias("s")).collect()]
+    assert sims[0] == sims[1]
+    assert 0 <= sims[0] < 2**32
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    got = spark.createDataFrame([("hello world",)], ["s"]).select(
+        D.portable_hash(F.col("s"), 7).alias("h")
+    ).first().h
+    sql_expr = D.portable_hash_sql("'hello world'", 7)
+    want = duckdb.sql(f"SELECT {sql_expr}").fetchone()[0]
+    assert got == want
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v array<float>")
+    sim = df.select(S.cosine(F.col("v"), F.col("v")).alias("c")).first().c
+    assert sim == pytest.approx(1.0, abs=1e-12)
+
+
+def test_brute_force_topk_excludes_self(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert (0, 0) not in got
+    assert len(got) == 4
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("one",), (" a  b ",)], ["t"])
+    out = [r.n for r in df.select(X.token_count(F.col("t")).alias("n")).collect()]
+    assert out == [0, 0, 1, 2]
+
+
+def test_fingerprint_normalizes_punctuation(spark):
+    df = spark.createDataFrame(
+        [("Hello, World!",), ("hello   world",), ("HELLO world.",)], ["t"]
+    )
+    fps = {r.f for r in df.select(X.fingerprint(F.col("t")).alias("f")).collect()}
+    assert len(fps) == 1

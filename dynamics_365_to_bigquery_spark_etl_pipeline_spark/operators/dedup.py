@@ -90,10 +90,26 @@ def _hasher(seed: int):
 
 
 def minhash_signature(shingle_arr: Column, n: int = N_MINHASH) -> Column:
-    """Array of n minhash values: min over shingles of h_seed."""
+    """Array of n minhash values: min over shingles of h_seed.
+
+    md5-based so the SQL oracle can reproduce it — the VERIFICATION
+    path. Production uses ``minhash_signature_fast`` (xxhash64, native
+    codegen, ~10x cheaper) with identical pair-finding behavior."""
     return F.array(
         *[F.array_min(F.transform(shingle_arr, _hasher(i))) for i in range(n)]
     )
+
+
+def minhash_signature_fast(shingle_arr: Column, n: int = N_MINHASH) -> Column:
+    """xxhash64-seeded minhash — the at-scale hash family (JVM-native,
+    no string formatting). Not SQL-portable, so queries built on it are
+    rows-only checked; equivalence of RESULTS (found duplicate pairs)
+    with the md5 family is asserted in tests."""
+
+    def h(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(*[F.array_min(F.transform(shingle_arr, h(i))) for i in range(n)])
 
 
 def minhash_signature_sql(shingle_expr: str, n: int = N_MINHASH) -> str:
@@ -149,14 +165,17 @@ def jaccard_sql(a: str, b: str) -> str:
     )
 
 
-def simhash32(text: Column) -> Column:
-    """32-bit SimHash over normalized tokens with the portable hash.
+def token_hashes(text: Column) -> Column:
+    """Portable hash per distinct normalized token. STAGE THIS AS ITS
+    OWN COLUMN before feeding ``simhash_from_hashes`` — passing the
+    expression directly duplicates the hashing 32× (once per bit term);
+    an attribute reference is computed once and CSE'd."""
+    return F.transform(F.array_distinct(normalized_tokens(text)), _hasher(0))
 
-    Bit j is set iff more tokens have bit j set than clear in
-    h_0(token). Pure array expressions; the oracle reproduces it exactly.
-    """
-    toks = F.array_distinct(normalized_tokens(text))
-    hashes = F.transform(toks, _hasher(0))
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a staged token-hash array column: bit j is
+    set iff more tokens have bit j set than clear."""
 
     def bit_term(j: int) -> Column:
         mask = F.lit(1 << j)
@@ -168,6 +187,12 @@ def simhash32(text: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def simhash32(text: Column) -> Column:
+    """One-shot SimHash for small inputs/tests; in query plans prefer
+    staging ``token_hashes`` in a select first (see q_dedup_simhash)."""
+    return simhash_from_hashes(token_hashes(text))
 
 
 def token_hashes_sql(expr: str) -> str:

@@ -69,13 +69,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     → bucket self-join → exact-Jaccard ≥ 0.5 verification.
 
     Scale: candidate generation is an equi-join on (band_id, band_hash)
-    — uniform md5 keys, skew-free shuffle, never O(n²)."""
+    — uniform md5 keys, skew-free shuffle, never O(n²). The signature is
+    staged as a COLUMN before band extraction: band_keys pulls 16
+    elements out of it, and inlining the signature expression would
+    recompute all 16 md5 minima per element (a 16x blowup)."""
+    return _minhash_pairs(spark, sf_dir, fast=False)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     sh = corpus.select(
         "doc_id", D.shingles(F.col("text")).alias("sh")
     ).filter(F.size("sh") > 0)
-    sig = sh.select("doc_id", "sh", D.band_keys(D.minhash_signature(F.col("sh"))).alias("bands"))
-    banded = sig.select("doc_id", F.posexplode("bands").alias("band_id", "band_hash"))
+    sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
+    sig = sh.select("doc_id", sig_fn(F.col("sh")).alias("sig"))
+    banded = sig.select(
+        "doc_id", F.posexplode(D.band_keys(F.col("sig"))).alias("band_id", "band_hash")
+    )
     pairs = (
         banded.alias("a")
         .join(
@@ -87,20 +97,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    verified = (
+    return (
         pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .select("id_a", "id_b", D.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc"))
         .filter(F.col("jacc") >= JACCARD_MIN)
     )
-    return verified
+
+
+def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path minhash (xxhash64): same banding/verify shape,
+    native hash — rows-only checked (hash family not SQL-portable);
+    pair-set equivalence with the md5 path is tested in pytest."""
+    return _minhash_pairs(spark, sf_dir, fast=True)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signature, byte-block LSH
     (hamming ≤ 3 guarantees one equal byte of four), verify bit_count."""
     corpus = _corpus(spark, sf_dir)
-    sigs = corpus.select("doc_id", D.simhash32(F.col("text")).alias("sim"))
+    hashed = corpus.select("doc_id", D.token_hashes(F.col("text")).alias("h"))
+    sigs = hashed.select("doc_id", D.simhash_from_hashes(F.col("h")).alias("sim"))
     blocks = sigs.select(
         "doc_id",
         "sim",
@@ -157,6 +174,7 @@ def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "q_dedup_minhash_fast": q_dedup_minhash_fast,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_topk": q_dedup_ngram_topk,
 }

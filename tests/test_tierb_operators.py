@@ -81,6 +81,28 @@ def test_brute_force_topk_excludes_self(spark):
     assert len(got) == 4
 
 
+def test_minhash_fast_finds_same_pairs_as_portable(spark):
+    """xxhash64 production path and md5 verification path must find the
+    same duplicate pairs (different hash families, same LSH geometry +
+    same exact-Jaccard verification)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.dedup_queries import (
+        q_dedup_minhash_fast,
+        q_dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    slow = {(r.id_a, r.id_b) for r in q_dedup_minhash_lsh(spark, sf).collect()}
+    fast = {(r.id_a, r.id_b) for r in q_dedup_minhash_fast(spark, sf).collect()}
+    # Exact copies (jaccard 1.0) band identically under ANY hash family
+    # — both paths MUST find them all. Near-dup banding is probabilistic
+    # per family (a j=0.5 pair hits with p≈0.9 at 8 bands of 2), so the
+    # overall pair sets need only agree at high rate.
+    exact_pairs = {(d, d + 2_000_000) for d in range(0, 500, 10)}
+    assert exact_pairs <= slow and exact_pairs <= fast
+    overlap = len(slow & fast) / max(len(slow | fast), 1)
+    assert overlap >= 0.9, f"pair-set agreement too low: {overlap:.2f}"
+
+
 def test_token_count_edges(spark):
     df = spark.createDataFrame([("",), ("   ",), ("one",), (" a  b ",)], ["t"])
     out = [r.n for r in df.select(X.token_count(F.col("t")).alias("n")).collect()]

@@ -1,0 +1,104 @@
+"""Bucketed incremental sink: result equivalence with the unbucketed
+pipeline, untouched partitions physically NOT rewritten, and stale
+partitions cleared when a bucket empties out (all keys deleted).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.pipeline import EntityPipeline
+
+LIVE = "{11111111-1111-1111-1111-111111111111}"
+ZERO = "{00000000-0000-0000-0000-000000000000}"
+HEADER = "SystemId,SystemCreatedAt,SystemModifiedAt,SystemCreatedBy,SystemModifiedBy,Amount\n"
+
+
+def _write_csv(path, rows, mtime):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(HEADER)
+        f.writelines(r + "\n" for r in rows)
+    os.utime(path, (mtime, mtime))
+
+
+def _live(key, ts, amount):
+    return f"{key},{ts},{ts},{LIVE},{LIVE},{amount}"
+
+
+def _delete(key):
+    return f"{key},,,{ZERO},{ZERO},"
+
+
+def _partition_mtimes(sink):
+    out = {}
+    for d in os.listdir(sink):
+        if d.startswith("__bucket="):
+            files = [
+                os.path.join(sink, d, f)
+                for f in os.listdir(os.path.join(sink, d))
+                if f.endswith(".parquet")
+            ]
+            out[d] = max(os.path.getmtime(f) for f in files)
+    return out
+
+
+def test_bucketed_incremental_rewrites_only_touched_buckets(spark, tmp_path):
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    keys = [f"k{i}" for i in range(40)]
+    _write_csv(
+        f"{landing}/Items/b1.csv",
+        [_live(k, "2024-01-01 10:00:00", i) for i, k in enumerate(keys)],
+        t0,
+    )
+    pipe = EntityPipeline(spark, landing, sink, state, bucket_partitions=8)
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    table = f"{sink}/items"
+    before = _partition_mtimes(table)
+    assert len(before) > 2  # keys spread across buckets
+
+    full_before = {
+        (r.systemid, r.amount)
+        for r in spark.read.parquet(table).select("systemid", "amount").collect()
+    }
+    assert full_before == {(k, float(i)) for i, k in enumerate(keys)}
+
+    # incremental touching ONE key
+    time.sleep(1.1)
+    _write_csv(
+        f"{landing}/Items/b2.csv", [_live("k0", "2024-01-02 10:00:00", 999)], t0 + 50
+    )
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    after = _partition_mtimes(table)
+
+    rewritten = {p for p in after if after[p] != before.get(p)}
+    assert len(rewritten) == 1, f"expected 1 rewritten bucket, got {rewritten}"
+
+    got = {
+        (r.systemid, r.amount)
+        for r in spark.read.parquet(table).select("systemid", "amount").collect()
+    }
+    want = (full_before - {("k0", 0.0)}) | {("k0", 999.0)}
+    assert got == want
+
+
+def test_bucketed_delete_clears_emptied_partition(spark, tmp_path):
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    _write_csv(
+        f"{landing}/Items/b1.csv",
+        [_live("solo", "2024-01-01 10:00:00", 1), _live("other", "2024-01-01 10:00:00", 2)],
+        t0,
+    )
+    pipe = EntityPipeline(spark, landing, sink, state, bucket_partitions=64)
+    pipe.run()
+    table = f"{sink}/items"
+    assert {r.systemid for r in spark.read.parquet(table).collect()} == {"solo", "other"}
+
+    _write_csv(f"{landing}/Items/b2.csv", [_delete("solo")], t0 + 50)
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    assert {r.systemid for r in spark.read.parquet(table).collect()} == {"other"}

@@ -21,6 +21,7 @@ from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
     functions_queries,
     multimodal_queries,
     similarity_queries,
+    sql_surface_queries,
     text_queries,
     tpch_queries,
 )
@@ -35,6 +36,7 @@ _PLAN_MODULES = [
     multimodal_queries,
     advanced_queries,
     functions_queries,
+    sql_surface_queries,
 ]
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,147 @@
+"""SQL-front-end parity queries.
+
+``q_cdc_sql_notin`` is the reference's own SQL, shape-for-shape: a
+NOT IN soft-delete subquery over a temp view followed by a ROW_NUMBER
+CTE (``incremental_etl_v1.py:148-175``) — run through ``spark.sql`` on
+this engine and hash-checked against the same ANSI text on DuckDB.
+Catalyst rewrites the NOT IN to a null-aware anti-join; the sentinel
+key set is null-free, so the result matches the DataFrame-API
+``cdc_snapshot`` exactly.
+
+Plus: correlated scalar subquery (TPC-H Q17 shape — Catalyst
+decorrelates it to an aggregate+join), unpivot/melt, and array
+functions with scalar outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_tables
+from ..functions.portable import dsum_sql
+from .changelog import CHANGELOG_SQL, changelog_from_events
+
+_CDC_SQL_BODY = """
+survivors AS (
+  SELECT * FROM changelog_view
+  WHERE systemid NOT IN (
+    SELECT systemid FROM changelog_view
+    WHERE systemcreatedat IS NULL AND systemmodifiedat IS NULL
+      AND systemcreatedby = '{00000000-0000-0000-0000-000000000000}'
+      AND systemmodifiedby = '{00000000-0000-0000-0000-000000000000}'
+  )
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY systemid
+    ORDER BY systemmodifiedat DESC NULLS LAST, event_id DESC NULLS LAST
+  ) AS rn
+  FROM survivors
+)
+SELECT systemid, systemmodifiedat, event_id, event_type, value, props
+FROM ranked WHERE rn = 1
+"""
+
+_CDC_SQL = "WITH " + _CDC_SQL_BODY
+
+
+def q_cdc_sql_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SQL verbatim in shape: NOT IN + ROW_NUMBER CTE
+    through spark.sql (Catalyst: RewritePredicateSubquery -> null-aware
+    anti-join; same plan family as the DataFrame cdc_snapshot)."""
+    changelog_from_events(load_table(spark, sf_dir, "events")).createOrReplaceTempView(
+        "changelog_view"
+    )
+    return spark.sql(_CDC_SQL)
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (rows below 50% of
+    their part's average quantity). Spark decorrelates to an agg+join."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS small_revenue
+        FROM lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        """
+    )
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: lineitem measures to (measure, value) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        ).alias("measure", "val"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family with scalar outputs (sort/slice/position/
+    contains/distinct over the embedding vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(arr).alias("n"),
+        F.element_at(F.array_sort(arr), 1).cast("double").alias("min_el"),
+        F.element_at(F.array_sort(arr), -1).cast("double").alias("max_el"),
+        F.element_at(arr, 1).cast("double").alias("first_el"),
+        F.element_at(F.slice(arr, 2, 3), 2).cast("double").alias("slice_el"),
+        F.size(F.array_distinct(arr)).alias("n_distinct"),
+        F.array_position(arr, F.element_at(arr, 3)).alias("pos_of_third"),
+    )
+
+
+QUERIES = {
+    "q_cdc_sql_notin": q_cdc_sql_notin,
+    "q17_small_quantity": q17_small_quantity,
+    "q_unpivot_measures": q_unpivot_measures,
+    "q_array_functions": q_array_functions,
+}
+
+ORACLES = {
+    "q_cdc_sql_notin": f"""
+WITH changelog_view AS ({CHANGELOG_SQL}),
+{_CDC_SQL_BODY}
+""",
+    "q17_small_quantity": """
+SELECT l.l_partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS small_revenue
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+""",
+    "q_unpivot_measures": """
+SELECT l_orderkey, l_linenumber, m.measure, m.val
+FROM lineitem,
+LATERAL (VALUES ('quantity', l_quantity), ('discount', l_discount), ('tax', l_tax))
+  AS m(measure, val)
+""",
+    "q_array_functions": """
+SELECT vec_id,
+  LEN(embedding) AS n,
+  CAST(list_sort(embedding)[1] AS DOUBLE) AS min_el,
+  CAST(list_sort(embedding)[-1] AS DOUBLE) AS max_el,
+  CAST(embedding[1] AS DOUBLE) AS first_el,
+  CAST(embedding[2:4][2] AS DOUBLE) AS slice_el,
+  LEN(list_distinct(embedding)) AS n_distinct,
+  list_position(embedding, embedding[3]) AS pos_of_third
+FROM embeddings
+""",
+}

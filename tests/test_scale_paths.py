@@ -1,0 +1,92 @@
+"""Scale-path proofs that the SCALING.md claims hold physically:
+
+1. The IVF "index" really is partition pruning: writing the corpus
+   partitioned by bucket_id and probing nprobe buckets scans only those
+   partitions' files (checked via the scan's input file count).
+2. Streaming watermark really bounds state: rows later than the
+   watermark are dropped, not aggregated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+    assign_ivf_buckets,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_bucket_layout_prunes_partitions(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    bucketed = assign_ivf_buckets(emb, centroids)
+    out = str(tmp_path / "ivf")
+    bucketed.write.partitionBy("bucket_id").parquet(out)
+
+    table = spark.read.parquet(out)
+    n_total = table.select(F.input_file_name()).distinct().count()
+
+    probe = [0, 3, 7, 11]
+    probed = table.filter(F.col("bucket_id").isin(probe))
+    n_probed = probed.select(F.input_file_name()).distinct().count()
+    assert n_probed < n_total, "partition pruning did not reduce files scanned"
+
+    # the pruned scan still returns exactly the probed buckets' vectors
+    want = {r.vec_id for r in bucketed.filter(F.col("bucket_id").isin(probe)).collect()}
+    got = {r.vec_id for r in probed.collect()}
+    assert got == want and len(got) > 0
+
+    # plan-level check: the partition filter reaches the scan
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "bucket_id" in plan
+
+
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # batch 1: only the LAST day of events -> watermark advances near max ts
+    max_ts = events.agg(F.max("ts")).first()[0]
+    late_cut = events.agg(
+        F.expr("max(ts) - INTERVAL 3 HOURS").alias("c")
+    ).first().c
+    recent = events.filter(F.col("ts") >= late_cut)
+    old = events.filter(F.col("ts") < late_cut)  # will arrive LATE in batch 2
+    recent.write.parquet(src, mode="append")
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        # group by the window STRUCT — grouping by `.start` severs
+        # watermark propagation and append mode is rejected.
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("h"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, e: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    # batch 2: the old rows arrive way behind the watermark
+    old.write.parquet(src, mode="append")
+    drain()
+
+    emitted = spark.read.parquet(out).agg(F.sum("n")).first()[0] or 0
+    # append mode only emits finalized windows; late-dropped rows can
+    # never push the total to the full event count
+    assert emitted < events.count()
+    # every emitted window is from the recent range, none from the late data
+    hours = {r.h for r in spark.read.parquet(out).collect()}
+    assert all(h >= late_cut.replace(minute=0, second=0, microsecond=0) for h in hours)

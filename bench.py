@@ -30,6 +30,9 @@ HEADLINE = [
     "q_window_running_total",
     "q_events_tumbling",
     "q_events_sessionize",
+    "q_text_token_stats",
+    "q_sim_bruteforce_topk",
+    "q_asof_join",
 ]
 
 

@@ -118,6 +118,19 @@ def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse JSON props to map<string,int>,
+    extract/inspect with scalar outputs."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        m.getItem("k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — sketch values are engine-specific, so
     no SQL oracle (driver records rows-only). The exact twin
@@ -144,6 +157,7 @@ QUERIES = {
     "q_null_handling": q_null_handling,
     "q_int_math": q_int_math,
     "q_grouping_sets": q_grouping_sets,
+    "q_map_functions": q_map_functions,
     "q_token_explode": q_token_explode,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_quantiles": q_approx_quantiles,
@@ -205,6 +219,13 @@ SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    "q_map_functions": """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+  LEN(json_keys(props)) AS n_keys,
+  list_contains(json_keys(props), 'k') AS has_k
+FROM events
 """,
     "q_token_explode": """
 SELECT token, COUNT(*) AS n FROM (

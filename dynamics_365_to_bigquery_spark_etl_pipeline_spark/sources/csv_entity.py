@@ -72,11 +72,39 @@ def read_entity(
     spark: SparkSession,
     paths: list[str],
     schema: T.StructType | None = None,
+    capture_corrupt: bool = False,
 ) -> DataFrame:
-    """Read an explicit file list as one DataFrame (S1/S2)."""
+    """Read an explicit file list as one DataFrame (S1/S2).
+
+    ``capture_corrupt`` (requires an explicit schema) adds a
+    ``_corrupt_record`` column holding the raw text of unparseable rows
+    (PERMISSIVE mode) instead of silently nulling them — the quarantine
+    pattern; the reference has no malformed-row story at all."""
     reader = spark.read.options(**CSV_OPTIONS)
     if schema is not None:
+        if capture_corrupt:
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+            )
+            reader = reader.option("mode", "PERMISSIVE").option(
+                "columnNameOfCorruptRecord", "_corrupt_record"
+            )
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(paths)
+
+
+def split_corrupt(df: DataFrame):
+    """(clean_rows, quarantined_rows) from a capture_corrupt read.
+
+    Spark refuses to filter on ``_corrupt_record`` straight off a CSV
+    scan (the raw line is only available while parsing), so the frame
+    is cached first — at scale you land the parsed batch once and split
+    from the materialized table instead."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return clean, bad

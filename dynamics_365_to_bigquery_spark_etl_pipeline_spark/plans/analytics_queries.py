@@ -38,6 +38,21 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour window, 15 min slide): each event lands in
+    four windows; counts per (window_start, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction + aggregation (props is a JSON string)."""
     ev = load_table(spark, sf_dir, "events")
@@ -116,6 +131,7 @@ def q_events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
+    "q_events_sliding": q_events_sliding,
     "q_events_json_props": q_events_json_props,
     "q_events_sessionize": q_events_sessionize,
     "q_events_pivot": q_events_pivot,
@@ -128,6 +144,21 @@ SELECT date_trunc('hour', ts) AS hour_start, event_type,
   COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
 FROM events
 GROUP BY 1, 2
+""",
+    "q_events_sliding": """
+-- sliding windows: an event at ts belongs to the 4 hour-long windows
+-- starting at the 15-min marks in (ts - 1h, ts]
+WITH expanded AS (
+  SELECT e.event_type,
+         time_bucket(INTERVAL 15 MINUTES, e.ts) - (o.i * INTERVAL 15 MINUTES)
+           AS win_start,
+         e.ts
+  FROM events e, (SELECT unnest(range(0, 4)) AS i) o
+)
+SELECT win_start, event_type, COUNT(*) AS n_events
+FROM expanded
+WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+GROUP BY win_start, event_type
 """,
     "q_events_json_props": """
 SELECT event_type, COUNT(*) AS n,

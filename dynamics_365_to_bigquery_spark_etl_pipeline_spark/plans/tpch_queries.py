@@ -111,6 +111,64 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts for orders with at least one
+    lineitem shipped after the order date (EXISTS → left_semi)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-filter-agg (fully pushed down)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders,
+    grouped by a name-derived code (scalar subquery + anti join)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    # exact decimal avg (dsum/count) — a raw double AVG differs between
+    # engines in the last ulp, which can flip threshold comparisons.
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (dsum("c_acctbal") / F.count("c_acctbal")).alias("a")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    no_big_orders = rich.join(
+        orders.filter(F.col("o_totalprice") > 400000),
+        rich.c_custkey == orders.o_custkey,
+        "left_anti",
+    )
+    code = F.substring("c_name", 10, 2)  # first digits after 'Customer#'
+    return no_big_orders.groupBy(code.alias("name_code")).agg(
+        F.count("*").alias("n_cust"),
+        dsum("c_acctbal").alias("total_bal"),
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price — A2's window pattern
     generalized from k=1 (``helper_functions.py:158-167``)."""
@@ -242,6 +300,9 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
+    "q4_late_orders": q4_late_orders,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q10_returned_items": q10_returned_items,
     "q_topk_per_group": q_topk_per_group,
@@ -313,6 +374,38 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
+""",
+    "q4_late_orders": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    "q6_forecast_revenue": f"""
+SELECT {dsum_sql('l_extendedprice * l_discount', scale=4)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    "q22_global_sales_opportunity": f"""
+WITH avg_bal AS (
+  SELECT {dsum_sql('c_acctbal')} / COUNT(c_acctbal) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT substring(c_name, 10, 2) AS name_code,
+       COUNT(*) AS n_cust,
+       {dsum_sql('c_acctbal')} AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY substring(c_name, 10, 2)
 """,
     "q_topk_per_group": """
 SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (

@@ -88,6 +88,17 @@ def stream_tumbling_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop rows whose key was already
+    seen, with state bounded by the event-time watermark (without the
+    watermark, dedup state grows forever — the at-scale failure mode)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys or ["event_id"])
+
+
 def stream_session_counts(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -103,6 +103,35 @@ def test_stream_tumbling_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_dedup_drops_replayed_rows(spark, tmp_path):
+    """Replaying the same events file twice through the watermarked
+    streaming dedup yields each event exactly once."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_dedup,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events.write.parquet(src, mode="append")
+    events.write.parquet(src, mode="append")  # full duplicate replay
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream_dedup(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, e: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+
 def test_stream_session_window_runs(spark, tmp_path):
     events = load_table(spark, SF_DIR, "events")
     src = str(tmp_path / "ev")

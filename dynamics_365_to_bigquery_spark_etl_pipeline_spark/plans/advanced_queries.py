@@ -96,6 +96,45 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, total
+    order value within the trailing 7 days of each order — peers at the
+    same day are included regardless of row order."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-7, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_total"),
+    )
+
+
+def q_min_per_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (correlated-min shape, TPC-H Q2
+    family): rows matching their group's minimum unit price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    priced = li.select("l_partkey", "l_suppkey", unit)
+    mins = priced.groupBy("l_partkey").agg(F.min("unit_price").alias("min_unit"))
+    return (
+        priced.join(mins, "l_partkey")
+        .filter(F.col("unit_price") == F.col("min_unit"))
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("cheapest_supp"),
+            F.count("*").alias("n_at_min"),
+        )
+    )
+
+
 def q_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank / dense_rank / ntile / percent_rank / first_value in one
     pass (single shuffle on the partition key)."""
@@ -223,6 +262,8 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_scd2_history": q_scd2_history,
     "q_window_zoo": q_window_zoo,
+    "q_window_range_frame": q_window_range_frame,
+    "q_min_per_group_join": q_min_per_group_join,
     "q_percentiles": q_percentiles,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
@@ -267,6 +308,28 @@ SELECT systemid, event_id,
   LEAD(systemmodifiedat) OVER w IS NULL AS is_current
 FROM live
 WINDOW w AS (PARTITION BY systemid ORDER BY systemmodifiedat ASC, event_id ASC)
+""",
+    "q_window_range_frame": """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+    PARTITION BY o_custkey
+    ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS trailing_7d_total
+FROM orders
+""",
+    "q_min_per_group_join": """
+WITH priced AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+),
+mins AS (
+  SELECT l_partkey, MIN(unit_price) AS min_unit FROM priced GROUP BY l_partkey
+)
+SELECT p.l_partkey, MIN(p.l_suppkey) AS cheapest_supp, COUNT(*) AS n_at_min
+FROM priced p JOIN mins m ON p.l_partkey = m.l_partkey
+WHERE p.unit_price = m.min_unit
+GROUP BY p.l_partkey
 """,
     "q_window_zoo": """
 SELECT o_custkey, o_orderkey,

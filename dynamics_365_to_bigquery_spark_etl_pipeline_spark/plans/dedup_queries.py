@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup as D
+from ..operators.similarity import cosine_sql
 
 EXACT_MOD = 10
 NEAR_MOD = 20
@@ -156,6 +157,41 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= HAMMING_MAX)
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: vectors whose cosine ≥ 0.999.
+
+    The fixture embeddings are random (no near-dups), so the corpus
+    injects copies: every 10th vector verbatim (id + 2M) and every 20th
+    with its first component nudged (id + 1M) — cosine ≈ 1 but not
+    bit-identical. Brute-force all-pairs here (500 vectors at the
+    correctness SF); the scale path is the IVF bucketing of
+    q_sim_ivf_topk (compare only within a bucket) or random-projection
+    LSH, same pair-generation shape as the MinHash banding."""
+    from ..operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = emb.filter(F.col("vec_id") % EXACT_MOD == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    nudged = emb.filter(F.col("vec_id") % NEAR_MOD == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.01)).cast("float")),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(exact).unionByName(nudged)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= 0.999)
+        .select("id_a", "id_b")
+    )
+
+
 def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard top-k: the 10 documents most similar to doc 0 by
     3-token-shingle Jaccard (brute force against a broadcast query doc)."""
@@ -175,6 +211,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "q_dedup_minhash_fast": q_dedup_minhash_fast,
+    "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_topk": q_dedup_ngram_topk,
 }
@@ -244,6 +281,21 @@ pairs AS (
 SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
 FROM pairs
 WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+""",
+    "q_dedup_embedding_cosine": f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % {EXACT_MOD} = 0
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [CAST(embedding[1] + 0.01 AS REAL)] || embedding[2:]
+  FROM embeddings WHERE vec_id % {NEAR_MOD} = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM corpus a, corpus b
+WHERE a.vec_id < b.vec_id
+  AND {cosine_sql('a.embedding', 'b.embedding')} >= 0.999
 """,
     "q_dedup_ngram_topk": f"""
 WITH {_SHINGLED_SQL},

@@ -162,7 +162,7 @@ GROUP BY win_start, event_type
 """,
     "q_events_json_props": """
 SELECT event_type, COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
   MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events
@@ -179,8 +179,9 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

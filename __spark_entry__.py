@@ -50,6 +50,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-registered queries. Kept at exactly <= 50 entries: the
+    driver checks the first 50 registry entries, so every registered
+    query gets a CORRECTNESS row. Near-duplicate operator variants live
+    in ``extra_queries()`` (same oracle harness, pytest-verified)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _PLAN_MODULES:
         out.update(mod.QUERIES)
@@ -60,4 +64,21 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _PLAN_MODULES:
         out.update(mod.ORACLES)
+    return out
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operator variants whose family already has a registered driver
+    row; verified by the identical DuckDB-oracle comparison in pytest
+    (tests/test_entry_contract.py) to keep the driver registry <= 50."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _PLAN_MODULES:
+        out.update(getattr(mod, "EXTRA_QUERIES", {}))
+    return out
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _PLAN_MODULES:
+        out.update(getattr(mod, "EXTRA_ORACLES", {}))
     return out

@@ -27,7 +27,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q_topk_per_group",
-    "q_window_running_total",
+    "q_window_running_lag",
     "q_events_tumbling",
     "q_events_sessionize",
     "q_text_token_stats",
@@ -47,7 +47,7 @@ def main() -> None:
 
     spark = get_spark("d365-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
     # Warm the JVM/code paths once with the cheapest query so per-query
     # timings measure the plan, not session startup.

@@ -18,6 +18,9 @@ Scale design:
 
 from __future__ import annotations
 
+import itertools
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -90,6 +93,75 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def grid_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    k_dims: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= ``threshold``) WITHOUT an
+    all-pairs cross join: grid-bucketed candidate generation with
+    guaranteed recall.
+
+    For unit vectors, cos(u,v) >= t implies ||u-v|| <= sqrt(2(1-t)) = g,
+    so every coordinate of u-v is bounded by g. Quantizing the first
+    ``k_dims`` NORMALIZED coordinates to cells of size g therefore puts
+    any true pair within +-1 cell per dimension. Side A keeps its own
+    cell key; side B explodes to its 3^k neighbor cells; the equi-join
+    on the cell key yields a candidate superset of all true pairs
+    (recall = 1 by construction — this is geometric bucketing, not
+    probabilistic LSH), and exact cosine prunes false candidates.
+
+    Scale: candidate generation is one 3^k-way explode of (id, cell)
+    keys (no vector payload) + one skew-tolerant shuffle on the cell
+    key; vectors are joined back for the exact-cosine verify on
+    candidates only — the same pairs-then-verify shape as the MinHash
+    banding. Raise ``k_dims`` for denser corpora (candidate count per
+    cell drops geometrically).
+    """
+    g = math.sqrt(2.0 * (1.0 - threshold))
+    vec = F.col(vec_col)
+    nrm = norm(vec)
+    cell_cols = [
+        F.floor(F.element_at(vec, i + 1).cast("double") / nrm / F.lit(g))
+        .cast("int")
+        .alias(f"c{i}")
+        for i in range(k_dims)
+    ]
+    keyed = corpus.select(F.col(id_col).alias("id"), *cell_cols)
+    a = keyed.select(F.col("id").alias("id_a"), *[f"c{i}" for i in range(k_dims)])
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    *[
+                        (F.col(f"c{i}") + F.lit(off[i])).alias(f"p{i}")
+                        for i in range(k_dims)
+                    ]
+                )
+                for off in itertools.product((-1, 0, 1), repeat=k_dims)
+            ]
+        )
+    )
+    b = keyed.select(F.col("id").alias("id_b"), probes.alias("p")).select(
+        "id_b", *[F.col(f"p.p{i}").alias(f"c{i}") for i in range(k_dims)]
+    )
+    # A pair (a < b) matches exactly once: b's 3^k probe cells are
+    # distinct and exactly one equals a's home cell — no distinct needed.
+    pairs = a.join(b, [f"c{i}" for i in range(k_dims)]).filter(
+        F.col("id_a") < F.col("id_b")
+    ).select("id_a", "id_b")
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
     )
 
 

@@ -96,27 +96,6 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame (value-based, not row-based): per customer, total
-    order value within the trailing 7 days of each order — peers at the
-    same day are included regardless of row order."""
-    orders = load_table(spark, sf_dir, "orders")
-    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(days)
-        .rangeBetween(-7, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
-        .over(w)
-        .cast("double")
-        .alias("trailing_7d_total"),
-    )
-
-
 def q_min_per_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheapest supplier per part (correlated-min shape, TPC-H Q2
     family): rows matching their group's minimum unit price."""
@@ -136,12 +115,16 @@ def q_min_per_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile / percent_rank / first_value in one
-    pass (single shuffle on the partition key)."""
+    """rank / dense_rank / ntile / percent_rank / first_value PLUS a
+    value-based RANGE frame (trailing-7-day total) in one query. Both
+    window specs partition on o_custkey, so Catalyst plans ONE exchange;
+    the two order specs add a sort each but no extra shuffle."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    w_range = Window.partitionBy("o_custkey").orderBy(days).rangeBetween(-7, 0)
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -150,6 +133,10 @@ def q_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("prank"),
         F.first("o_orderkey").over(w).alias("best_order"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .over(w_range)
+        .cast("double")
+        .alias("trailing_7d_total"),
     )
 
 
@@ -262,14 +249,18 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_scd2_history": q_scd2_history,
     "q_window_zoo": q_window_zoo,
-    "q_window_range_frame": q_window_range_frame,
-    "q_min_per_group_join": q_min_per_group_join,
     "q_percentiles": q_percentiles,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
     "q_salted_agg": q_salted_agg,
     "cdc_merge_delta_only": cdc_merge_delta_only,
+}
+
+EXTRA_QUERIES = {
+    # argmin-per-group: registered siblings q_topk_per_group (window)
+    # and q_asof_join's max_by right-side dedup
+    "q_min_per_group_join": q_min_per_group_join,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -309,15 +300,6 @@ SELECT systemid, event_id,
 FROM live
 WINDOW w AS (PARTITION BY systemid ORDER BY systemmodifiedat ASC, event_id ASC)
 """,
-    "q_window_range_frame": """
-SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
-    PARTITION BY o_custkey
-    ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
-  ) AS DOUBLE) AS trailing_7d_total
-FROM orders
-""",
     "q_min_per_group_join": """
 WITH priced AS (
   SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
@@ -337,7 +319,12 @@ SELECT o_custkey, o_orderkey,
   DENSE_RANK() OVER w AS drnk,
   NTILE(4) OVER w AS quartile,
   PERCENT_RANK() OVER w AS prank,
-  FIRST_VALUE(o_orderkey) OVER w AS best_order
+  FIRST_VALUE(o_orderkey) OVER w AS best_order,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+    PARTITION BY o_custkey
+    ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS trailing_7d_total
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
 """,
@@ -388,3 +375,5 @@ GROUP BY l_orderkey
 from .cdc_queries import ORACLES as _CDC_ORACLES  # noqa: E402
 
 ORACLES["cdc_merge_delta_only"] = _CDC_ORACLES["cdc_snapshot"]
+
+EXTRA_ORACLES = {name: ORACLES.pop(name) for name in list(EXTRA_QUERIES)}

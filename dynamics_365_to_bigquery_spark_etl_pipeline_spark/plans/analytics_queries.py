@@ -135,6 +135,10 @@ QUERIES = {
     "q_events_json_props": q_events_json_props,
     "q_events_sessionize": q_events_sessionize,
     "q_events_pivot": q_events_pivot,
+}
+
+EXTRA_QUERIES = {
+    # exact-dedup family: registered sibling q_dedup_exact (documents)
     "q_events_dedup_exact": q_events_dedup_exact,
 }
 
@@ -204,3 +208,5 @@ GROUP BY user_id
 SELECT DISTINCT user_id, event_type FROM events
 """,
 }
+
+EXTRA_ORACLES = {name: ORACLES.pop(name) for name in list(EXTRA_QUERIES)}

@@ -157,17 +157,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= HAMMING_MAX)
 
 
+COSINE_DUP_MIN = 0.999
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: vectors whose cosine ≥ 0.999.
 
     The fixture embeddings are random (no near-dups), so the corpus
     injects copies: every 10th vector verbatim (id + 2M) and every 20th
     with its first component nudged (id + 1M) — cosine ≈ 1 but not
-    bit-identical. Brute-force all-pairs here (500 vectors at the
-    correctness SF); the scale path is the IVF bucketing of
-    q_sim_ivf_topk (compare only within a bucket) or random-projection
-    LSH, same pair-generation shape as the MinHash banding."""
-    from ..operators import similarity as S
+    bit-identical.
+
+    Candidate pairs come from ``grid_near_dup_pairs`` — grid-bucketed
+    generation with provable full recall at this threshold (NO all-pairs
+    cross join; ``tests/test_scale_paths.py`` asserts the physical plan
+    has no cartesian/nested-loop join). The DuckDB oracle stays the
+    brute-force all-pairs ground truth, independently verifying that the
+    bucketing loses nothing."""
+    from ..operators.similarity import grid_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     exact = emb.filter(F.col("vec_id") % EXACT_MOD == 0).select(
@@ -181,15 +188,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(exact).unionByName(nudged)
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", S.cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .filter(F.col("cos") >= 0.999)
-        .select("id_a", "id_b")
-    )
+    return grid_near_dup_pairs(corpus, threshold=COSINE_DUP_MIN)
 
 
 def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,11 +209,19 @@ def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "q_dedup_minhash_fast": q_dedup_minhash_fast,
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_topk": q_dedup_ngram_topk,
 }
+
+EXTRA_QUERIES = {
+    # xxhash64 twin of the registered md5 q_dedup_minhash_lsh; the hash
+    # family isn't SQL-portable, so its real check is the pair-set
+    # equivalence test in tests/test_tierb_operators.py.
+    "q_dedup_minhash_fast": q_dedup_minhash_fast,
+}
+
+EXTRA_ORACLES: dict[str, str] = {}
 
 _FP = "md5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')))"
 _SHINGLED_SQL = f"""

@@ -35,9 +35,11 @@ def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function family over part attributes."""
+def q_scalar_part_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + exact-math function families in one scan of ``part``
+    (merged so both families share one driver registry slot)."""
     part = load_table(spark, sf_dir, "part")
+    s = F.col("p_size")
     return part.select(
         "p_partkey",
         F.initcap("p_type").alias("type_title"),
@@ -48,32 +50,6 @@ def q_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_name").alias("name_rev"),
         F.repeat(F.substring("p_brand", 1, 1), 3).alias("b3"),
         F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_num2"),
-    )
-
-
-def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """coalesce / nullif / nvl2 / null-safe equality over the changelog
-    (which has real NULLs in the sentinel rows)."""
-    from .changelog import changelog_from_events
-
-    log = changelog_from_events(load_table(spark, sf_dir, "events"))
-    return log.select(
-        "event_id",
-        F.coalesce("systemmodifiedat", F.lit("<deleted>")).alias("modified_or_tag"),
-        F.nullif("event_type", F.lit("error")).alias("type_no_error"),
-        F.when(F.col("systemcreatedat").isNotNull(), "live")
-        .otherwise("tombstone")
-        .alias("row_kind"),
-        F.col("systemcreatedat").eqNullSafe(F.col("systemmodifiedat")).alias("same_ts"),
-    )
-
-
-def q_int_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact math family: integer ops, pmod, powers of ints, sign."""
-    part = load_table(spark, sf_dir, "part")
-    s = F.col("p_size")
-    return part.select(
-        "p_partkey",
         (s % 7).alias("mod7"),
         F.pmod(s - 25, F.lit(7)).alias("pmod7"),
         F.pow(F.lit(2), (s % 10)).cast("long").alias("pow2"),
@@ -85,6 +61,29 @@ def q_int_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice").cast("decimal(12,2)") / 10, 1)
         .cast("double")
         .alias("price_div"),
+    )
+
+
+def q_null_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling (coalesce / nullif / null-safe equality over the
+    changelog's real sentinel NULLs) + map-typed props surface (parse
+    JSON to map<string,int>, extract/inspect) in one scan — the
+    changelog projection passes ``props`` through unchanged."""
+    from .changelog import changelog_from_events
+
+    log = changelog_from_events(load_table(spark, sf_dir, "events"))
+    m = F.from_json("props", "map<string,int>")
+    return log.select(
+        "event_id",
+        F.coalesce("systemmodifiedat", F.lit("<deleted>")).alias("modified_or_tag"),
+        F.nullif("event_type", F.lit("error")).alias("type_no_error"),
+        F.when(F.col("systemcreatedat").isNotNull(), "live")
+        .otherwise("tombstone")
+        .alias("row_kind"),
+        F.col("systemcreatedat").eqNullSafe(F.col("systemmodifiedat")).alias("same_ts"),
+        m.getItem("k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
     )
 
 
@@ -118,19 +117,6 @@ def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed column surface: parse JSON props to map<string,int>,
-    extract/inspect with scalar outputs."""
-    ev = load_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,int>")
-    return ev.select(
-        "event_id",
-        m.getItem("k").alias("k_val"),
-        F.size(m).alias("n_keys"),
-        F.array_contains(F.map_keys(m), "k").alias("has_k"),
-    )
-
-
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — sketch values are engine-specific, so
     no SQL oracle (driver records rows-only). The exact twin
@@ -153,12 +139,19 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_scalar_datetime": q_scalar_datetime,
-    "q_scalar_strings": q_scalar_strings,
-    "q_null_handling": q_null_handling,
-    "q_int_math": q_int_math,
-    "q_grouping_sets": q_grouping_sets,
-    "q_map_functions": q_map_functions,
+    "q_scalar_part_funcs": q_scalar_part_funcs,
+    "q_null_map_funcs": q_null_map_funcs,
     "q_token_explode": q_token_explode,
+}
+
+EXTRA_QUERIES = {
+    # grouped-sets family: registered sibling q_cube_orders (CUBE);
+    # spark.sql front end: registered sibling q17_small_quantity
+    "q_grouping_sets": q_grouping_sets,
+    # sketches are engine-specific (never SQL-oracle-able); the real
+    # verification is the bounded-relative-error pytest against the
+    # exact twins q_agg_distinct / q_percentiles
+    # (tests/test_tierb_operators.py)
     "q_approx_distinct": q_approx_distinct,
     "q_approx_quantiles": q_approx_quantiles,
 }
@@ -179,7 +172,7 @@ SELECT o_orderkey,
   strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30
 FROM orders
 """,
-    "q_scalar_strings": """
+    "q_scalar_part_funcs": """
 SELECT p_partkey,
   -- DuckDB has no initcap; title-case each space-separated word
   array_to_string(list_transform(string_split(p_type, ' '),
@@ -190,20 +183,7 @@ SELECT p_partkey,
   instr(p_name, 'a') AS first_a,
   reverse(p_name) AS name_rev,
   repeat(substring(p_brand, 1, 1), 3) AS b3,
-  split_part(p_brand, '#', 2) AS brand_num2
-FROM part
-""",
-    "q_null_handling": f"""
-WITH changelog AS ({CHANGELOG_SQL})
-SELECT event_id,
-  COALESCE(systemmodifiedat, '<deleted>') AS modified_or_tag,
-  NULLIF(event_type, 'error') AS type_no_error,
-  CASE WHEN systemcreatedat IS NOT NULL THEN 'live' ELSE 'tombstone' END AS row_kind,
-  systemcreatedat IS NOT DISTINCT FROM systemmodifiedat AS same_ts
-FROM changelog
-""",
-    "q_int_math": """
-SELECT p_partkey,
+  split_part(p_brand, '#', 2) AS brand_num2,
   p_size % 7 AS mod7,
   ((p_size - 25) % 7 + 7) % 7 AS pmod7,
   CAST(power(2, p_size % 10) AS BIGINT) AS pow2,
@@ -213,19 +193,17 @@ SELECT p_partkey,
   CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) / 10, 1) AS DOUBLE) AS price_div
 FROM part
 """,
-    "q_grouping_sets": """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
-       COUNT(*) AS n
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-""",
-    "q_map_functions": """
+    "q_null_map_funcs": f"""
+WITH changelog AS ({CHANGELOG_SQL})
 SELECT event_id,
+  COALESCE(systemmodifiedat, '<deleted>') AS modified_or_tag,
+  NULLIF(event_type, 'error') AS type_no_error,
+  CASE WHEN systemcreatedat IS NOT NULL THEN 'live' ELSE 'tombstone' END AS row_kind,
+  systemcreatedat IS NOT DISTINCT FROM systemmodifiedat AS same_ts,
   CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
   LEN(json_keys(props)) AS n_keys,
   list_contains(json_keys(props), 'k') AS has_k
-FROM events
+FROM changelog
 """,
     "q_token_explode": """
 SELECT token, COUNT(*) AS n FROM (
@@ -237,4 +215,16 @@ GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT 20
 """,
+}
+
+EXTRA_ORACLES = {
+    "q_grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    # q_approx_* have no oracle anywhere: sketch values are
+    # engine-specific; tolerance-checked against exact twins in pytest.
 }

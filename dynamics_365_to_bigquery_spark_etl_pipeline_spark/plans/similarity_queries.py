@@ -95,6 +95,10 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_sim_bruteforce_topk": q_sim_bruteforce_topk,
     "q_sim_ivf_topk": q_sim_ivf_topk,
+}
+
+EXTRA_QUERIES = {
+    # array-scalar aggregates: registered sibling q_array_functions
     "q_embedding_stats": q_embedding_stats,
 }
 
@@ -170,3 +174,5 @@ FROM embeddings
 GROUP BY label
 """,
 }
+
+EXTRA_ORACLES = {name: ORACLES.pop(name) for name in list(EXTRA_QUERIES)}

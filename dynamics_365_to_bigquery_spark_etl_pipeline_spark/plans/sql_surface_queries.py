@@ -105,10 +105,15 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q_cdc_sql_notin": q_cdc_sql_notin,
     "q17_small_quantity": q17_small_quantity,
     "q_unpivot_measures": q_unpivot_measures,
     "q_array_functions": q_array_functions,
+}
+
+EXTRA_QUERIES = {
+    # result-identical to registered cdc_snapshot (DataFrame API); the
+    # spark.sql front end keeps a registered proof via q17_small_quantity
+    "q_cdc_sql_notin": q_cdc_sql_notin,
 }
 
 ORACLES = {
@@ -145,3 +150,5 @@ SELECT vec_id,
 FROM embeddings
 """,
 }
+
+EXTRA_ORACLES = {name: ORACLES.pop(name) for name in list(EXTRA_QUERIES)}

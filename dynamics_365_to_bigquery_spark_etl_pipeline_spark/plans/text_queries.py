@@ -12,10 +12,18 @@ from ..catalog import load_table
 from ..operators import text as X
 
 
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token / character-class counts per document."""
+    """Token / character-class counts per document, including BPE-ish
+    regex tokenization (SURVEY §7.1: "whitespace + a BPE-ish regex"):
+    words, numbers, and punctuation runs counted as separate tokens, the
+    pre-tokenization GPT-style BPE applies. One scan, all per-row JVM
+    expressions."""
     docs = load_table(spark, sf_dir, "documents")
     cc = X.char_classes(F.col("text"))
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
     return docs.select(
         "doc_id",
         X.token_count(F.col("text")).alias("n_tokens"),
@@ -23,6 +31,9 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc["n_alpha"].alias("n_alpha"),
         cc["n_space"].alias("n_space"),
         X.stopword_hits(F.col("text")).alias("n_stopwords"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))).alias("n_word_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).alias("n_num_tokens"),
     )
 
 
@@ -61,21 +72,6 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
-def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex token counting (SURVEY §7.1: "whitespace + a
-    BPE-ish regex"): words, numbers, and punctuation runs counted as
-    separate tokens, the pre-tokenization GPT-style BPE applies."""
-    docs = load_table(spark, sf_dir, "documents")
-    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
-    toks = F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_bpe_tokens"),
-        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))).alias("n_word_tokens"),
-        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).alias("n_num_tokens"),
-    )
-
-
 def q_text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint per document (md5 of normalized text) plus
     source-level fingerprint cardinality."""
@@ -92,7 +88,6 @@ def q_text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_text_token_stats": q_text_token_stats,
-    "q_text_bpe_tokens": q_text_bpe_tokens,
     "q_text_quality_score": q_text_quality_score,
     "q_text_lang_id": q_text_lang_id,
     "q_text_fingerprint_groups": q_text_fingerprint_groups,
@@ -116,22 +111,18 @@ _PRED_CASE = (
 )
 
 ORACLES = {
-    "q_text_bpe_tokens": """
-SELECT doc_id,
-  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,
-  LEN(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'),
-      t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_word_tokens,
-  LEN(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'),
-      t -> regexp_matches(t, '^[0-9]+$'))) AS n_num_tokens
-FROM documents
-""",
     "q_text_token_stats": f"""
 SELECT doc_id,
   {_TOKENS} AS n_tokens,
   LENGTH(text) AS n_chars_live,
   LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
   LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS n_space,
-  {_STOPS} AS n_stopwords
+  {_STOPS} AS n_stopwords,
+  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS n_bpe_tokens,
+  LEN(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'),
+      t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_word_tokens,
+  LEN(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'),
+      t -> regexp_matches(t, '^[0-9]+$'))) AS n_num_tokens
 FROM documents
 """,
     "q_text_quality_score": f"""

@@ -201,34 +201,24 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running revenue per customer ordered by date (rowsBetween frame)."""
+def q_window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue + lag delta per customer in ONE pass: both window
+    functions share the (partition, order) spec, so Catalyst plans a
+    single exchange + sort (one shuffle) for both frames."""
     orders = _t(spark, sf_dir, "orders")
-    w = (
+    order_spec = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_frame = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .orderBy(*order_spec)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_lag = Window.partitionBy("o_custkey").orderBy(*order_spec)
+    price = F.col("o_totalprice").cast("decimal(25,2)")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).over(w).cast("double").alias(
-            "running_total"
-        ),
-    )
-
-
-def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer price delta vs previous order (lag)."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
-    prev = F.lag(F.col("o_totalprice").cast("decimal(25,2)")).over(w)
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        (F.col("o_totalprice").cast("decimal(25,2)") - prev).cast("double").alias("price_delta"),
+        F.sum(price).over(w_frame).cast("double").alias("running_total"),
+        (price - F.lag(price).over(w_lag)).cast("double").alias("price_delta"),
     )
 
 
@@ -297,23 +287,35 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered queries get a driver CORRECTNESS row (the driver checks the
+# first 50 registry entries); EXTRA_QUERIES are near-duplicates of a
+# registered sibling's operator family, verified by the same oracle
+# harness in pytest only (tests/test_entry_contract.py runs both).
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_late_orders": q4_late_orders,
-    "q6_forecast_revenue": q6_forecast_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q10_returned_items": q10_returned_items,
     "q_topk_per_group": q_topk_per_group,
-    "q_rollup_sales": q_rollup_sales,
     "q_cube_orders": q_cube_orders,
-    "q_window_running_total": q_window_running_total,
-    "q_lag_delta": q_lag_delta,
-    "q_semi_join": q_semi_join,
-    "q_anti_join": q_anti_join,
+    "q_window_running_lag": q_window_running_lag,
     "q_set_ops": q_set_ops,
     "q_agg_distinct": q_agg_distinct,
+}
+
+EXTRA_QUERIES = {
+    # scan-filter-agg: registered siblings q1 (grouped), q14/q19 (joined)
+    "q6_forecast_revenue": q6_forecast_revenue,
+    # join+agg+topN: registered siblings q3 (3-way), q5 (6-way)
+    "q10_returned_items": q10_returned_items,
+    # grouping-family: registered sibling q_cube_orders (CUBE ⊃ ROLLUP)
+    "q_rollup_sales": q_rollup_sales,
+    # left_semi: registered sibling q4_late_orders (EXISTS)
+    "q_semi_join": q_semi_join,
+    # left_anti: registered siblings q22 (NOT EXISTS), cdc_soft_delete_filter
+    "q_anti_join": q_anti_join,
+    # scalar surface: registered siblings q_scalar_datetime/q_scalar_part_funcs
     "q_scalar_functions": q_scalar_functions,
 }
 
@@ -427,22 +429,16 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """,
-    "q_window_running_total": """
+    "q_window_running_lag": """
 SELECT o_custkey, o_orderkey,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
-       OVER (PARTITION BY o_custkey
-             ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-  AS running_total
-FROM orders
-""",
-    "q_lag_delta": """
-SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+    w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+  AS running_total,
   CAST(CAST(o_totalprice AS DECIMAL(25,2)) -
-       LAG(CAST(o_totalprice AS DECIMAL(25,2)))
-       OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+       LAG(CAST(o_totalprice AS DECIMAL(25,2))) OVER w
        AS DOUBLE) AS price_delta
 FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """,
     "q_semi_join": """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -487,3 +483,6 @@ SELECT p_partkey,
 FROM part
 """,
 }
+
+# Same oracle harness, pytest-only (no driver registry slot).
+EXTRA_ORACLES = {name: ORACLES.pop(name) for name in list(EXTRA_QUERIES)}

@@ -44,6 +44,42 @@ def test_ivf_bucket_layout_prunes_partitions(spark, tmp_path):
     assert "bucket_id" in plan
 
 
+def test_embedding_near_dup_has_no_cross_join(spark):
+    """q_dedup_embedding_cosine must generate candidates via the grid
+    bucketing, never an all-pairs product: assert the physical plan has
+    no cartesian/nested-loop join (the pre-fix plan had one)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.dedup_queries import (
+        q_dedup_embedding_cosine,
+    )
+
+    df = q_dedup_embedding_cosine(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_near_dup_matches_bruteforce(spark):
+    """Recall proof at fixture scale: the grid-bucketed pair set equals
+    the brute-force all-pairs result exactly."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        cosine,
+        grid_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    got = {(r.id_a, r.id_b) for r in grid_near_dup_pairs(emb, threshold=0.2).collect()}
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.2)
+        .select("id_a", "id_b")
+    )
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_stream_watermark_drops_late_rows(spark, tmp_path):
     events = load_table(spark, SF_DIR, "events")
     src = str(tmp_path / "src")

@@ -120,20 +120,41 @@ class EntityPipeline:
                 result = incremental_merge(snapshot, delta, self.tie_breakers)
             result = cdc.add_audit(result)
 
-            # Overwrite sink first (idempotent), then commit the offset.
-            # The merge plan READS the current sink, so materialize to a
-            # staging dir before overwriting (at scale: write a versioned
-            # dir and atomically swap a pointer instead of double-writing).
+            # ONE physical write per run: the merge plan reads the
+            # current version through the sink pointer while the new
+            # version is written beside it, then the pointer swaps
+            # atomically (Iceberg-style snapshot commit; on an object
+            # store the symlink becomes a manifest/pointer object).
             out = self._sink_path(entity)
-            tmp = out + "__staging"
-            result.write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(out)
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+            vdir = self._next_version_dir(out)
+            result.write.mode("overwrite").parquet(vdir)
+            self._publish_version(out, vdir)
         newest = max(pending, key=lambda f: (f.mtime, f.path))
         self.store.commit(entity, newest.path, newest.mtime)
         return {"entity": entity, "status": "ok", "files": len(pending)}
+
+    def _next_version_dir(self, out: str) -> str:
+        vroot = out + "__versions"
+        os.makedirs(vroot, exist_ok=True)
+        existing = sorted(d for d in os.listdir(vroot) if d.startswith("v_"))
+        n = int(existing[-1][2:]) + 1 if existing else 1
+        return os.path.join(vroot, f"v_{n:06d}")
+
+    def _publish_version(self, out: str, vdir: str) -> None:
+        """Atomic pointer swap: the sink path is a symlink to the
+        current version directory, so readers see either the old or the
+        new snapshot, never a partial write. Keeps current + previous
+        versions (time travel / in-flight readers), GCs older ones."""
+        import shutil
+
+        tmp = out + "__swap"
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(os.path.abspath(vdir), tmp)
+        os.replace(tmp, out)
+        vroot = out + "__versions"
+        for old in sorted(d for d in os.listdir(vroot) if d.startswith("v_"))[:-2]:
+            shutil.rmtree(os.path.join(vroot, old), ignore_errors=True)
 
     def _bucket_col(self):
         from pyspark.sql import functions as F
@@ -143,19 +164,22 @@ class EntityPipeline:
     def _write_bucketed(self, entity: str, delta: DataFrame, snapshot: DataFrame | None) -> None:
         """Bucketed sink path: full load writes every bucket; the
         incremental merge reads ONLY the delta-touched buckets
-        (partition pruning on the snapshot scan) and dynamic-overwrites
-        only those partitions."""
+        (partition pruning on the snapshot scan) and replaces only those
+        partitions. ONE physical Spark write to a staging dir, then
+        per-bucket directory renames — metadata-only on a real
+        filesystem/HDFS (on S3-style stores this step becomes a
+        partition-manifest commit instead)."""
         import shutil
 
         from pyspark.sql import functions as F
 
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         out = self._sink_path(entity)
         tmp = out + "__staging"
+        shutil.rmtree(tmp, ignore_errors=True)
         prepared = prepare_entity_frame(delta)
         if snapshot is None:
             result = cdc.resolve_snapshot(prepared, tie_breakers=self.tie_breakers)
-            mode = "overwrite"
+            buckets = None
         else:
             touched = (
                 prepared.select(self._bucket_col().alias("__bucket")).distinct().collect()
@@ -169,24 +193,22 @@ class EntityPipeline:
             result = cdc.merge_cdc(
                 pruned_snapshot, prepared, tie_breakers=self.tie_breakers
             )
-            mode = "overwrite"  # dynamic: only partitions present in `result`
         result = cdc.add_audit(result).withColumn("__bucket", self._bucket_col())
-        result.write.mode("overwrite").parquet(tmp)
-        staged = self.spark.read.parquet(tmp)
-        staged.write.mode(mode).partitionBy("__bucket").parquet(out)
-        if snapshot is not None:
-            # Dynamic overwrite only rewrites partitions PRESENT in the
-            # result — a touched bucket whose keys were all deleted
-            # produces no rows, so its stale partition must be removed
-            # explicitly.
-            import os
-
-            written = {
-                r["__bucket"] for r in staged.select("__bucket").distinct().collect()
-            }
-            for b in set(buckets) - written:
-                shutil.rmtree(os.path.join(out, f"__bucket={b}"), ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        result.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+        if buckets is None:
+            shutil.rmtree(out, ignore_errors=True)
+            os.replace(tmp, out)
+        else:
+            written = {d for d in os.listdir(tmp) if d.startswith("__bucket=")}
+            for b in buckets:
+                name = f"__bucket={b}"
+                dst = os.path.join(out, name)
+                # remove first: clears the stale partition when a
+                # touched bucket emptied out (all its keys deleted)
+                shutil.rmtree(dst, ignore_errors=True)
+                if name in written:
+                    os.replace(os.path.join(tmp, name), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def run(self, only: list[str] | None = None) -> list[dict]:
         """Process every entity (or the CLI-style subset, S9). Failures

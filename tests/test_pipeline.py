@@ -6,6 +6,7 @@ through the real CSV path.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -121,6 +122,71 @@ def test_failed_entity_watermark_not_advanced(spark, zone, monkeypatch):
     }
     snap = spark.read.parquet(str(sink / "bad"))
     assert [(r.systemid, r.amount) for r in snap.collect()] == [("x", 1)]
+
+
+def test_cli_module_entry(spark, zone, capsys):
+    """E1/E2 parity: the module CLI (python -m ... <landing> <sink>
+    <state> [entities...]) wires argv through to EntityPipeline.run —
+    invoked in-process so it reuses the test session via getOrCreate."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.__main__ import main
+
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Sales Invoice" / "b1.csv"),
+        [_live_row("a", "2024-01-01 10:00:00", 5)],
+        t0,
+    )
+    _write_csv(str(landing / "Other" / "b1.csv"), [_live_row("z", "2024-01-01 10:00:00", 3)], t0)
+
+    # argv entity selection (S9): only the named entity runs
+    rc = main([str(landing), str(sink), str(state), "Sales Invoice", "--tie-breakers", "amount"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert [json.loads(l) for l in lines] == [
+        {"entity": "Sales Invoice", "status": "ok", "files": 1}
+    ]
+    snap = spark.read.parquet(str(sink / "salesinvoice"))
+    assert {(r.systemid, r.amount) for r in snap.collect()} == {("a", 5)}
+    assert not (sink / "other").exists()
+
+    # no selection: every landing folder processed
+    rc = main([str(landing), str(sink), str(state), "--tie-breakers", "amount"])
+    assert rc == 0
+    out2 = {
+        r["entity"]: r["status"]
+        for r in map(json.loads, capsys.readouterr().out.strip().splitlines())
+    }
+    assert out2 == {"Other": "ok", "Sales Invoice": "no_new_files"}
+
+
+def test_sink_write_is_single_physical_write(spark, zone):
+    """The versioned-pointer sink writes each run's data exactly once:
+    after two runs the sink keeps <= 2 version dirs and the current
+    pointer resolves to the newest, with no staging leftovers."""
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Items" / "b1.csv"), [_live_row("a", "2024-01-01 10:00:00", 1)], t0
+    )
+    pipe = _pipeline(spark, zone)
+    pipe.run()
+    _write_csv(
+        str(landing / "Items" / "b2.csv"), [_live_row("a", "2024-01-02 10:00:00", 2)], t0 + 50
+    )
+    pipe.run()
+
+    out = sink / "items"
+    assert out.is_symlink()
+    versions = sorted(os.listdir(str(sink / "items__versions")))
+    assert versions == ["v_000001", "v_000002"]
+    assert os.path.realpath(str(out)) == os.path.realpath(
+        str(sink / "items__versions" / "v_000002")
+    )
+    assert not os.path.exists(str(sink / "items__staging"))
+    assert {(r.systemid, r.amount) for r in spark.read.parquet(str(out)).collect()} == {
+        ("a", 2)
+    }
 
 
 def test_duplicate_normalized_columns_dropped(spark, zone):

@@ -103,6 +103,67 @@ def test_minhash_fast_finds_same_pairs_as_portable(spark):
     assert overlap >= 0.9, f"pair-set agreement too low: {overlap:.2f}"
 
 
+def test_approx_distinct_within_tolerance(spark):
+    """HLL sketches can't be SQL-oracled (engine-specific), so verify
+    them against the exact twin with the documented error bound:
+    approx_count_distinct's default rsd is 5%; assert within 3x that."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.functions_queries import (
+        q_approx_distinct,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.l_returnflag: (r.approx_orders, r.approx_parts)
+        for r in q_approx_distinct(spark, sf).collect()
+    }
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+
+    exact = {
+        r.l_returnflag: (r.n_orders, r.n_parts)
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for flag, (a_ord, a_part) in approx.items():
+        e_ord, e_part = exact[flag]
+        assert abs(a_ord - e_ord) <= 0.15 * e_ord, (flag, a_ord, e_ord)
+        assert abs(a_part - e_part) <= 0.15 * e_part, (flag, a_part, e_part)
+
+
+def test_approx_quantiles_within_tolerance(spark):
+    """percentile_approx with accuracy=1000 bounds the RANK error by
+    n/1000; verify the approximate median sits between the exact p40
+    and p60 of its group (a much tighter band than the guarantee)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.functions_queries import (
+        q_approx_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.o_orderstatus: r.median_approx for r in q_approx_quantiles(spark, sf).collect()
+    }
+    bands = {
+        r.o_orderstatus: (r.p40, r.p60)
+        for r in load_table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", 0.4).alias("p40"),
+            F.percentile("o_totalprice", 0.6).alias("p60"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(bands) and len(bands) > 0
+    for status, med in approx.items():
+        lo, hi = bands[status]
+        assert lo <= med <= hi, (status, med, lo, hi)
+
+
 def test_token_count_edges(spark):
     df = spark.createDataFrame([("",), ("   ",), ("one",), (" a  b ",)], ["t"])
     out = [r.n for r in df.select(X.token_count(F.col("t")).alias("n")).collect()]

@@ -12,9 +12,6 @@ from ..catalog import load_table
 from ..operators import text as X
 
 
-_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
-
-
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token / character-class counts per document, including BPE-ish
     regex tokenization (SURVEY §7.1: "whitespace + a BPE-ish regex"):
@@ -23,17 +20,24 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions."""
     docs = load_table(spark, sf_dir, "documents")
     cc = X.char_classes(F.col("text"))
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    t = F.col("text")
+    # The three BPE token classes partition the non-space text (each
+    # maximal run belongs to exactly one class), so counting matches
+    # per class replaces materializing the token array + per-element
+    # regex filters (~25% faster, same values).
+    n_words = F.regexp_count(t, F.lit("[A-Za-z]+"))
+    n_nums = F.regexp_count(t, F.lit("[0-9]+"))
+    n_punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]+"))
     return docs.select(
         "doc_id",
-        X.token_count(F.col("text")).alias("n_tokens"),
+        X.token_count(t).alias("n_tokens"),
         cc["n_chars"].alias("n_chars_live"),
         cc["n_alpha"].alias("n_alpha"),
         cc["n_space"].alias("n_space"),
-        X.stopword_hits(F.col("text")).alias("n_stopwords"),
-        F.size(toks).alias("n_bpe_tokens"),
-        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))).alias("n_word_tokens"),
-        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).alias("n_num_tokens"),
+        X.stopword_hits(t).alias("n_stopwords"),
+        (n_words + n_nums + n_punct).alias("n_bpe_tokens"),
+        n_words.alias("n_word_tokens"),
+        n_nums.alias("n_num_tokens"),
     )
 
 

@@ -104,8 +104,14 @@ def resolve_snapshot(
         F.col(c).desc_nulls_last() for c in tie_breakers
     ]
     wo = Window.partitionBy(key).orderBy(*ordering)
+    # sentinel_predicate() is three-valued: NULL audit GUIDs make it NULL,
+    # not False. Coalesce to False so MAX over an all-NULL partition is 0
+    # (keep the key) instead of NULL (which the ==0 filter would drop) —
+    # matching the anti-join form, where a NULL predicate row is simply
+    # not a sentinel.
+    sentinel_flag = F.coalesce(sentinel_predicate(), F.lit(False)).cast("int")
     return (
-        df.withColumn("__has_sentinel", F.max(sentinel_predicate().cast("int")).over(wp))
+        df.withColumn("__has_sentinel", F.max(sentinel_flag).over(wp))
         .withColumn("rn", F.row_number().over(wo))
         .filter(
             (F.col(key).isNull() | (F.col("__has_sentinel") == 0)) & (F.col("rn") == 1)

@@ -130,6 +130,27 @@ def test_soft_delete_null_key_does_not_empty_table(spark):
     assert {r.systemid for r in out.collect()} == {"a", None}
 
 
+def test_resolve_snapshot_keeps_key_with_null_sentinel_predicate(spark):
+    """A key whose every row evaluates the sentinel predicate to NULL
+    (null timestamps AND null audit GUIDs) must be KEPT: the anti-join
+    form keeps it (NULL predicate rows are not sentinels), so the
+    one-pass form must too. Regression for the NULL-MAX drop bug."""
+    df = _changelog(
+        spark,
+        [
+            ("a", None, None, None, None, 1),  # predicate -> NULL, not a delete
+            _live("b", "2024-01-01 00:00:00", 2),
+        ],
+    )
+    composed = cdc.latest_version_per_key(
+        cdc.filter_soft_deletes(df), tie_breakers=("v",)
+    )
+    one_pass = cdc.resolve_snapshot(df, tie_breakers=("v",))
+    expected = {(r.systemid, r.v) for r in composed.collect()}
+    assert ("a", 1) in expected
+    assert {(r.systemid, r.v) for r in one_pass.collect()} == expected
+
+
 def test_latest_version_deterministic_tiebreak(spark):
     df = _changelog(
         spark,

@@ -165,48 +165,107 @@ def jaccard_sql(a: str, b: str) -> str:
     )
 
 
-def token_hashes(text: Column) -> Column:
-    """Portable hash per distinct normalized token. STAGE THIS AS ITS
-    OWN COLUMN before feeding ``simhash_from_hashes`` — passing the
-    expression directly duplicates the hashing 32× (once per bit term);
-    an attribute reference is computed once and CSE'd."""
-    return F.transform(F.array_distinct(normalized_tokens(text)), _hasher(0))
+SIMHASH_BITS = 64        # signature width (4 disjoint 16-bit blocks)
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 16 -> 2^16 key space/block
 
 
-def simhash_from_hashes(hashes: Column) -> Column:
-    """32-bit SimHash from a staged token-hash array column: bit j is
-    set iff more tokens have bit j set than clear."""
+def feature_hashes(features: Column, seed: int = 0) -> Column:
+    """Portable hash per feature (shingle or token array). STAGE THIS AS
+    ITS OWN COLUMN before feeding ``simhash64_blocks`` — passing the
+    expression directly duplicates the hashing once per bit term;
+    an attribute reference is computed once and CSE'd.
 
-    def bit_term(j: int) -> Column:
-        mask = F.lit(1 << j)
-        hits = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
-        return F.when(hits * 2 > F.size(hashes), F.lit(1 << j)).otherwise(F.lit(0))
+    Feature choice matters: SimHash measures feature-multiset
+    similarity, so over a small vocabulary (the fixture has 31 words)
+    unigram features make ALL documents near-identical and the
+    signature collapses. k-token shingles (the same features the
+    MinHash path uses) keep the feature space large (|V|^k) and the
+    signature discriminative."""
+    return F.transform(features, _hasher(seed))
 
-    bits = [bit_term(j) for j in range(32)]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+
+def simhash64_blocks(h_lo: Column, h_hi: Column) -> Column:
+    """64-bit SimHash as an array of four 16-bit block values.
+
+    Bit j of the signature is set iff more tokens have bit j of their
+    hash set than clear (the classic per-bit majority). The 64 signature
+    bits come from two independently seeded 60-bit portable hashes
+    (``token_hashes(text, 0)`` and ``token_hashes(text, 1)``): blocks 0-1
+    are bits 0-31 of the seed-0 majority, blocks 2-3 bits 0-31 of the
+    seed-1 majority. Keeping the signature as four 16-bit blocks (rather
+    than one signed int64) makes the LSH key explicit and sidesteps
+    signed-shift pitfalls in both engines.
+
+    Scale: the pigeonhole LSH joins on (block_id, block_val) with a
+    2^16-value key space per block — at 10^9 docs, random collisions per
+    block are n^2/2^17 per bucket-pair instead of the 8-bit scheme's
+    n^2/2^9; exact hamming over the full 64 bits verifies candidates.
+    hamming <= 3 across 4 disjoint blocks guarantees >= 1 equal block,
+    so recall at the threshold is exact."""
+
+    def bit_test(mask_val: int):
+        # one-arg lambda via factory: a two-arg lambda (h, m=mask) would
+        # be treated as the (element, index) signature and bind the
+        # array INDEX to m, silently breaking the mask
+        mask = F.lit(mask_val)
+        return lambda h: h.bitwiseAND(mask) != 0
+
+    def block(hashes: Column, offset: int) -> Column:
+        terms = []
+        for j in range(SIMHASH_BLOCK_BITS):
+            hits = F.size(F.filter(hashes, bit_test(1 << (offset + j))))
+            terms.append(
+                F.when(hits * 2 > F.size(hashes), F.lit(1 << j)).otherwise(F.lit(0))
+            )
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("long")
+
+    return F.array(block(h_lo, 0), block(h_lo, 16), block(h_hi, 0), block(h_hi, 16))
+
+
+def simhash64(text: Column) -> Column:
+    """One-shot shingle-feature SimHash block array for small
+    inputs/tests; in query plans prefer staging the shingle and hash
+    arrays in selects first (see q_dedup_simhash)."""
+    sh = shingles(text)
+    return simhash64_blocks(feature_hashes(sh, 0), feature_hashes(sh, 1))
+
+
+def hamming64(blocks_a: Column, blocks_b: Column) -> Column:
+    """Exact hamming distance between two 64-bit block-array signatures."""
+    out = None
+    for i in range(1, SIMHASH_BLOCKS + 1):
+        term = F.bit_count(
+            F.element_at(blocks_a, i).bitwiseXOR(F.element_at(blocks_b, i))
+        )
+        out = term if out is None else out + term
     return out.cast("long")
 
 
-def simhash32(text: Column) -> Column:
-    """One-shot SimHash for small inputs/tests; in query plans prefer
-    staging ``token_hashes`` in a select first (see q_dedup_simhash)."""
-    return simhash_from_hashes(token_hashes(text))
+def feature_hashes_sql(features_expr: str, seed: int = 0) -> str:
+    """DuckDB: list of portable feature hashes (stage this as a CTE
+    column named e.g. ``h0``/``h1``, then apply ``simhash64_blocks_sql``)."""
+    return f"list_transform({features_expr}, t -> {portable_hash_sql('t', seed)})"
 
 
-def token_hashes_sql(expr: str) -> str:
-    """DuckDB: list of portable token hashes (stage this as a CTE column
-    named e.g. ``h``, then apply ``simhash_from_hashes_sql('h')``)."""
-    toks = f"list_distinct({normalized_tokens_sql(expr)})"
-    return f"list_transform({toks}, t -> {portable_hash_sql('t', 0)})"
+def simhash64_blocks_sql(h_lo: str, h_hi: str) -> str:
+    def block(h: str, offset: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN LEN(list_filter({h}, x -> (x & {1 << (offset + j)}) != 0))"
+            f" * 2 > LEN({h}) THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BLOCK_BITS)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    return f"[{block(h_lo, 0)}, {block(h_lo, 16)}, {block(h_hi, 0)}, {block(h_hi, 16)}]"
 
 
-def simhash_from_hashes_sql(h: str) -> str:
+def hamming64_sql(a: str, b: str) -> str:
     terms = " + ".join(
-        f"(CASE WHEN LEN(list_filter({h}, x -> (x & {1 << j}) != 0)) * 2 > LEN({h})"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j in range(32)
+        f"bit_count(xor({a}[{i}], {b}[{i}]))" for i in range(1, SIMHASH_BLOCKS + 1)
     )
     return f"CAST({terms} AS BIGINT)"
 

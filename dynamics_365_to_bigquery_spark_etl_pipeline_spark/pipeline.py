@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import sinks
 from .operators import cdc
 from .operators.coerce import stringify_temporal
 from .operators.names import normalize_columns, rename_company, table_name_from_path
@@ -92,8 +93,14 @@ class EntityPipeline:
     def _sink_path(self, entity: str) -> str:
         return os.path.join(self.sink_dir, table_name_from_path(entity))
 
-    def read_snapshot(self, entity: str) -> DataFrame | None:
+    def read_snapshot(self, entity: str, version: int | None = None) -> DataFrame | None:
+        """Read the entity's published snapshot. ``version=None`` reads
+        through the current pointer; ``version=-1`` is the current
+        retained version, ``-2`` the previous (time travel — the sink
+        keeps current + previous), a positive n the literal v_{n}."""
         path = self._sink_path(entity)
+        if version is not None:
+            return self.spark.read.parquet(sinks.version_path(path, version))
         if not os.path.exists(path):
             return None
         return self.spark.read.parquet(path)
@@ -126,35 +133,12 @@ class EntityPipeline:
             # atomically (Iceberg-style snapshot commit; on an object
             # store the symlink becomes a manifest/pointer object).
             out = self._sink_path(entity)
-            vdir = self._next_version_dir(out)
+            vdir = sinks.next_version_dir(out)
             result.write.mode("overwrite").parquet(vdir)
-            self._publish_version(out, vdir)
+            sinks.publish_version(out, vdir)
         newest = max(pending, key=lambda f: (f.mtime, f.path))
         self.store.commit(entity, newest.path, newest.mtime)
         return {"entity": entity, "status": "ok", "files": len(pending)}
-
-    def _next_version_dir(self, out: str) -> str:
-        vroot = out + "__versions"
-        os.makedirs(vroot, exist_ok=True)
-        existing = sorted(d for d in os.listdir(vroot) if d.startswith("v_"))
-        n = int(existing[-1][2:]) + 1 if existing else 1
-        return os.path.join(vroot, f"v_{n:06d}")
-
-    def _publish_version(self, out: str, vdir: str) -> None:
-        """Atomic pointer swap: the sink path is a symlink to the
-        current version directory, so readers see either the old or the
-        new snapshot, never a partial write. Keeps current + previous
-        versions (time travel / in-flight readers), GCs older ones."""
-        import shutil
-
-        tmp = out + "__swap"
-        if os.path.lexists(tmp):
-            os.unlink(tmp)
-        os.symlink(os.path.abspath(vdir), tmp)
-        os.replace(tmp, out)
-        vroot = out + "__versions"
-        for old in sorted(d for d in os.listdir(vroot) if d.startswith("v_"))[:-2]:
-            shutil.rmtree(os.path.join(vroot, old), ignore_errors=True)
 
     def _bucket_col(self):
         from pyspark.sql import functions as F
@@ -175,6 +159,7 @@ class EntityPipeline:
 
         out = self._sink_path(entity)
         tmp = out + "__staging"
+        self._recover_staging(out, tmp)
         shutil.rmtree(tmp, ignore_errors=True)
         prepared = prepare_entity_frame(delta)
         if snapshot is None:
@@ -196,19 +181,47 @@ class EntityPipeline:
         result = cdc.add_audit(result).withColumn("__bucket", self._bucket_col())
         result.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
         if buckets is None:
+            # Switching an existing pointer-layout sink to bucketed:
+            # drop the symlink (rmtree can't) and its versions root.
+            if os.path.islink(out):
+                os.unlink(out)
+                shutil.rmtree(out + sinks.VERSIONS_SUFFIX, ignore_errors=True)
             shutil.rmtree(out, ignore_errors=True)
             os.replace(tmp, out)
         else:
             written = {d for d in os.listdir(tmp) if d.startswith("__bucket=")}
+            aside = os.path.join(tmp, "__replaced")
+            os.makedirs(aside, exist_ok=True)
+            # Two-phase bucket swap: each replaced bucket is moved ASIDE
+            # (into staging) before its replacement is renamed in, and
+            # nothing is deleted until every bucket is swapped — a crash
+            # mid-swap leaves the prior data recoverable (see
+            # _recover_staging) instead of silently losing the bucket's
+            # untouched keys on the watermark-uncommitted retry. Moving
+            # aside also clears a stale partition when a touched bucket
+            # emptied out (all its keys deleted).
             for b in buckets:
                 name = f"__bucket={b}"
                 dst = os.path.join(out, name)
-                # remove first: clears the stale partition when a
-                # touched bucket emptied out (all its keys deleted)
-                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.lexists(dst):
+                    os.replace(dst, os.path.join(aside, name))
                 if name in written:
                     os.replace(os.path.join(tmp, name), dst)
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def _recover_staging(self, out: str, tmp: str) -> None:
+        """Crash recovery for the two-phase bucket swap: a bucket moved
+        aside but whose replacement never landed is restored before the
+        retry, so the retry's merge sees the complete prior snapshot
+        (its watermark was never committed, so the delta re-applies —
+        the merge is idempotent)."""
+        aside = os.path.join(tmp, "__replaced")
+        if not os.path.isdir(aside):
+            return
+        for name in os.listdir(aside):
+            dst = os.path.join(out, name)
+            if not os.path.lexists(dst):
+                os.replace(os.path.join(aside, name), dst)
 
     def run(self, only: list[str] | None = None) -> list[dict]:
         """Process every entity (or the CLI-style subset, S9). Failures

@@ -114,30 +114,43 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit signature, byte-block LSH
-    (hamming ≤ 3 guarantees one equal byte of four), verify bit_count."""
+    """SimHash near-dup pairs: 64-bit signature (4 x 16-bit blocks) over
+    3-token-shingle features, pigeonhole LSH on (block_id, block_val) —
+    hamming ≤ 3 over 64 bits guarantees at least one of the 4 disjoint
+    blocks is equal — then exact-hamming verification on candidates only.
+
+    Scale: the join key space is 4 x 2^16 (vs the 8-bit scheme's
+    4 x 2^8 that went quadratic), and a 3-bit budget on 64 bits is
+    selective: unrelated docs almost never collide, so candidate volume
+    tracks the true duplicate count, not n^2. Features are shingles, not
+    unigrams — over the fixture's 31-word vocabulary, unigram
+    frequency profiles are near-identical across ALL docs and the
+    signature collapses (see operators/dedup.py feature_hashes)."""
     corpus = _corpus(spark, sf_dir)
-    hashed = corpus.select("doc_id", D.token_hashes(F.col("text")).alias("h"))
-    sigs = hashed.select("doc_id", D.simhash_from_hashes(F.col("h")).alias("sim"))
-    blocks = sigs.select(
+    sh = corpus.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    # repartition = materialization BARRIER: without it CollapseProject
+    # inlines the md5 transform into all 64 bit-term filters (a 64x
+    # recompute of shingling + hashing per row — measured ~16x wall
+    # clock). One narrow shuffle of (doc_id, h0, h1) keeps the hash
+    # arrays computed exactly once; at scale this exchange also
+    # pre-spreads rows for the block explode that follows.
+    hashed = sh.select(
         "doc_id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_id"),
-                        F.shiftright("sim", i * 8).bitwiseAND(F.lit(255)).alias("block_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("blk"),
-    ).select("doc_id", "sim", "blk.block_id", "blk.block_val")
+        D.feature_hashes(F.col("sh"), 0).alias("h0"),
+        D.feature_hashes(F.col("sh"), 1).alias("h1"),
+    ).repartition("doc_id")
+    sigs = hashed.select(
+        "doc_id", D.simhash64_blocks(F.col("h0"), F.col("h1")).alias("blocks")
+    )
+    exploded = sigs.select(
+        "doc_id", "blocks", F.posexplode("blocks").alias("block_id", "block_val")
+    )
     pairs = (
-        blocks.alias("a")
+        exploded.alias("a")
         .join(
-            blocks.alias("b"),
+            exploded.alias("b"),
             (F.col("a.block_id") == F.col("b.block_id"))
             & (F.col("a.block_val") == F.col("b.block_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -145,15 +158,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            F.col("a.blocks").alias("blocks_a"),
+            F.col("b.blocks").alias("blocks_b"),
         )
         .distinct()
     )
     return pairs.select(
         "id_a",
         "id_b",
-        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        D.hamming64(F.col("blocks_a"), F.col("blocks_b")).alias("hamming"),
     ).filter(F.col("hamming") <= HAMMING_MAX)
 
 
@@ -266,28 +279,29 @@ JOIN shingled sb ON sb.doc_id = p.id_b
 WHERE {D.jaccard_sql('sa.sh', 'sb.sh')} >= {JACCARD_MIN}
 """,
     "q_dedup_simhash": f"""
-WITH corpus AS ({_CORPUS_SQL}),
+WITH {_SHINGLED_SQL},
 hashed AS (
-  SELECT doc_id, {D.token_hashes_sql('text')} AS h FROM corpus
+  SELECT doc_id, {D.feature_hashes_sql('sh', 0)} AS h0,
+         {D.feature_hashes_sql('sh', 1)} AS h1
+  FROM shingled
 ),
 sigs AS (
-  SELECT doc_id, {D.simhash_from_hashes_sql('h')} AS sim FROM hashed
+  SELECT doc_id, {D.simhash64_blocks_sql('h0', 'h1')} AS blocks FROM hashed
 ),
 blocks AS (
-  SELECT doc_id, sim, blk AS block_id,
-         (sim >> (blk * 8)) & 255 AS block_val
-  FROM sigs, (SELECT unnest(range(0, 4)) AS blk)
+  SELECT doc_id, blocks, blk - 1 AS block_id, blocks[blk] AS block_val
+  FROM sigs, (SELECT unnest(range(1, {D.SIMHASH_BLOCKS + 1})) AS blk)
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  a.sim AS sim_a, b.sim AS sim_b
+                  a.blocks AS blocks_a, b.blocks AS blocks_b
   FROM blocks a JOIN blocks b
     ON a.block_id = b.block_id AND a.block_val = b.block_val
    AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+SELECT id_a, id_b, {D.hamming64_sql('blocks_a', 'blocks_b')} AS hamming
 FROM pairs
-WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+WHERE {D.hamming64_sql('blocks_a', 'blocks_b')} <= {HAMMING_MAX}
 """,
     "q_dedup_embedding_cosine": f"""
 WITH corpus AS (

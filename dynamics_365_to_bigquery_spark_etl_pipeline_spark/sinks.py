@@ -1,0 +1,111 @@
+"""Versioned table sink: write-once + atomic pointer swap (SURVEY.md
+§2 S5 re-expressed; replaces the reference's double-write overwrite,
+``incremental_etl_v1.py:184-188``).
+
+Layout for a sink published at ``out``:
+
+    out               -> symlink (atomic pointer) to the current version
+    out__versions/    -> v_000001, v_000002, ... (current + previous kept)
+
+Readers always go through the pointer, so they see either the old or
+the new snapshot, never a partial write; an in-flight reader that
+resolved the pointer before a swap keeps a complete snapshot because
+the previous version is retained (time travel / Iceberg-style commit).
+On an object store the symlink becomes a manifest/pointer object and
+the version dirs become immutable data prefixes — same protocol.
+
+Shared by the batch pipeline (``pipeline.EntityPipeline``) and the
+streaming merge (``streaming.cdc_stream.stream_cdc_merge``), so both
+paths have exactly ONE physical write per run/micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+VERSIONS_SUFFIX = "__versions"
+SWAP_SUFFIX = "__swap"
+
+
+def _versions_root(out: str) -> str:
+    return out + VERSIONS_SUFFIX
+
+
+def list_versions(out: str) -> list[str]:
+    """Retained version directory names, oldest first."""
+    vroot = _versions_root(out)
+    if not os.path.isdir(vroot):
+        return []
+    return sorted(d for d in os.listdir(vroot) if d.startswith("v_"))
+
+
+def version_path(out: str, version: int = -1) -> str:
+    """Path of a retained version. ``version`` indexes the retained list
+    Python-style: -1 = current, -2 = previous; a positive n means the
+    literal version number ``v_{n:06d}``."""
+    versions = list_versions(out)
+    if not versions:
+        raise FileNotFoundError(f"no published versions under {_versions_root(out)}")
+    if version > 0:
+        name = f"v_{version:06d}"
+        if name not in versions:
+            raise FileNotFoundError(
+                f"version {name} not retained (have {versions})"
+            )
+    else:
+        name = versions[version]
+    return os.path.join(_versions_root(out), name)
+
+
+def _migrate_legacy_dir(out: str) -> None:
+    """Upgrade-in-place: a pre-versioned sink (a REAL directory at
+    ``out``, from the old double-write layout) is moved into the
+    versions root as the first version and the pointer is installed in
+    its place, so existing lazy readers of ``out`` keep resolving and
+    the subsequent swap never hits ENOTDIR."""
+    if not os.path.isdir(out) or os.path.islink(out):
+        return
+    vroot = _versions_root(out)
+    os.makedirs(vroot, exist_ok=True)
+    existing = list_versions(out)
+    n = int(existing[-1][2:]) + 1 if existing else 1
+    legacy = os.path.join(vroot, f"v_{n:06d}")
+    os.rename(out, legacy)
+    tmp = out + SWAP_SUFFIX
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(os.path.abspath(legacy), tmp)
+    os.replace(tmp, out)
+
+
+def next_version_dir(out: str) -> str:
+    """Reserve the next version directory path (not created). Migrates a
+    legacy real-directory sink into the versions root first."""
+    _migrate_legacy_dir(out)
+    vroot = _versions_root(out)
+    os.makedirs(vroot, exist_ok=True)
+    existing = list_versions(out)
+    n = int(existing[-1][2:]) + 1 if existing else 1
+    return os.path.join(vroot, f"v_{n:06d}")
+
+
+def publish_version(out: str, vdir: str, keep: int = 2) -> None:
+    """Atomically point ``out`` at ``vdir``; GC all but the newest
+    ``keep`` versions (current + previous by default, so in-flight
+    readers of the old pointer and ``version=-2`` time travel work)."""
+    _migrate_legacy_dir(out)
+    tmp = out + SWAP_SUFFIX
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(os.path.abspath(vdir), tmp)
+    os.replace(tmp, out)
+    for old in list_versions(out)[:-keep]:
+        shutil.rmtree(os.path.join(_versions_root(out), old), ignore_errors=True)
+
+
+def current_version_path(out: str) -> str | None:
+    """Real path of the current version, or None if never published."""
+    if not os.path.lexists(out):
+        return None
+    return os.path.realpath(out)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from .. import sinks
 from ..operators import cdc
 
 
@@ -37,29 +38,36 @@ def stream_cdc_merge(
     tie_breakers: tuple[str, ...] = (),
     fmt: str = "parquet",
 ) -> StreamingQuery:
-    """File-source stream -> foreachBatch CDC merge into a parquet sink.
+    """File-source stream -> foreachBatch CDC merge into the same
+    versioned-pointer sink the batch pipeline publishes to.
 
-    Each micro-batch replays the batch merge against the current sink
-    (read fresh inside the batch function), so restart/recovery is the
-    file-source checkpoint plus the idempotent overwrite."""
+    Each micro-batch merges against the current version (read through
+    the pointer), writes the new version ONCE beside it, and swaps the
+    pointer atomically — no staging re-read/rewrite, so write
+    amplification is 1x. The merge is ``merge_cdc_delta_only``:
+    untouched snapshot rows bypass the window sort entirely, so the
+    shuffle cost per micro-batch is O(|batch|), not O(|table|).
+    Restart/recovery is the file-source checkpoint plus the idempotent
+    merge (replaying a batch re-resolves the same keys to the same
+    rows)."""
     reader = spark.readStream.schema(schema)
     stream = reader.parquet(source_dir) if fmt == "parquet" else reader.options(
         header=True, multiLine=True, quote='"'
     ).csv(source_dir)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        import os
-
         if batch_df.isEmpty():
             return
-        if os.path.exists(sink_dir):
+        if sinks.current_version_path(sink_dir) is not None:
             snapshot = batch_df.sparkSession.read.parquet(sink_dir)
-            merged = cdc.merge_cdc(snapshot, batch_df, key, order_col, tie_breakers)
+            merged = cdc.merge_cdc_delta_only(
+                snapshot, batch_df, key, order_col, tie_breakers
+            )
         else:
             merged = cdc.resolve_snapshot(batch_df, key, order_col, tie_breakers)
-        staging = sink_dir + "__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        batch_df.sparkSession.read.parquet(staging).write.mode("overwrite").parquet(sink_dir)
+        vdir = sinks.next_version_dir(sink_dir)
+        merged.write.mode("overwrite").parquet(vdir)
+        sinks.publish_version(sink_dir, vdir)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -86,6 +86,69 @@ def test_bucketed_incremental_rewrites_only_touched_buckets(spark, tmp_path):
     assert got == want
 
 
+def test_bucketed_crash_recovery_restores_moved_aside_bucket(spark, tmp_path):
+    """Two-phase swap recovery: a crash after a bucket was moved aside
+    but before its replacement landed must NOT lose the bucket — the
+    retry restores it from staging before merging, so untouched keys
+    hashed into it survive."""
+    import shutil
+
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    keys = [f"k{i}" for i in range(40)]
+    _write_csv(
+        f"{landing}/Items/b1.csv",
+        [_live(k, "2024-01-01 10:00:00", i) for i, k in enumerate(keys)],
+        t0,
+    )
+    pipe = EntityPipeline(spark, landing, sink, state, bucket_partitions=8)
+    pipe.run()
+    table = f"{sink}/items"
+    buckets = [d for d in os.listdir(table) if d.startswith("__bucket=")]
+
+    # simulate the crashed state: one bucket moved aside, never replaced
+    victim = buckets[0]
+    aside = os.path.join(table + "__staging", "__replaced")
+    os.makedirs(aside)
+    shutil.move(os.path.join(table, victim), os.path.join(aside, victim))
+
+    # retry (watermark was never committed for this delta in a real
+    # crash; here any new delta triggers the recovery path first)
+    _write_csv(f"{landing}/Items/b2.csv", [_live("k0", "2024-01-02 10:00:00", 999)], t0 + 50)
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+
+    got = {
+        (r.systemid, r.amount)
+        for r in spark.read.parquet(table).select("systemid", "amount").collect()
+    }
+    want = {(k, float(i)) for i, k in enumerate(keys) if k != "k0"} | {("k0", 999.0)}
+    assert got == want  # no keys lost from the aside bucket
+
+
+def test_switch_pointer_sink_to_bucketed_layout(spark, tmp_path):
+    """A sink published by the pointer layout can be re-materialized by
+    a bucketed full load: the symlink (which rmtree can't remove) is
+    unlinked and replaced by the bucketed directory."""
+    landing, sink, state1, state2 = (
+        str(tmp_path / "l"),
+        str(tmp_path / "s"),
+        str(tmp_path / "st1"),
+        str(tmp_path / "st2"),
+    )
+    t0 = time.time() - 100
+    _write_csv(f"{landing}/Items/b1.csv", [_live("a", "2024-01-01 10:00:00", 1)], t0)
+    EntityPipeline(spark, landing, sink, state1).run()
+    table = f"{sink}/items"
+    assert os.path.islink(table)
+
+    # fresh state => full load through the bucketed path, same sink
+    pipe = EntityPipeline(spark, landing, sink, state2, bucket_partitions=4)
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    assert os.path.isdir(table) and not os.path.islink(table)
+    assert not os.path.exists(table + "__versions")
+    assert {(r.systemid, r.amount) for r in spark.read.parquet(table).select("systemid", "amount").collect()} == {("a", 1.0)}
+
+
 def test_bucketed_delete_clears_emptied_partition(spark, tmp_path):
     landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
     t0 = time.time() - 100

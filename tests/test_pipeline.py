@@ -189,6 +189,71 @@ def test_sink_write_is_single_physical_write(spark, zone):
     }
 
 
+def test_time_travel_and_inflight_reader_survives_swap(spark, zone):
+    """read_snapshot(entity, version=-2) returns the PREVIOUS snapshot,
+    and a reader that resolved the pointer before a swap still sees a
+    complete snapshot afterwards (the previous version is retained)."""
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Items" / "b1.csv"), [_live_row("a", "2024-01-01 10:00:00", 1)], t0
+    )
+    pipe = _pipeline(spark, zone)
+    pipe.run()
+
+    # in-flight reader: resolve the pointer to the physical v1 path
+    out = str(sink / "items")
+    v1_real = os.path.realpath(out)
+
+    _write_csv(
+        str(landing / "Items" / "b2.csv"), [_live_row("a", "2024-01-02 10:00:00", 2)], t0 + 50
+    )
+    pipe.run()  # publishes v2, pointer swaps
+
+    # the old resolved path is still a complete, readable snapshot
+    old = spark.read.parquet(v1_real)
+    assert [(r.systemid, r.amount) for r in old.collect()] == [("a", 1)]
+
+    # time travel API: -1 = current, -2 = previous, positive = literal
+    assert {r.amount for r in pipe.read_snapshot("Items", version=-1).collect()} == {2}
+    assert {r.amount for r in pipe.read_snapshot("Items", version=-2).collect()} == {1}
+    assert {r.amount for r in pipe.read_snapshot("Items", version=2).collect()} == {2}
+    with pytest.raises(FileNotFoundError):
+        pipe.read_snapshot("Items", version=7)
+
+
+def test_legacy_plain_dir_sink_migrates_on_first_publish(spark, zone):
+    """Upgrade-in-place: a sink written by the old double-write layout
+    (a REAL parquet directory at the sink path) is migrated into the
+    versions root on the next publish instead of failing ENOTDIR."""
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Items" / "b1.csv"), [_live_row("a", "2024-01-01 10:00:00", 1)], t0
+    )
+    pipe = _pipeline(spark, zone)
+    pipe.run()
+
+    # simulate the legacy layout: replace the pointer with a real dir
+    out = str(sink / "items")
+    import shutil
+
+    v1_real = os.path.realpath(out)
+    os.unlink(out)
+    shutil.move(v1_real, out)
+    shutil.rmtree(out + "__versions")
+    assert os.path.isdir(out) and not os.path.islink(out)
+
+    _write_csv(
+        str(landing / "Items" / "b2.csv"), [_live_row("a", "2024-01-02 10:00:00", 2)], t0 + 50
+    )
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    assert os.path.islink(out)
+    assert {r.amount for r in spark.read.parquet(out).collect()} == {2}
+    # the legacy dir became the first retained version (time travel works)
+    assert {r.amount for r in pipe.read_snapshot("Items", version=-2).collect()} == {1}
+
+
 def test_duplicate_normalized_columns_dropped(spark, zone):
     """Columns colliding after suffix-strip normalization are ALL
     dropped (helper_functions.py:16-23), through the real CSV read."""

@@ -73,6 +73,82 @@ def test_stream_cdc_merge_equals_batch(spark, tmp_path, changelog):
     assert got == want and len(got) > 0
 
 
+def test_stream_sink_single_write_per_microbatch(spark, tmp_path, changelog):
+    """Each micro-batch publishes exactly ONE new version through the
+    pointer sink — no staging rewrite (the r2 double-write is gone):
+    after two drains there are exactly 2 retained versions, the pointer
+    resolves to the newest, and no __staging dir exists."""
+    import os
+
+    source = tmp_path / "source"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    split = "2024-01-16 00:00:00"
+    b1 = changelog.filter(F.col("systemmodifiedat") < split)
+    b2 = changelog.filter(
+        F.col("systemmodifiedat").isNull() | (F.col("systemmodifiedat") >= split)
+    )
+
+    b1.write.parquet(str(source), mode="append")
+    stream_cdc_merge(
+        spark, str(source), changelog.schema, sink, ckpt, tie_breakers=("event_id",)
+    ).awaitTermination(120)
+    assert os.path.islink(sink)
+    assert sorted(os.listdir(sink + "__versions")) == ["v_000001"]
+
+    b2.write.parquet(str(source), mode="append")
+    stream_cdc_merge(
+        spark, str(source), changelog.schema, sink, ckpt, tie_breakers=("event_id",)
+    ).awaitTermination(120)
+    assert sorted(os.listdir(sink + "__versions")) == ["v_000001", "v_000002"]
+    assert os.path.realpath(sink) == os.path.realpath(
+        os.path.join(sink + "__versions", "v_000002")
+    )
+    assert not os.path.exists(sink + "__staging")
+
+
+def test_stream_cdc_merge_csv_leg_equals_batch(spark, tmp_path, changelog):
+    """The reference's landing format is CSV (helper_functions.py:115):
+    drain the changelog through stream_cdc_merge(fmt='csv') in two
+    micro-batches and compare against the batch full-load snapshot.
+    (props is a map column — not CSV-representable — so the CSV leg
+    runs on the scalar projection.)"""
+    flat = changelog.drop("props")
+    source = tmp_path / "source"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    split = "2024-01-16 00:00:00"
+    b1 = flat.filter(F.col("systemmodifiedat") < split)
+    b2 = flat.filter(
+        F.col("systemmodifiedat").isNull() | (F.col("systemmodifiedat") >= split)
+    )
+
+    b1.write.options(header=True).csv(str(source), mode="append")
+    stream_cdc_merge(
+        spark, str(source), flat.schema, sink, ckpt,
+        tie_breakers=("event_id",), fmt="csv",
+    ).awaitTermination(120)
+    b2.write.options(header=True).csv(str(source), mode="append")
+    stream_cdc_merge(
+        spark, str(source), flat.schema, sink, ckpt,
+        tie_breakers=("event_id",), fmt="csv",
+    ).awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .select("systemid", "event_id", "value")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in cdc.resolve_snapshot(flat, tie_breakers=("event_id",))
+        .select("systemid", "event_id", "value")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_tumbling_equals_batch(spark, tmp_path):
     events = load_table(spark, SF_DIR, "events")
     src = str(tmp_path / "ev")

@@ -50,9 +50,49 @@ def test_minhash_identical_texts_identical_signatures(spark):
 def test_simhash_identical_zero_hamming(spark):
     t = "alpha beta gamma delta epsilon zeta eta theta"
     df = spark.createDataFrame([(1, t), (2, t)], ["id", "text"])
-    sims = [r.s for r in df.select(D.simhash32(F.col("text")).alias("s")).collect()]
+    rows = df.select(D.simhash64(F.col("text")).alias("s"))
+    sims = [r.s for r in rows.collect()]
     assert sims[0] == sims[1]
-    assert 0 <= sims[0] < 2**32
+    assert len(sims[0]) == D.SIMHASH_BLOCKS
+    assert all(0 <= b < 2**D.SIMHASH_BLOCK_BITS for b in sims[0])
+    paired = spark.createDataFrame([(sims[0], sims[1])], "a array<long>, b array<long>")
+    assert paired.select(D.hamming64(F.col("a"), F.col("b")).alias("h")).first().h == 0
+
+
+def test_simhash_block_key_space_is_16_bit(spark):
+    """Scale guard (VERDICT r2 #3): the LSH join key must have a 2^16
+    value space per block — an 8-bit scheme (1,024 total buckets) goes
+    quadratic at corpus scale. Checked structurally (block width) and
+    empirically (observed block values exceed the old 8-bit ceiling)."""
+    assert 2**D.SIMHASH_BLOCK_BITS >= 2**16
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    sigs = docs.select(D.simhash64(F.col("text")).alias("blocks"))
+    vals = sigs.select(F.explode("blocks").alias("v"))
+    stats = vals.agg(F.max("v").alias("mx"), F.min("v").alias("mn")).first()
+    assert 0 <= stats.mn and stats.mx < 2**16
+    assert stats.mx > 255, "block values never exceed 8 bits — key space collapsed"
+
+
+def test_simhash_finds_injected_dups_without_blowup(spark):
+    """The 64-bit scheme must find every injected exact-copy pair and a
+    sane near-dup tail — NOT the 28%-of-all-pairs blowup the 32-bit
+    hamming<=3 scheme produced (46,653 pairs from ~575 docs at sf0.01)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.dedup_queries import (
+        q_dedup_simhash,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = {(r.id_a, r.id_b): r.hamming for r in q_dedup_simhash(spark, sf).collect()}
+    exact = {(d, d + 2_000_000) for d in range(0, 500, 10)}
+    assert all(p in pairs and pairs[p] == 0 for p in exact)
+    # 500 docs + 50 exact + 25 near copies => ~165k unordered pairs; a
+    # selective signature returns the duplicate structure, not n^2/4.
+    # (Near copies sit at avg hamming ~7 — Manku-style hamming<=3 finds
+    # only the closest; the MinHash query is the jaccard-0.5 recall
+    # path. Exact copies are ALWAYS found at hamming 0.)
+    assert len(pairs) < 300, f"{len(pairs)} pairs — blocking not selective"
 
 
 def test_portable_hash_matches_duckdb(spark):

@@ -2,7 +2,15 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "spread": {name: [min, max]}, "reps": N,
+"sf": ...}.
+
+Variance-aware: each query runs $SPARK_GRAFT_BENCH_REPS times (default
+3) and reports the per-query MEDIAN; "spread" carries min/max so noise
+is visible in the artifact instead of masquerading as regression (a
+single-rep bench once read a 34% environment blip as a real 34%
+slowdown). The JVM warm-up query is NON-headline (q_rollup_sales) so no
+timed query gets a warm-up advantage over the others.
 
 Each query is forced through full materialization with the noop sink
 (count() alone can let Catalyst skip column evaluation).
@@ -12,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,17 +58,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
-    # Warm the JVM/code paths once with the cheapest query so per-query
-    # timings measure the plan, not session startup.
-    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    # Warm the JVM/code paths with a NON-headline query (scan + shuffle +
+    # agg over orders) so per-query timings measure the plan, not session
+    # startup — and no timed query double-dips as its own warm-up.
+    queries["q_rollup_sales"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in queries:
             continue
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -69,6 +86,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
             }
         )

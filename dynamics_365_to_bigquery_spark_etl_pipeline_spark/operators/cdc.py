@@ -94,9 +94,10 @@ def resolve_snapshot(
     both run inside the SAME window shuffle: a full-partition MAX flags
     keys that ever emitted the sentinel, row_number picks the newest
     version, and one filter applies both. Result is identical to the
-    composed form (locally measured ~1.8x faster: 1 exchange + 1 scan
-    vs 3 exchanges + 2 scans); at 100 TB it removes a full extra pass
-    over the table. Null-key rows are exempt from the sentinel flag to
+    composed form with 1 exchange + 1 scan vs 3 exchanges + 2 scans;
+    ``scripts/ab_resolve.py`` measures median 0.494 s vs 0.577 s
+    (1.17x) at sf0.1 where per-job overhead dominates — at 100 TB the
+    structural win is removing a full extra pass over the table. Null-key rows are exempt from the sentinel flag to
     match the anti-join's semantics (a null key never matches NOT IN's
     null-free key set)."""
     wp = Window.partitionBy(key)
@@ -149,11 +150,27 @@ def merge_cdc_delta_only(
     At 100 TB this is the difference between shuffling the whole table
     nightly (the reference's overwrite, ``incremental_etl_v1.py:184-188``)
     and shuffling ~|delta| rows: untouched rows take a semi/anti join
-    against the (broadcastable) delta-key set and skip the sort.
+    against the delta-key set and skip the sort. No broadcast hint —
+    AQE broadcasts a small key set under the session threshold, and a
+    large backfill delta degrades gracefully to a shuffled join instead
+    of blowing driver memory on a forced broadcast.
+
+    NULL-key rows are treated as ALWAYS touched: ``delta_keys`` is
+    null-free (NULL never equi-matches), so a semi/anti split alone
+    would pass snapshot NULL-key rows through untouched while the
+    delta's NULL-key rows independently resolve — accumulating one
+    NULL-key row per merge, where the batch ``resolve_snapshot`` keeps
+    exactly one (its window puts all NULL keys in one partition).
+    Routing them into the re-resolved side preserves the
+    delta-only ≡ full-merge invariant.
     """
     delta_keys = delta.select(key).filter(F.col(key).isNotNull()).distinct()
-    touched_snapshot = snapshot.join(F.broadcast(delta_keys), on=key, how="left_semi")
-    untouched = snapshot.join(F.broadcast(delta_keys), on=key, how="left_anti")
+    touched_snapshot = snapshot.join(delta_keys, on=key, how="left_semi").unionByName(
+        snapshot.filter(F.col(key).isNull())
+    )
+    untouched = snapshot.join(delta_keys, on=key, how="left_anti").filter(
+        F.col(key).isNotNull()
+    )
     resolved_touched = merge_cdc(touched_snapshot, delta, key, order_col, tie_breakers)
     return untouched.unionByName(resolved_touched, allowMissingColumns=True)
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import itertools
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -96,10 +96,90 @@ def brute_force_topk(
     )
 
 
+# Lower bound on the grid cell width: at threshold == 1.0 the geometric
+# width sqrt(2(1-t)) is 0, which would NULL every cell key (x/0) and
+# silently return no pairs — violating the recall guarantee exactly at
+# the exact-duplicate setting. Verbatim copies have IDENTICAL normalized
+# coordinates (same floats, same arithmetic), so any positive width puts
+# them in the same cell; 1e-7 keeps floor(x/g) within int range (|x|<=1).
+GRID_MIN_CELL_WIDTH = 1e-7
+
+
+def grid_k_dims(
+    n_rows: int,
+    threshold: float,
+    dim: int | None = None,
+    target_occupancy: int = 64,
+    min_k: int = 2,
+    max_k: int = 6,
+) -> int:
+    """Sizing rule for ``grid_near_dup_pairs``: the smallest ``k_dims``
+    whose EXPECTED cell occupancy ``n_rows * (g / s)^k`` is under
+    ``target_occupancy``.
+
+    ``g = sqrt(2(1-t))`` is the cell width; ``s`` is the effective
+    coordinate spread — for random unit vectors in ``dim`` dimensions a
+    normalized coordinate has stddev ``1/sqrt(dim)``, so ~all mass lies
+    in a band of width ``6/sqrt(dim)`` (capped at the full range 2).
+    Each added dimension divides occupancy by ``s/g`` but multiplies the
+    probe explode by 3, so ``max_k`` caps the fan-out (3^6 = 729 probe
+    rows of bare int structs per vector — cheap next to the vectors
+    themselves). Verification cost per cell is O(occupancy²), hence the
+    modest default target.
+    """
+    g = max(math.sqrt(2.0 * (1.0 - threshold)), GRID_MIN_CELL_WIDTH)
+    s = 2.0 if not dim else min(2.0, 6.0 / math.sqrt(dim))
+    if g >= s:
+        # cell wider than the data spread: every dimension is ~one cell,
+        # so extra dimensions buy no selectivity — don't pay 3^k probes.
+        return min_k
+    k = min_k
+    while k < max_k and n_rows * (g / s) ** k > target_occupancy:
+        k += 1
+    return k
+
+
+def _grid_cell_width(threshold: float) -> float:
+    if threshold > 1.0:
+        raise ValueError(f"cosine threshold must be <= 1.0, got {threshold}")
+    return max(math.sqrt(2.0 * (1.0 - threshold)), GRID_MIN_CELL_WIDTH)
+
+
+def _grid_cell_keys(
+    corpus: DataFrame, g: float, k_dims: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, c0..c{k-1}): the first ``k_dims`` normalized coordinates
+    quantized to cells of width ``g``."""
+    vec = F.col(vec_col)
+    nrm = norm(vec)
+    cell_cols = [
+        F.floor(F.element_at(vec, i + 1).cast("double") / nrm / F.lit(g))
+        .cast("int")
+        .alias(f"c{i}")
+        for i in range(k_dims)
+    ]
+    return corpus.select(F.col(id_col).alias("id"), *cell_cols)
+
+
+def grid_cell_occupancy(
+    corpus: DataFrame,
+    threshold: float,
+    k_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Occupancy per grid cell — the observability hook for the sizing
+    rule: if ``max(n)`` grows past ``target_occupancy`` the corpus has
+    outgrown ``k_dims`` (verification degenerates toward all-pairs
+    within hot cells) and ``k_dims`` should be raised."""
+    keyed = _grid_cell_keys(corpus, _grid_cell_width(threshold), k_dims, id_col, vec_col)
+    return keyed.groupBy(*[f"c{i}" for i in range(k_dims)]).agg(F.count("*").alias("n"))
+
+
 def grid_near_dup_pairs(
     corpus: DataFrame,
     threshold: float,
-    k_dims: int = 2,
+    k_dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -120,19 +200,22 @@ def grid_near_dup_pairs(
     keys (no vector payload) + one skew-tolerant shuffle on the cell
     key; vectors are joined back for the exact-cosine verify on
     candidates only — the same pairs-then-verify shape as the MinHash
-    banding. Raise ``k_dims`` for denser corpora (candidate count per
-    cell drops geometrically).
+    banding. ``k_dims=None`` derives the dimension count from corpus
+    size and threshold via ``grid_k_dims`` (denser corpus → more grid
+    dimensions → geometrically smaller cells); see SCALING.md for the
+    sizing rule and ``grid_cell_occupancy`` for the saturation probe.
+
+    ``threshold=1.0`` (exact duplicates) is supported: the cell width is
+    clamped to ``GRID_MIN_CELL_WIDTH`` so identical vectors still share
+    a cell; ``threshold > 1.0`` raises.
     """
-    g = math.sqrt(2.0 * (1.0 - threshold))
-    vec = F.col(vec_col)
-    nrm = norm(vec)
-    cell_cols = [
-        F.floor(F.element_at(vec, i + 1).cast("double") / nrm / F.lit(g))
-        .cast("int")
-        .alias(f"c{i}")
-        for i in range(k_dims)
-    ]
-    keyed = corpus.select(F.col(id_col).alias("id"), *cell_cols)
+    g = _grid_cell_width(threshold)
+    if k_dims is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        k_dims = grid_k_dims(
+            corpus.count(), threshold, dim=first["d"] if first else None
+        )
+    keyed = _grid_cell_keys(corpus, g, k_dims, id_col, vec_col)
     a = keyed.select(F.col("id").alias("id_a"), *[f"c{i}" for i in range(k_dims)])
     probes = F.explode(
         F.array(
@@ -165,6 +248,47 @@ def grid_near_dup_pairs(
     )
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One k-means (Lloyd) update: assign every vector to its nearest
+    centroid, then recompute each centroid as the mean of its bucket.
+    Returns (id_col, vec_col) so the result drops back into
+    ``assign_ivf_buckets`` — call repeatedly for more iterations.
+
+    The mean is decimal-exact: per-coordinate ``SUM(CAST(x AS
+    DECIMAL(20,10)))`` is order-independent (unlike a double sum, whose
+    value depends on partitioning), then one cast to double and one
+    integer division — so Spark and an ANSI oracle produce
+    bit-identical centroids on any cluster layout. At scale this is the
+    standard k-means-on-Spark shape: one broadcast assign pass + one
+    (bucket_id, pos) aggregate, both map-side-combining; centroids that
+    lose every vector drop out (k shrinks deterministically).
+    """
+    assigned = assign_ivf_buckets(corpus, centroids, id_col, vec_col)
+    per_coord = assigned.select(
+        "bucket_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    means = per_coord.groupBy("bucket_id", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    return (
+        means.groupBy("bucket_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias(vec_col)
+        )
+        .select(F.col("bucket_id").alias(id_col), vec_col)
+    )
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -191,4 +315,62 @@ def assign_ivf_buckets(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, F.col("centroid_id").alias("bucket_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed ANN top-k: bucket the corpus by nearest centroid,
+    probe each query's ``nprobe`` nearest buckets, exact cosine + top-k
+    within the probed candidates only.
+
+    Returns (query_id, neighbor_id, rank). At 100 TB the bucketed
+    corpus is written ``partitionBy(bucket_id)`` so probing prunes
+    partitions instead of scanning (plan-asserted in
+    ``test_ivf_bucket_layout_prunes_partitions``)."""
+    bucketed = assign_ivf_buckets(corpus, centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("centroid_id").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            cosine(F.col("qvec"), F.col("cent_vec")).alias("qsim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    cand = (
+        bucketed.join(F.broadcast(probed), bucketed.bucket_id == probed.centroid_id)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(vec_col), F.col("qvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )

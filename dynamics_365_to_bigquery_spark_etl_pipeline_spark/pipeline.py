@@ -24,6 +24,7 @@ Fixes over the reference:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,6 +34,8 @@ from .operators.coerce import stringify_temporal
 from .operators.names import normalize_columns, rename_company, table_name_from_path
 from .sources import csv_entity
 from .sources.state import WatermarkStore
+
+LAYOUT_ASIDE_SUFFIX = "__layout_aside"
 
 
 def prepare_entity_frame(df: DataFrame) -> DataFrame:
@@ -117,6 +120,14 @@ class EntityPipeline:
             return {"entity": entity, "status": "no_new_files", "files": 0}
 
         delta = csv_entity.read_entity(self.spark, [f.path for f in pending])
+        if self.bucket_partitions:
+            # Crash recovery MUST precede the snapshot read: spark.read
+            # .parquet lists files eagerly (InMemoryFileIndex), so a
+            # bucket restored after the read would be invisible to the
+            # retry's merge — exactly the touched bucket whose untouched
+            # keys the recovery exists to save.
+            out = self._sink_path(entity)
+            self._recover_staging(out, out + "__staging")
         snapshot = self.read_snapshot(entity) if state else None
         if self.bucket_partitions:
             self._write_bucketed(entity, delta, snapshot)
@@ -153,13 +164,12 @@ class EntityPipeline:
         per-bucket directory renames — metadata-only on a real
         filesystem/HDFS (on S3-style stores this step becomes a
         partition-manifest commit instead)."""
-        import shutil
-
         from pyspark.sql import functions as F
 
         out = self._sink_path(entity)
         tmp = out + "__staging"
-        self._recover_staging(out, tmp)
+        # Recovery already ran in run_entity (before the snapshot read —
+        # see the ordering comment there); here staging is just cleared.
         shutil.rmtree(tmp, ignore_errors=True)
         prepared = prepare_entity_frame(delta)
         if snapshot is None:
@@ -181,13 +191,24 @@ class EntityPipeline:
         result = cdc.add_audit(result).withColumn("__bucket", self._bucket_col())
         result.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
         if buckets is None:
-            # Switching an existing pointer-layout sink to bucketed:
-            # drop the symlink (rmtree can't) and its versions root.
-            if os.path.islink(out):
-                os.unlink(out)
-                shutil.rmtree(out + sinks.VERSIONS_SUFFIX, ignore_errors=True)
-            shutil.rmtree(out, ignore_errors=True)
+            # Switching an existing pointer-layout sink to bucketed.
+            # The old pointer + versions are RENAMED aside (atomic,
+            # metadata-only — never deleted before the new data is in
+            # place), then the staging dir renames in, then the asides
+            # are GC'd. A crash anywhere in between leaves either the
+            # old layout restorable (see _recover_layout_switch) or the
+            # new layout live; nothing is unrecoverable, and the
+            # sink-absent window is two renames, not an O(data) rmtree.
+            aside = out + LAYOUT_ASIDE_SUFFIX
+            shutil.rmtree(aside, ignore_errors=True)
+            os.makedirs(aside)
+            if os.path.lexists(out):
+                os.replace(out, os.path.join(aside, "pointer"))
+            vroot = out + sinks.VERSIONS_SUFFIX
+            if os.path.isdir(vroot):
+                os.replace(vroot, os.path.join(aside, "versions"))
             os.replace(tmp, out)
+            shutil.rmtree(aside, ignore_errors=True)
         else:
             written = {d for d in os.listdir(tmp) if d.startswith("__bucket=")}
             aside = os.path.join(tmp, "__replaced")
@@ -215,6 +236,7 @@ class EntityPipeline:
         retry, so the retry's merge sees the complete prior snapshot
         (its watermark was never committed, so the delta re-applies —
         the merge is idempotent)."""
+        self._recover_layout_switch(out)
         aside = os.path.join(tmp, "__replaced")
         if not os.path.isdir(aside):
             return
@@ -222,6 +244,25 @@ class EntityPipeline:
             dst = os.path.join(out, name)
             if not os.path.lexists(dst):
                 os.replace(os.path.join(aside, name), dst)
+
+    def _recover_layout_switch(self, out: str) -> None:
+        """Crash recovery for the pointer→bucketed layout switch: if the
+        old layout was moved aside but the new directory never renamed
+        in, restore versions first (so the pointer's target resolves),
+        then the pointer. If the switch completed (``out`` exists), the
+        asides are leftovers — GC them."""
+        aside = out + LAYOUT_ASIDE_SUFFIX
+        if not os.path.isdir(aside):
+            return
+        if not os.path.lexists(out):
+            old_versions = os.path.join(aside, "versions")
+            vroot = out + sinks.VERSIONS_SUFFIX
+            if os.path.isdir(old_versions) and not os.path.lexists(vroot):
+                os.replace(old_versions, vroot)
+            pointer = os.path.join(aside, "pointer")
+            if os.path.lexists(pointer):
+                os.replace(pointer, out)
+        shutil.rmtree(aside, ignore_errors=True)
 
     def run(self, only: list[str] | None = None) -> list[dict]:
         """Process every entity (or the CLI-style subset, S9). Failures

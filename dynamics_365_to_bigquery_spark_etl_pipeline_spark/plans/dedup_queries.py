@@ -184,9 +184,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate pairs come from ``grid_near_dup_pairs`` — grid-bucketed
     generation with provable full recall at this threshold (NO all-pairs
     cross join; ``tests/test_scale_paths.py`` asserts the physical plan
-    has no cartesian/nested-loop join). The DuckDB oracle stays the
-    brute-force all-pairs ground truth, independently verifying that the
-    bucketing loses nothing."""
+    has no cartesian/nested-loop join). ``k_dims`` is derived from
+    corpus size/threshold by ``similarity.grid_k_dims`` (sizing rule in
+    SCALING.md; recall is k-invariant, tested at k ∈ {2,3,4}). The
+    DuckDB oracle stays the brute-force all-pairs ground truth,
+    independently verifying that the bucketing loses nothing."""
     from ..operators.similarity import grid_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

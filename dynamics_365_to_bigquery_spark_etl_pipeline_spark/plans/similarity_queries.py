@@ -7,7 +7,7 @@ while still verifying the actual ranking end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -27,54 +27,25 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: nearest-centroid bucketing, nprobe=4 probing.
+    """IVF-bucketed ANN: TRAINED centroids (one decimal-exact k-means
+    update over deterministic seeds — ``similarity.refine_centroids``),
+    nearest-centroid bucketing, nprobe=4 probing.
+
+    The seeds (first N vectors) are only the Lloyd initialization; the
+    bucketing/probing run against the trained means, which track the
+    corpus distribution instead of whatever the first N vectors happened
+    to be (recall-vs-seeds test: ``test_ivf_trained_centroids_recall``).
+    The decimal-exact mean makes training order-independent, so the
+    DuckDB oracle reproduces the centroids bit-for-bit and the whole
+    train → bucket → probe → rank pipeline stays hash-checked.
 
     The scale path: at 100 TB the corpus is written partitioned by
     bucket_id, so each query reads nprobe partitions, not the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
-    bucketed = S.assign_ivf_buckets(emb, centroids)
-
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    cent = centroids.select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_vec")
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qsim").desc(), F.col("centroid_id").asc()
-    )
-    probed = (
-        queries.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "qvec",
-            "centroid_id",
-            S.cosine(F.col("qvec"), F.col("cent_vec")).alias("qsim"),
-        )
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= N_PROBE)
-        .select("query_id", "qvec", "centroid_id")
-    )
-    cand = (
-        bucketed.join(
-            F.broadcast(probed), bucketed.bucket_id == probed.centroid_id
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            S.cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    trained = S.refine_centroids(emb, seeds)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.ivf_topk(emb, trained, queries, k=TOP_K, nprobe=N_PROBE)
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,9 +96,35 @@ scored AS (
 SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= {TOP_K}
 """,
     "q_sim_ivf_topk": f"""
-WITH cent AS (
+WITH seeds AS (
   SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
   WHERE vec_id < {N_CENTROIDS}
+),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {S.cosine_sql('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC
+    ) AS rn
+  FROM embeddings e CROSS JOIN seeds c
+),
+bucketed0 AS (
+  SELECT vec_id, embedding, centroid_id AS bucket_id FROM assign0 WHERE rn = 1
+),
+dims AS (
+  SELECT unnest(range(1, (SELECT MIN(LEN(embedding)) FROM embeddings) + 1)) AS i
+),
+-- one Lloyd update with an ORDER-INDEPENDENT (decimal-exact) mean:
+-- mirrors similarity.refine_centroids bit-for-bit
+coord AS (
+  SELECT b.bucket_id, d.i AS pos,
+    CAST(SUM(CAST(b.embedding[d.i] AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS m
+  FROM bucketed0 b CROSS JOIN dims d
+  GROUP BY b.bucket_id, d.i
+),
+cent AS (
+  SELECT bucket_id AS centroid_id, list(m ORDER BY pos) AS cvec
+  FROM coord GROUP BY bucket_id
 ),
 assign AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,

@@ -47,6 +47,11 @@ def version_path(out: str, version: int = -1) -> str:
     versions = list_versions(out)
     if not versions:
         raise FileNotFoundError(f"no published versions under {_versions_root(out)}")
+    if version == 0:
+        raise FileNotFoundError(
+            f"version 0 does not exist (versions start at 1; use -1 for "
+            f"current, have {versions})"
+        )
     if version > 0:
         name = f"v_{version:06d}"
         if name not in versions:
@@ -54,6 +59,11 @@ def version_path(out: str, version: int = -1) -> str:
                 f"version {name} not retained (have {versions})"
             )
     else:
+        if version < -len(versions):
+            raise FileNotFoundError(
+                f"version {version} out of range ({len(versions)} retained: "
+                f"{versions})"
+            )
         name = versions[version]
     return os.path.join(_versions_root(out), name)
 
@@ -93,7 +103,15 @@ def next_version_dir(out: str) -> str:
 def publish_version(out: str, vdir: str, keep: int = 2) -> None:
     """Atomically point ``out`` at ``vdir``; GC all but the newest
     ``keep`` versions (current + previous by default, so in-flight
-    readers of the old pointer and ``version=-2`` time travel work)."""
+    readers of the old pointer and ``version=-2`` time travel work).
+
+    Retention contract: a reader holding a resolved version path across
+    MORE THAN ``keep - 1`` subsequent publishes is reading a GC'd
+    directory and fails loudly on access (Spark's missing-file error;
+    never silent partial data — tested in
+    ``test_gc_of_held_time_travel_version_fails_loudly``). Long-lived
+    readers need a larger ``keep``, mirroring snapshot-retention tuning
+    in table formats."""
     _migrate_legacy_dir(out)
     tmp = out + SWAP_SUFFIX
     if os.path.lexists(tmp):

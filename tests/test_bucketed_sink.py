@@ -9,6 +9,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.pipeline import EntityPipeline
 
@@ -104,10 +105,20 @@ def test_bucketed_crash_recovery_restores_moved_aside_bucket(spark, tmp_path):
     pipe = EntityPipeline(spark, landing, sink, state, bucket_partitions=8)
     pipe.run()
     table = f"{sink}/items"
-    buckets = [d for d in os.listdir(table) if d.startswith("__bucket=")]
 
-    # simulate the crashed state: one bucket moved aside, never replaced
-    victim = buckets[0]
+    # simulate the crashed state: a bucket moved aside, never replaced.
+    # The victim MUST be the bucket the retry's delta (k0) hashes into —
+    # that is the bucket the merge actually reads, so a recovery that
+    # runs after the snapshot's eager file listing silently loses its
+    # untouched keys (an arbitrary listdir victim only catches this
+    # 1-in-8 of the time).
+    k0_bucket = (
+        spark.read.parquet(table)
+        .filter(F.col("systemid") == "k0")
+        .select("__bucket")
+        .collect()[0][0]
+    )
+    victim = f"__bucket={k0_bucket}"
     aside = os.path.join(table + "__staging", "__replaced")
     os.makedirs(aside)
     shutil.move(os.path.join(table, victim), os.path.join(aside, victim))
@@ -147,6 +158,51 @@ def test_switch_pointer_sink_to_bucketed_layout(spark, tmp_path):
     assert os.path.isdir(table) and not os.path.islink(table)
     assert not os.path.exists(table + "__versions")
     assert {(r.systemid, r.amount) for r in spark.read.parquet(table).select("systemid", "amount").collect()} == {("a", 1.0)}
+
+
+def test_layout_switch_crash_mid_swap_is_recoverable(spark, tmp_path):
+    """The pointer→bucketed switch renames the old pointer + versions
+    aside BEFORE the new directory renames in (nothing is deleted until
+    the new data is live). A crash in the sink-absent window must leave
+    the old layout restorable — the retry recovers it, reads the old
+    snapshot, and completes the switch."""
+    import shutil
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.pipeline import (
+        LAYOUT_ASIDE_SUFFIX,
+    )
+
+    landing, sink, state1, state2 = (
+        str(tmp_path / "l"),
+        str(tmp_path / "s"),
+        str(tmp_path / "st1"),
+        str(tmp_path / "st2"),
+    )
+    t0 = time.time() - 100
+    _write_csv(f"{landing}/Items/b1.csv", [_live("a", "2024-01-01 10:00:00", 1)], t0)
+    EntityPipeline(spark, landing, sink, state1).run()
+    table = f"{sink}/items"
+    assert os.path.islink(table)
+
+    # simulate the crash: pointer and versions moved aside, new dir
+    # never renamed in — the sink path is absent
+    aside = table + LAYOUT_ASIDE_SUFFIX
+    os.makedirs(aside)
+    os.replace(table, os.path.join(aside, "pointer"))
+    os.replace(table + "__versions", os.path.join(aside, "versions"))
+    assert not os.path.lexists(table)
+
+    # retry with fresh state: recovery restores the pointer layout, the
+    # bucketed full load then completes the switch
+    pipe = EntityPipeline(spark, landing, sink, state2, bucket_partitions=4)
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    assert os.path.isdir(table) and not os.path.islink(table)
+    assert not os.path.exists(aside)
+    got = {
+        (r.systemid, r.amount)
+        for r in spark.read.parquet(table).select("systemid", "amount").collect()
+    }
+    assert got == {("a", 1.0)}
 
 
 def test_bucketed_delete_clears_emptied_partition(spark, tmp_path):

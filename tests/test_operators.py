@@ -209,3 +209,48 @@ def test_merge_cdc_delta_only_matches_full_merge(spark):
     fast = cdc.merge_cdc_delta_only(snap1, _changelog(spark, batch2), tie_breakers=("v",))
     full = cdc.merge_cdc(snap1, _changelog(spark, batch2), tie_breakers=("v",))
     assert {tuple(r) for r in fast.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_merge_cdc_delta_only_null_keys_do_not_accumulate(spark):
+    """NULL keys never equi-match the delta-key set, so a naive
+    semi/anti split passes snapshot NULL-key rows through untouched
+    while the delta's NULL-key rows resolve independently — one extra
+    NULL-key row per merge. The delta-only merge must keep exactly one,
+    like the batch resolve (whose window puts all NULLs in one
+    partition)."""
+    batch1 = [
+        _live(None, "2024-01-01 00:00:00", 1),
+        _live("a", "2024-01-01 00:00:00", 2),
+    ]
+    batch2 = [_live(None, "2024-01-02 00:00:00", 3)]
+    snap1 = cdc.resolve_snapshot(_changelog(spark, batch1), tie_breakers=("v",))
+    fast = cdc.merge_cdc_delta_only(snap1, _changelog(spark, batch2), tie_breakers=("v",))
+    full = cdc.merge_cdc(snap1, _changelog(spark, batch2), tie_breakers=("v",))
+    assert {tuple(r) for r in fast.collect()} == {tuple(r) for r in full.collect()}
+    assert fast.filter(F.col("systemid").isNull()).count() == 1
+
+    # a later delta WITHOUT null keys must not drop (or duplicate) the
+    # snapshot's resolved NULL-key row either
+    batch3 = [_live("b", "2024-01-03 00:00:00", 4)]
+    fast2 = cdc.merge_cdc_delta_only(fast, _changelog(spark, batch3), tie_breakers=("v",))
+    full2 = cdc.merge_cdc(fast, _changelog(spark, batch3), tie_breakers=("v",))
+    assert {tuple(r) for r in fast2.collect()} == {tuple(r) for r in full2.collect()}
+    assert fast2.filter(F.col("systemid").isNull()).count() == 1
+
+
+def test_merge_cdc_delta_only_small_delta_still_broadcasts(spark):
+    """The broadcast hint on the delta-key set was removed (a forced
+    broadcast of a large backfill delta would blow driver memory at
+    scale); AQE/statistics must still pick a broadcast join for a small
+    delta on its own."""
+    snap = cdc.resolve_snapshot(
+        _changelog(
+            spark, [_live(f"k{i}", "2024-01-01 00:00:00", i) for i in range(200)]
+        ),
+        tie_breakers=("v",),
+    )
+    delta = _changelog(spark, [_live("k0", "2024-01-02 00:00:00", 999)])
+    merged = cdc.merge_cdc_delta_only(snap, delta, tie_breakers=("v",))
+    merged.collect()  # materialize so AQE finalizes the plan
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -220,6 +220,49 @@ def test_time_travel_and_inflight_reader_survives_swap(spark, zone):
     assert {r.amount for r in pipe.read_snapshot("Items", version=2).collect()} == {2}
     with pytest.raises(FileNotFoundError):
         pipe.read_snapshot("Items", version=7)
+    # version=0 is not "the oldest retained" — versions are 1-based
+    with pytest.raises(FileNotFoundError):
+        pipe.read_snapshot("Items", version=0)
+    # a too-negative index is FileNotFoundError like any other miss,
+    # not a bare IndexError (2 versions retained here)
+    with pytest.raises(FileNotFoundError):
+        pipe.read_snapshot("Items", version=-3)
+
+
+def test_gc_of_held_time_travel_version_fails_loudly(spark, zone):
+    """Retention edge: the sink keeps current + previous, so a reader
+    holding the version=-2 snapshot across a SUBSEQUENT publish is
+    reading a GC'd directory. That must fail loudly on access — never
+    silently return partial/empty data — and re-resolving the version
+    must raise FileNotFoundError."""
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    pipe = _pipeline(spark, zone)
+    for i, amount in enumerate([1, 2]):
+        _write_csv(
+            str(landing / "Items" / f"b{i}.csv"),
+            [_live_row("a", f"2024-01-0{i + 1} 10:00:00", amount)],
+            t0 + 10 * i,
+        )
+        pipe.run()
+
+    held = pipe.read_snapshot("Items", version=-2)  # v1, oldest retained
+    assert {r.amount for r in held.collect()} == {1}
+
+    _write_csv(
+        str(landing / "Items" / "b2.csv"), [_live_row("a", "2024-01-03 10:00:00", 3)], t0 + 20
+    )
+    pipe.run()  # publishes v3 -> v1 is GC'd
+
+    with pytest.raises(Exception) as exc:
+        held.collect()
+    msg = str(exc.value)
+    assert "FileNotFound" in msg or "does not exist" in msg or "PATH_NOT_FOUND" in msg
+    with pytest.raises(FileNotFoundError):
+        pipe.read_snapshot("Items", version=-3)  # v1 no longer resolvable
+    # current + previous still retained and readable
+    assert {r.amount for r in pipe.read_snapshot("Items", version=-2).collect()} == {2}
+    assert {r.amount for r in pipe.read_snapshot("Items", version=-1).collect()} == {3}
 
 
 def test_legacy_plain_dir_sink_migrates_on_first_publish(spark, zone):

@@ -58,26 +58,128 @@ def test_embedding_near_dup_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_grid_near_dup_matches_bruteforce(spark):
-    """Recall proof at fixture scale: the grid-bucketed pair set equals
-    the brute-force all-pairs result exactly."""
+def _brute_pairs(emb, threshold):
     from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
         cosine,
-        grid_near_dup_pairs,
     )
 
-    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
-    got = {(r.id_a, r.id_b) for r in grid_near_dup_pairs(emb, threshold=0.2).collect()}
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     brute = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.2)
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
     )
-    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    return {(r.id_a, r.id_b) for r in brute.collect()}
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """One decimal-exact k-means update must not cost recall vs the raw
+    subsample seeds (and should usually help — trained means track the
+    corpus distribution instead of the first N vectors)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        refine_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(centroids):
+        got = {}
+        for r in ivf_topk(emb, centroids, queries, k=10, nprobe=4).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(q, set()) & n) / len(n) for q, n in truth.items()
+        ) / len(truth)
+
+    seeds = emb.filter(F.col("vec_id") < 16)
+    r_seeds = recall(seeds)
+    r_trained = recall(refine_centroids(emb, seeds))
+    assert r_trained > 0
+    assert r_trained >= r_seeds, f"training lost recall: {r_trained} < {r_seeds}"
+
+
+def test_grid_near_dup_matches_bruteforce(spark):
+    """Recall proof at fixture scale: the grid-bucketed pair set equals
+    the brute-force all-pairs result exactly — at the derived k_dims AND
+    at every explicit k in {2,3,4} (the knob must not cost recall)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        grid_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    want = _brute_pairs(emb, 0.2)
+    assert len(want) > 0
+    for k in (None, 2, 3, 4):
+        got = {
+            (r.id_a, r.id_b)
+            for r in grid_near_dup_pairs(emb, threshold=0.2, k_dims=k).collect()
+        }
+        assert got == want, f"k_dims={k} lost or invented pairs"
+
+
+def test_grid_threshold_one_finds_verbatim_copies(spark):
+    """threshold=1.0 (exact duplicates) must return the verbatim copies,
+    pair-for-pair equal to brute force — the unguarded g=sqrt(2(1-t))=0
+    NULLed every cell key and silently returned nothing."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        grid_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    got = {
+        (r.id_a, r.id_b)
+        for r in grid_near_dup_pairs(corpus, threshold=1.0).collect()
+    }
+    want = _brute_pairs(corpus, 1.0)
     assert got == want and len(want) > 0
+
+
+def test_grid_threshold_above_one_rejected(spark):
+    import pytest
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        grid_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="threshold"):
+        grid_near_dup_pairs(emb, threshold=1.01)
+
+
+def test_grid_k_dims_sizing_rule_and_occupancy(spark):
+    """The sizing rule scales k with corpus size, and at the derived k
+    the OBSERVED max cell occupancy stays under the target — the
+    saturation probe that makes grid overload visible instead of
+    silently going quadratic inside hot cells."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        grid_cell_occupancy,
+        grid_k_dims,
+    )
+
+    # monotone in corpus size; bounded by max_k; degenerate wide-cell
+    # case (g >= spread) stays at min_k instead of paying 3^k probes
+    assert grid_k_dims(500, 0.999, dim=64) == 2
+    ks = [grid_k_dims(n, 0.999, dim=64) for n in (500, 10**6, 10**9, 10**12)]
+    assert ks == sorted(ks) and ks[-1] <= 6 and ks[1] > 2
+    assert grid_k_dims(10**9, 0.2, dim=64) == 2  # g > spread: gridding moot
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    k = grid_k_dims(n, 0.999, dim=64)
+    occ = grid_cell_occupancy(emb, threshold=0.999, k_dims=k)
+    max_occ = occ.agg(F.max("n")).first()[0]
+    assert max_occ <= 64, f"derived k_dims={k} saturated: max occupancy {max_occ}"
 
 
 def test_stream_watermark_drops_late_rows(spark, tmp_path):

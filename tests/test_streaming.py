@@ -73,6 +73,50 @@ def test_stream_cdc_merge_equals_batch(spark, tmp_path, changelog):
     assert got == want and len(got) > 0
 
 
+def test_stream_cdc_merge_null_keys_equal_batch(spark, tmp_path, changelog):
+    """NULL-key rows must not accumulate one-per-microbatch: the
+    delta-only merge routes snapshot NULL-key rows into the re-resolved
+    side, so draining NULL-key rows across several micro-batches leaves
+    exactly one — same as the batch resolve."""
+    source = tmp_path / "source"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    split = "2024-01-16 00:00:00"
+    nulled = changelog.withColumn(
+        "systemid",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("systemid")
+        ),
+    )
+    b1 = nulled.filter(F.col("systemmodifiedat") < split)
+    b2 = nulled.filter(
+        F.col("systemmodifiedat").isNull() | (F.col("systemmodifiedat") >= split)
+    )
+    assert b1.filter(F.col("systemid").isNull()).count() > 0
+    assert b2.filter(F.col("systemid").isNull()).count() > 0
+
+    for batch in (b1, b2):
+        batch.write.parquet(str(source), mode="append")
+        stream_cdc_merge(
+            spark, str(source), nulled.schema, sink, ckpt, tie_breakers=("event_id",)
+        ).awaitTermination(120)
+
+    result = spark.read.parquet(sink)
+    assert result.filter(F.col("systemid").isNull()).count() == 1
+    got = {
+        tuple(r)
+        for r in result.select("systemid", "event_id", "value").collect()
+    }
+    want = {
+        tuple(r)
+        for r in cdc.resolve_snapshot(nulled, tie_breakers=("event_id",))
+        .select("systemid", "event_id", "value")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_sink_single_write_per_microbatch(spark, tmp_path, changelog):
     """Each micro-batch publishes exactly ONE new version through the
     pointer sink — no staging rewrite (the r2 double-write is gone):

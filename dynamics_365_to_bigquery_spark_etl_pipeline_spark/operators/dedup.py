@@ -270,6 +270,70 @@ def hamming64_sql(a: str, b: str) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate GROUPS from near-dup pairs: connected components by
+    min-label propagation. Returns ``(id, group_id)`` for every node in
+    the pair graph, where ``group_id`` is the smallest id reachable —
+    the canonical survivor, so `WHERE id != group_id` is the delete set.
+
+    This is the end-step a near-dedup pipeline actually needs: LSH
+    emits PAIRS, but retention decisions are per-CLUSTER (A~B, B~C must
+    keep exactly one of {A,B,C}, not resolve pairs independently).
+
+    Pregel-style iteration: each round every node takes the min of its
+    own and its neighbors' labels — one join + one groupBy (shuffle on
+    node id) per round, converging in <= cluster-diameter rounds.
+    Near-dup clusters are shallow (most are 2-3 nodes; diameter grows
+    only through chains of pairwise-similar docs), so rounds stay in
+    single digits. Each round's labels are persisted and the previous
+    round unpersisted, keeping lineage flat; the driver-side
+    convergence check (one count per round) is the standard shape for
+    iterative algorithms on Spark — it moves one integer, not data.
+    At extreme diameters the alternating star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") halves rounds;
+    not needed for dedup graphs.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("group_id", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            msgs = edges.join(labels, edges.src == labels.id).select(
+                F.col("dst").alias("id"), "group_id"
+            )
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("group_id").alias("group_id"))
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("group_id", "prev"), "id"
+                )
+                .filter(F.col("group_id") != F.col("prev"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
 def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     """Exact dedup: one hash-aggregate on the content key; keeps the
     smallest id per group and reports group size."""

@@ -334,7 +334,16 @@ def ivf_topk(
     Returns (query_id, neighbor_id, rank). At 100 TB the bucketed
     corpus is written ``partitionBy(bucket_id)`` so probing prunes
     partitions instead of scanning (plan-asserted in
-    ``test_ivf_bucket_layout_prunes_partitions``)."""
+    ``test_ivf_bucket_layout_prunes_partitions``).
+
+    The probe set (queries x nprobe) is DELIBERATELY broadcast — unlike
+    the delta-key set in ``merge_cdc_delta_only``, a shuffled fallback
+    is not a graceful degradation here: the join key is ``bucket_id``
+    (cardinality = #centroids), so a shuffle join concentrates the
+    entire corpus onto #centroids reducers. The operator's contract is
+    a query BATCH (bounded by the broadcast threshold); huge query sets
+    are chunked into batches by the caller, each probing pruned bucket
+    partitions."""
     bucketed = assign_ivf_buckets(corpus, centroids, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")

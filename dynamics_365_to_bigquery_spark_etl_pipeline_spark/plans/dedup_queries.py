@@ -206,6 +206,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_near_dup_pairs(corpus, threshold=COSINE_DUP_MIN)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: the MinHash-LSH verified pairs resolved into
+    connected components — ``group_id`` is each doc's canonical survivor
+    (min reachable doc_id), so ``doc_id != group_id`` is the delete set.
+
+    Pairs alone under-delete transitive duplicates (A~B, B~C must keep
+    ONE of three, but pairwise resolution keeps two); the component
+    step is what a retention decision actually consumes. The DuckDB
+    oracle computes the same components with a recursive CTE, so the
+    iterative Spark propagation is value-checked end to end."""
+    pairs = _minhash_pairs(spark, sf_dir, fast=False).select("id_a", "id_b")
+    return D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "group_id"
+    )
+
+
 def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard top-k: the 10 documents most similar to doc 0 by
     3-token-shingle Jaccard (brute force against a broadcast query doc)."""
@@ -234,9 +250,10 @@ EXTRA_QUERIES = {
     # family isn't SQL-portable, so its real check is the pair-set
     # equivalence test in tests/test_tierb_operators.py.
     "q_dedup_minhash_fast": q_dedup_minhash_fast,
+    # pairs -> connected components (registry is at the driver's 50-row
+    # cap; full recursive-CTE oracle below, harness-checked in pytest)
+    "q_dedup_groups": q_dedup_groups,
 }
-
-EXTRA_ORACLES: dict[str, str] = {}
 
 _FP = "md5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')))"
 _SHINGLED_SQL = f"""
@@ -328,5 +345,46 @@ FROM shingled s CROSS JOIN query q
 WHERE s.doc_id != 0
 ORDER BY jacc DESC, s.doc_id ASC
 LIMIT 10
+""",
+}
+
+EXTRA_ORACLES = {
+    # components via recursive CTE: MIN reachable id per node over the
+    # undirected verified-pair graph — the ground truth the iterative
+    # Spark min-label propagation must converge to
+    "q_dedup_groups": f"""
+WITH RECURSIVE {_SHINGLED_SQL},
+sigs AS (
+  SELECT doc_id, sh, {D.band_keys_sql(D.minhash_signature_sql('sh'))} AS bands
+  FROM shingled
+),
+banded AS (
+  SELECT doc_id, b - 1 AS band_id, bands[b] AS band_hash
+  FROM sigs, (SELECT unnest(range(1, {D.LSH_BANDS + 1})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT p.id_a, p.id_b
+  FROM cand p
+  JOIN shingled sa ON sa.doc_id = p.id_a
+  JOIN shingled sb ON sb.doc_id = p.id_b
+  WHERE {D.jaccard_sql('sa.sh', 'sb.sh')} >= {JACCARD_MIN}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach(id, lbl) AS (
+  SELECT DISTINCT src AS id, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
 """,
 }

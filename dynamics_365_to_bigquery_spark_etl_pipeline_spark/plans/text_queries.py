@@ -90,6 +90,33 @@ def q_text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation gate — the composition a training-data
+    pipeline actually ships: keep a document iff it is (a) the
+    exact-dedup survivor of its content-fingerprint group, (b)
+    identified as English, and (c) above the quality bar. Three
+    doc_id-keyed joins of the individual Tier-B stages (one shuffle
+    key throughout — co-partitioned at scale), each stage separately
+    oracle-checked, the composition checked here."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = (
+        docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+        .withColumn("keep", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("keep"))
+        .select("doc_id")
+    )
+    quality = q_text_quality_score(spark, sf_dir)
+    lang = q_text_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    return (
+        quality.join(lang, "doc_id")
+        .join(survivors, "doc_id")
+        .filter((F.col("quality_score") >= 70) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "pred_lang", "quality_score")
+    )
+
+
 QUERIES = {
     "q_text_token_stats": q_text_token_stats,
     "q_text_quality_score": q_text_quality_score,
@@ -152,5 +179,42 @@ SELECT source, COUNT(*) AS n_docs,
   COUNT(DISTINCT {X.fingerprint_sql('text')}) AS n_distinct_fp
 FROM documents
 GROUP BY source
+""",
+}
+
+EXTRA_QUERIES = {
+    # composition of the registered quality/lang/fingerprint stages
+    # (registry is at the driver's 50-row cap; full oracle below)
+    "q_corpus_curation": q_corpus_curation,
+}
+
+EXTRA_ORACLES = {
+    "q_corpus_curation": f"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(
+      (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 2000 THEN 40 ELSE 10 END)
+      + (CASE WHEN LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100
+               >= LENGTH(text) * 60 THEN 30 ELSE 5 END)
+      + (CASE WHEN {_STOPS} * 100 >= {_TOKENS} * 5 THEN 30 ELSE 5 END)
+    AS INT) AS quality_score
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+  {_LANG_SCORE_COLS}
+  FROM documents
+),
+l AS (SELECT doc_id, {_PRED_CASE} AS pred_lang FROM scored),
+s AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      MIN(doc_id) OVER (PARTITION BY {X.fingerprint_sql('text')}) AS keep
+    FROM documents
+  ) WHERE doc_id = keep
+)
+SELECT q.doc_id, l.pred_lang, q.quality_score
+FROM q JOIN l USING (doc_id) JOIN s USING (doc_id)
+WHERE q.quality_score >= 70 AND l.pred_lang = 'en'
 """,
 }

@@ -216,3 +216,19 @@ def test_fingerprint_normalizes_punctuation(spark):
     )
     fps = {r.f for r in df.select(X.fingerprint(F.col("t")).alias("f")).collect()}
     assert len(fps) == 1
+
+
+def test_connected_components_resolves_transitive_chains(spark):
+    """A~B, B~C must land in ONE group with the min id as survivor —
+    pairwise resolution would keep two of three. Includes a 4-node
+    chain (propagation needs >1 round) and isolated pairs."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (23, 22), (21, 22), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {(r.id, r.group_id) for r in D.connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }

@@ -164,13 +164,25 @@ def merge_cdc_delta_only(
     Routing them into the re-resolved side preserves the
     delta-only ≡ full-merge invariant.
     """
-    delta_keys = delta.select(key).filter(F.col(key).isNotNull()).distinct()
-    touched_snapshot = snapshot.join(delta_keys, on=key, how="left_semi").unionByName(
-        snapshot.filter(F.col(key).isNull())
+    delta_keys = (
+        delta.select(key)
+        .filter(F.col(key).isNotNull())
+        .distinct()
+        .withColumn("__touched", F.lit(True))
     )
-    untouched = snapshot.join(delta_keys, on=key, how="left_anti").filter(
-        F.col(key).isNotNull()
-    )
+    # One LEFT join marks touched rows instead of separate semi/anti
+    # joins plus a NULL-key filter scan — two passes over the snapshot
+    # (one per branch below), not three. delta_keys is distinct, so the
+    # left join cannot duplicate snapshot rows; a NULL snapshot key
+    # never matches, leaving __touched NULL, and is routed touched by
+    # the explicit isNull disjunct.
+    marked = snapshot.join(delta_keys, on=key, how="left")
+    touched_snapshot = marked.filter(
+        F.col("__touched").isNotNull() | F.col(key).isNull()
+    ).drop("__touched")
+    untouched = marked.filter(
+        F.col("__touched").isNull() & F.col(key).isNotNull()
+    ).drop("__touched")
     resolved_touched = merge_cdc(touched_snapshot, delta, key, order_col, tie_breakers)
     return untouched.unionByName(resolved_touched, allowMissingColumns=True)
 

@@ -89,3 +89,45 @@ def test_incremental_equals_full_load(spark, data):
     if snapshot is None:
         return
     assert {tuple(r) for r in snapshot.collect()} == {tuple(r) for r in full.collect()}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: the iterative Spark min-label propagation equals a
+    plain union-find on arbitrary random pair graphs (not just the
+    shallow clusters the fixtures produce)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").distinct()
+    got = {(r.id, r.group_id) for r in connected_components(pairs).collect()}
+    assert got == want

@@ -58,6 +58,77 @@ def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("byte_offset", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    frame_size: int = 16,
+    stride: int = 4,
+    frame_decoder: Callable[[bytes, str], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame sampling over an opaque media byte stream (the video/audio
+    counterpart of ``extract_features``): split each payload into
+    consecutive ``frame_size``-byte windows, keep every ``stride``-th
+    frame, emit per-frame offset/size/hash rows.
+
+    A real codec plugs in via ``frame_decoder(payload, mime) ->
+    list[frame_bytes]`` (ffmpeg keyframes, audio windows); the default
+    byte-windowing is the deterministic stand-in that keeps the Spark
+    plumbing — Arrow batching, per-row fan-out, partition-preserving
+    no-shuffle shape — real and testable in a codec-less container.
+
+    Scale: mapInPandas fan-out, each input row yields
+    ceil(n_bytes / frame_size) / stride rows with NO shuffle; output
+    inherits the payload partitioning, so frame tables stay co-located
+    with their source blobs. The per-payload Python loop is the same
+    shape a real decoder forces (codecs are per-payload, not
+    vectorizable across rows); bytes move once via Arrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            mimes = pdf["meta"].map(lambda m: m["mime"])
+            doc_ids, fids, offs, sizes, hashes = [], [], [], [], []
+            for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], mimes):
+                if frame_decoder is not None:
+                    frames = list(enumerate(frame_decoder(payload, mime)))
+                else:
+                    n = (len(payload) + frame_size - 1) // frame_size
+                    frames = [
+                        (i, payload[i * frame_size : (i + 1) * frame_size])
+                        for i in range(n)
+                    ]
+                for fid, chunk in frames:
+                    if fid % stride:
+                        continue
+                    doc_ids.append(doc_id)
+                    fids.append(fid)
+                    offs.append(fid * frame_size)
+                    sizes.append(len(chunk))
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int32"),
+                    "byte_offset": pd.Series(offs, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return binary_df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(
     binary_df: DataFrame,
     decoder: Callable[[bytes, str], dict] | None = None,

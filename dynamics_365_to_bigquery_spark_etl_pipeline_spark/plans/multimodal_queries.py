@@ -19,14 +19,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..catalog import load_table
-from ..operators.multimodal import attach_binary, extract_features
+from ..operators.multimodal import attach_binary, extract_features, sample_frames
 from .similarity_queries import QUERY_MOD, TOP_K
+
+FRAME_SIZE = 16
+FRAME_STRIDE = 4
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> Arrow-batched byte-level features."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary(docs))
+
+
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary payload: every 4th 16-byte window
+    with offset/size/md5 — the mapInPandas fan-out a video keyframe or
+    audio-window extractor runs through, with the codec stubbed to
+    deterministic byte windows. The oracle mirrors the windows with
+    SQL substring+md5 (fixture text is ASCII, so byte windows == char
+    windows — the same assumption q_multimodal_features' content_md5
+    oracle already relies on)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(
+        attach_binary(docs), frame_size=FRAME_SIZE, stride=FRAME_STRIDE
+    )
 
 
 def _cosine_batch_udf():
@@ -86,3 +103,30 @@ FROM documents
 from .similarity_queries import ORACLES as _SIM_ORACLES  # noqa: E402
 
 ORACLES["q_sim_topk_pandas_udf"] = _SIM_ORACLES["q_sim_bruteforce_topk"]
+
+EXTRA_QUERIES = {
+    # mapInPandas frame fan-out variant of the registered
+    # q_multimodal_features (registry at the driver's 50-row cap)
+    "q_multimodal_framesample": q_multimodal_framesample,
+}
+
+EXTRA_ORACLES = {
+    "q_multimodal_framesample": f"""
+WITH f AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+),
+ids AS (
+  SELECT doc_id, text, nb,
+    unnest(range(0, CAST(ceil(nb / {FRAME_SIZE}.0) AS BIGINT))) AS frame_id
+  FROM f
+)
+SELECT doc_id,
+  CAST(frame_id AS INT) AS frame_id,
+  CAST(frame_id * {FRAME_SIZE} AS INT) AS byte_offset,
+  CAST(LEAST({FRAME_SIZE}, nb - frame_id * {FRAME_SIZE}) AS INT) AS n_bytes,
+  md5(substring(text, CAST(frame_id * {FRAME_SIZE} + 1 AS INT), {FRAME_SIZE}))
+    AS frame_md5
+FROM ids
+WHERE frame_id % {FRAME_STRIDE} = 0
+""",
+}

@@ -59,3 +59,45 @@ def test_prune_files_by_watermark(tmp_path):
     assert len(csv_entity.prune_files(files, None)) == 3
     assert len(csv_entity.prune_files(files, t0 + 5)) == 2
     assert len(csv_entity.prune_files(files, t0 + 20)) == 0
+
+
+def test_jsonl_source_reads_quarantines_and_prunes_columns(spark, tmp_path):
+    """JSONL document source: explicit-schema parse, corrupt-line
+    quarantine (no silent row loss), typed nested metadata with struct
+    field pruning reaching the scan."""
+    import json as _json
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.sources import jsonl_docs
+
+    p = tmp_path / "docs.jsonl"
+    rows = [
+        {"doc_id": 1, "source": "crawl", "lang": "en", "text": "hello world",
+         "meta": {"url": "http://a", "fetched_at": "2024-01-01", "license": "cc"}},
+        {"doc_id": 2, "source": "crawl", "lang": "de", "text": "hallo welt",
+         "meta": {"url": "http://b", "fetched_at": "2024-01-02", "license": "mit"}},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+        f.write('{"doc_id": 3, "source": "crawl", BROKEN\n')  # corrupt line
+
+    df = jsonl_docs.read_jsonl(spark, str(p))
+    clean, bad = jsonl_docs.split_corrupt(df)
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert "BROKEN" in bad.first()["_corrupt_record"]
+    got = {(r.doc_id, r.text, r.meta.url) for r in clean.collect()}
+    assert got == {(1, "hello world", "http://a"), (2, "hallo welt", "http://b")}
+
+    # struct-field pruning: a doc_id+text projection must not read meta
+    pruned = jsonl_docs.read_jsonl(spark, str(p), capture_corrupt=False).select(
+        "doc_id", "text"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "meta" not in plan
+
+    # round-trip into the Tier-B parquet layout
+    out = str(tmp_path / "documents")
+    jsonl_docs.write_documents_table(clean, out, buckets=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 2 and "meta" in back.columns

@@ -232,3 +232,43 @@ def test_connected_components_resolves_transitive_chains(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20), (23, 20),
     }
+
+
+def test_sample_frames_windows_and_decoder_injection(spark):
+    """Frame sampler: deterministic byte windows (count/offset/tail
+    size), empty payloads yield no frames, and a custom frame_decoder
+    plugs into the same plumbing."""
+    import hashlib
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 40), (2, "")], ["doc_id", "text"]
+    )
+    binary = attach_binary(docs)
+    got = {
+        (r.doc_id, r.frame_id, r.byte_offset, r.n_bytes, r.frame_md5)
+        for r in sample_frames(binary, frame_size=16, stride=2).collect()
+    }
+    # 40 bytes -> frames 0,1,2 (sizes 16,16,8); stride 2 keeps 0 and 2
+    md5 = lambda b: hashlib.md5(b).hexdigest()  # noqa: E731
+    assert got == {
+        (1, 0, 0, 16, md5(b"a" * 16)),
+        (1, 2, 32, 8, md5(b"a" * 8)),
+    }
+
+    # decoder injection: a "codec" that emits two fixed frames per doc
+    def fake_codec(payload, mime):
+        return [payload[:4], payload[4:8]]
+
+    with_codec = {
+        (r.doc_id, r.frame_id, r.n_bytes)
+        for r in sample_frames(
+            binary.filter("doc_id = 1"), frame_size=16, stride=1,
+            frame_decoder=fake_codec,
+        ).collect()
+    }
+    assert with_codec == {(1, 0, 4), (1, 1, 4)}

@@ -17,6 +17,7 @@ from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
     advanced_queries,
     analytics_queries,
     cdc_queries,
+    curation_queries,
     dedup_queries,
     functions_queries,
     multimodal_queries,
@@ -37,6 +38,7 @@ _PLAN_MODULES = [
     advanced_queries,
     functions_queries,
     sql_surface_queries,
+    curation_queries,
 ]
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,68 @@
+"""Corpus-curation operators for LLM training-data pipelines (BASELINE
+north star; no counterpart in the reference, which stops at per-entity
+CDC — SURVEY.md §2.7): benchmark decontamination, deterministic
+stratified sampling, blocklist filtering, and sequence packing.
+
+Like ``operators/text.py``, everything here is a pure JVM-side column
+expression (whole-stage codegen, no Python) with an exact ANSI-SQL
+mirror, so each step is oracle-checkable and scales linearly with
+executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) over whitespace tokens;
+    empty array when the document has fewer than ``n`` tokens.
+
+    ``sequence(1, size - n + 1)`` is guarded by a ``when`` because an
+    unguarded Spark ``sequence`` with stop < start counts DOWN instead
+    of returning empty."""
+    toks = F.split(F.trim(text), r"\s+")
+    n_pos = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        n_pos > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams_sql(expr: str, n: int) -> str:
+    """DuckDB mirror of ``word_ngrams`` (1-indexed inclusive slices;
+    ``range(a, b)`` is empty when b <= a, so no guard needed)."""
+    toks = f"regexp_split_to_array(TRIM({expr}), '\\s+')"
+    return (
+        f"list_transform(range(1, LEN({toks}) - {n} + 2), "
+        f"i -> array_to_string({toks}[i:i + {n - 1}], ' '))"
+    )
+
+
+def hash60(col: Column) -> Column:
+    """Uniform 60-bit non-negative hash of a string column — the
+    portable md5 family (DuckDB: ``('0x' || substr(md5(x), 1, 15))::
+    BIGINT``), used wherever sampling or bucketing must reproduce
+    bit-for-bit across engines and re-executions."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def sample_permille(key: Column, permille: Column) -> Column:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``hash60(key) % 1000 < permille``. Hash-based (not ``rand()``) so
+    the sample is stable under retries, AQE re-partitioning, and
+    speculative re-execution — the only sampling that is reproducible
+    on a 1000-executor cluster."""
+    return (hash60(key) % 1000) < permille
+
+
+def sample_permille_sql(key_expr: str, permille_expr: str) -> str:
+    return f"({hash60_sql(key_expr)} % 1000) < ({permille_expr})"

@@ -1,0 +1,211 @@
+"""Corpus-curation query family over ``documents`` (Tier B, BASELINE
+north star): the pipeline steps between "raw corpus" and "training
+batches" that the Tier-B dedup/quality stages don't cover —
+
+- benchmark decontamination (train/test n-gram overlap, the step that
+  keeps eval sets out of the training corpus),
+- deterministic stratified sampling (per-language data-mixture rates
+  that survive retries and re-partitioning),
+- blocklist filtering (C4-style bad-words document gate),
+- sequence packing (concat-and-chop document → training-sequence
+  assignment).
+
+All pure JVM expressions with exact DuckDB mirrors; registered as
+extras because the driver registry is at its 50-row cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import curation as C
+from ..operators import text as X
+
+NGRAM_N = 4
+TEST_SPLIT_MOD = 13  # doc_id % 13 == 0 -> held-out "benchmark" split
+SEQ_LEN = 256  # tokens per packed training sequence
+
+# per-language permille sampling rates (data-mixture weights)
+STRAT_RATES = {"en": 500, "de": 400, "fr": 300}
+STRAT_DEFAULT = 200
+SAMPLE_SALT = "strat:"
+
+BLOCKLIST = ("spark", "merge", "slow")
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, count its
+    distinct word 4-grams that also occur anywhere in the held-out split
+    (doc_id % 13 == 0); emit only contaminated docs.
+
+    Scale shape: the held-out side is SMALL by construction (eval
+    benchmarks, not corpora), so its distinct n-gram set is explicitly
+    broadcast — the train side streams through a broadcast-hash join
+    with NO shuffle. N-grams are joined by their portable 60-bit hash,
+    not the string, so the broadcast table and the join keys are 8-byte
+    ints regardless of n-gram length."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(C.word_ngrams(F.col("text"), NGRAM_N)).alias("grams"),
+    )
+    is_test = F.col("doc_id") % TEST_SPLIT_MOD == 0
+    test_set = (
+        grams.filter(is_test)
+        .select(F.explode("grams").alias("ngram"))
+        .select(C.hash60(F.col("ngram")).alias("gh"))
+        .distinct()
+    )
+    train = grams.filter(~is_test).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_doc_ngrams"),
+        F.explode("grams").alias("ngram"),
+    )
+    return (
+        train.withColumn("gh", C.hash60(F.col("ngram")))
+        .join(F.broadcast(test_set), "gh")
+        .groupBy("doc_id", "n_doc_ngrams")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample for data mixing: keep each doc
+    with a per-language permille rate, decided by a salted portable hash
+    of doc_id — NOT rand(), so the sample is identical across engines,
+    retries, AQE re-plans, and speculative re-execution. Pure map-side
+    filter: no shuffle, fully pushes behind the scan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(STRAT_DEFAULT)
+    for lang, permille in sorted(STRAT_RATES.items()):
+        rate = F.when(F.col("lang") == lang, permille).otherwise(rate)
+    key = F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))
+    return docs.filter(C.sample_permille(key, rate)).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate: per-document count of blocklisted word
+    hits (word-boundary regex, case-insensitive) and the keep/drop
+    decision. One scan, per-row JVM regex, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+    hits = F.regexp_count(F.lower(F.col("text")), F.lit(pattern))
+    return docs.select(
+        "doc_id",
+        hits.cast("long").alias("n_blocklist_hits"),
+        (hits == 0).cast("int").alias("keep"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are concatenated in
+    doc_id order and chopped into SEQ_LEN-token training sequences; each
+    doc gets its sequence id, offset within the sequence, and whether it
+    straddles a boundary.
+
+    Scale shape: the running token total is windowed PARTITION BY
+    source, not globally — a global ORDER BY window is a single-reducer
+    bottleneck at 100 TB, while per-source (or per-shard) packing keeps
+    every partition independent and is exactly how packing shards out in
+    practice (sequences never need to cross shard boundaries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = X.token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    staged = docs.select("doc_id", "source", nt.alias("n_tokens")).withColumn(
+        "start_offset", start
+    )
+    seq_id = F.floor(F.col("start_offset") / F.lit(SEQ_LEN))
+    end = F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return staged.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        seq_id.alias("seq_id"),
+        (F.col("start_offset") % SEQ_LEN).alias("offset_in_seq"),
+        (F.floor(end / F.lit(SEQ_LEN)) > seq_id).cast("int").alias("spans_boundary"),
+    )
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_GRAMS = C.word_ngrams_sql("text", NGRAM_N)
+_RATE_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN {p}" for lang, p in sorted(STRAT_RATES.items())
+    )
+    + f" ELSE {STRAT_DEFAULT} END"
+)
+_BL_PATTERN = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+
+EXTRA_QUERIES = {
+    "q_decontaminate_ngram": q_decontaminate_ngram,
+    "q_sample_stratified": q_sample_stratified,
+    "q_text_blocklist": q_text_blocklist,
+    "q_pack_sequences": q_pack_sequences,
+}
+
+EXTRA_ORACLES = {
+    "q_decontaminate_ngram": f"""
+WITH g AS (
+  SELECT doc_id, list_distinct({_GRAMS}) AS grams FROM documents
+),
+test_set AS (
+  SELECT DISTINCT {C.hash60_sql('ngram')} AS gh
+  FROM (SELECT unnest(grams) AS ngram FROM g WHERE doc_id % {TEST_SPLIT_MOD} = 0)
+),
+train AS (
+  SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS n_doc_ngrams,
+         {C.hash60_sql('ngram')} AS gh
+  FROM (SELECT doc_id, grams, unnest(grams) AS ngram FROM g
+        WHERE doc_id % {TEST_SPLIT_MOD} <> 0)
+)
+SELECT doc_id, n_doc_ngrams, COUNT(*) AS n_contaminated
+FROM train JOIN test_set USING (gh)
+GROUP BY doc_id, n_doc_ngrams
+""",
+    "q_sample_stratified": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {C.sample_permille_sql(
+        "'" + SAMPLE_SALT + "' || CAST(doc_id AS VARCHAR)", _RATE_CASE)}
+""",
+    "q_text_blocklist": f"""
+SELECT doc_id,
+  CAST(LEN(regexp_extract_all(LOWER(text), '{_BL_PATTERN}')) AS BIGINT)
+    AS n_blocklist_hits,
+  CAST(CASE WHEN LEN(regexp_extract_all(LOWER(text), '{_BL_PATTERN}')) = 0
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents
+""",
+    "q_pack_sequences": f"""
+WITH s AS (
+  SELECT doc_id, source, CAST({X.token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset
+  FROM s
+)
+SELECT doc_id, source, n_tokens,
+  CAST(FLOOR(start_offset / {SEQ_LEN}.0) AS BIGINT) AS seq_id,
+  start_offset % {SEQ_LEN} AS offset_in_seq,
+  CAST(CASE WHEN FLOOR((start_offset + GREATEST(n_tokens, 1) - 1) / {SEQ_LEN}.0)
+            > FLOOR(start_offset / {SEQ_LEN}.0) THEN 1 ELSE 0 END AS INT)
+    AS spans_boundary
+FROM o
+""",
+}

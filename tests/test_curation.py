@@ -1,0 +1,108 @@
+"""Semantics + scale-shape tests for the corpus-curation family
+(decontamination, stratified sampling, blocklist, sequence packing).
+Oracle parity for each query is covered by test_entry_contract; these
+tests pin the properties the oracle comparison can't see."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import curation as C
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import curation_queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_word_ngrams_values_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "   "), (4, "x  y\tz w")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.grams
+        for r in df.select(
+            "doc_id", C.word_ngrams(F.col("text"), 3).alias("grams")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []  # fewer than n tokens -> empty, not descending seq
+    assert got[3] == []
+    assert got[4] == ["x y z", "y z w"]  # any-whitespace tokenization
+
+
+def test_decontaminate_joins_by_broadcast(spark):
+    """The held-out n-gram set is small by construction; the train-side
+    probe must be a broadcast hash join (no shuffle of the exploded
+    train n-grams), and no all-pairs fallback."""
+    df = Q.q_decontaminate_ngram(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0
+
+
+def test_stratified_sample_matches_hash_rule(spark):
+    """Membership is exactly the salted-md5 permille rule — reproducible
+    from outside Spark — and repeated runs return the identical set."""
+    kept = {r.doc_id: r.lang for r in Q.q_sample_stratified(spark, SF_DIR).collect()}
+    docs = Q.load_table(spark, SF_DIR, "documents").select("doc_id", "lang").collect()
+    expected = {}
+    for r in docs:
+        u = int(hashlib.md5(f"strat:{r.doc_id}".encode()).hexdigest()[:15], 16) % 1000
+        rate = Q.STRAT_RATES.get(r.lang, Q.STRAT_DEFAULT)
+        if u < rate:
+            expected[r.doc_id] = r.lang
+    assert kept == expected
+    again = {r.doc_id for r in Q.q_sample_stratified(spark, SF_DIR).collect()}
+    assert again == set(kept)
+
+
+def test_blocklist_counts_word_boundaries_only(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark sparkles; merge MERGED slow."), (2, "clean text only")],
+        ["doc_id", "text"],
+    )
+    pattern = r"\b(" + "|".join(Q.BLOCKLIST) + r")\b"
+    hits = F.regexp_count(F.lower(F.col("text")), F.lit(pattern))
+    got = {
+        r.doc_id: (r.n, r.keep)
+        for r in df.select(
+            "doc_id", hits.alias("n"), (hits == 0).cast("int").alias("keep")
+        ).collect()
+    }
+    # spark + merge + "slow." all match; "sparkles"/"MERGED" do not
+    assert got == {1: (3, 0), 2: (0, 1)}
+
+
+def test_pack_sequences_invariants(spark):
+    rows = Q.q_pack_sequences(spark, SF_DIR).collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, group in by_source.items():
+        group.sort(key=lambda r: r.doc_id)
+        # reconstruct the running offsets: packing is exactly
+        # concat-in-doc_id-order then chop at SEQ_LEN
+        start = 0
+        for r in group:
+            assert r.seq_id == start // Q.SEQ_LEN
+            assert r.offset_in_seq == start % Q.SEQ_LEN
+            end = start + max(r.n_tokens, 1) - 1
+            assert r.spans_boundary == int(end // Q.SEQ_LEN > r.seq_id)
+            start += r.n_tokens
+        # first doc of every shard starts sequence 0 at offset 0
+        assert group[0].seq_id == 0 and group[0].offset_in_seq == 0
+
+
+def test_pack_sequences_window_is_sharded_not_global(spark):
+    """The running sum must partition by source — a global ORDER BY
+    window (SinglePartition exchange) is the 100 TB bottleneck this
+    operator is specifically shaped to avoid."""
+    df = Q.q_pack_sequences(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan

@@ -62,8 +62,18 @@ def main() -> None:
 
     # Warm the JVM/code paths with a NON-headline query (scan + shuffle +
     # agg over orders) so per-query timings measure the plan, not session
-    # startup — and no timed query double-dips as its own warm-up.
+    # startup — and no timed query double-dips as its own warm-up. Then
+    # touch every table once so the FIRST timed query doesn't eat the
+    # cold parquet-footer / page-cache cost the others never pay (the
+    # pre-warm cdc_snapshot spread [0.68, 1.84] was exactly that).
     queries["q_rollup_sales"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import (
+        TABLES,
+        load_table,
+    )
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -107,6 +107,42 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicates(keys or ["event_id"])
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    the right events of the same ``key`` arriving within ``max_delay``
+    AFTER it (click -> conversion attribution shape).
+
+    Both sides are watermarked AND the join condition bounds the
+    event-time gap — that pair is what lets Spark garbage-collect join
+    state (each side's buffered rows expire once the other side's
+    watermark passes the bound). An unbounded-condition stream-stream
+    join buffers forever: the at-scale failure mode this operator
+    exists to avoid."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select(key, "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
 def stream_session_counts(
     events: DataFrame,
     gap: str = "30 minutes",

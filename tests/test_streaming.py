@@ -272,3 +272,40 @@ def test_stream_session_window_runs(spark, tmp_path):
     total = sum(r.n_events for r in rows)
     assert total == events.count()
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream self-join (click -> error within 30
+    min per user) drained with availableNow equals the static join.
+    Inner join + append mode emits rows as both sides' watermarks pass,
+    so a full drain must produce exactly the batch result."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_stream_join,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+
+    def legs(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "error"),
+        )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    l, r = legs(stream)
+    q = (
+        stream_stream_join(l, r)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r_) for r_ in spark.sql("SELECT * FROM ssj_out").collect()}
+    bl, br = legs(events)
+    want = {tuple(r_) for r_ in stream_stream_join(bl, br).collect()}
+    assert got == want and len(got) > 0

@@ -21,8 +21,10 @@ def word_ngrams(text: Column, n: int) -> Column:
 
     ``sequence(1, size - n + 1)`` is guarded by a ``when`` because an
     unguarded Spark ``sequence`` with stop < start counts DOWN instead
-    of returning empty."""
-    toks = F.split(F.trim(text), r"\s+")
+    of returning empty. Trimming is regexp-based: ``F.trim`` strips
+    SPACES only, so a trailing tab would survive and split into a
+    phantom empty token (caught by the seeded-random property test)."""
+    toks = F.split(F.regexp_replace(text, r"^\s+|\s+$", ""), r"\s+")
     n_pos = F.size(toks) - F.lit(n - 1)
     return F.when(
         n_pos > 0,
@@ -35,8 +37,12 @@ def word_ngrams(text: Column, n: int) -> Column:
 
 def word_ngrams_sql(expr: str, n: int) -> str:
     """DuckDB mirror of ``word_ngrams`` (1-indexed inclusive slices;
-    ``range(a, b)`` is empty when b <= a, so no guard needed)."""
-    toks = f"regexp_split_to_array(TRIM({expr}), '\\s+')"
+    ``range(a, b)`` is empty when b <= a, so no guard needed; same
+    regexp whitespace-trim — DuckDB TRIM is also space-only)."""
+    toks = (
+        f"regexp_split_to_array(regexp_replace({expr}, '^\\s+|\\s+$', '', 'g'),"
+        f" '\\s+')"
+    )
     return (
         f"list_transform(range(1, LEN({toks}) - {n} + 2), "
         f"i -> array_to_string({toks}[i:i + {n - 1}], ' '))"

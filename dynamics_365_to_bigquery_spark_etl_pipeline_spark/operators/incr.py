@@ -1,0 +1,59 @@
+"""Incremental aggregate maintenance (materialized-view delta update).
+
+The reference recomputes every sink table from scratch each night
+(``incremental_etl_v1.py:184-188`` overwrites the full snapshot). For
+algebraic aggregates (SUM / COUNT / MIN / MAX) that is O(|table|) work
+per run when O(|delta| + |touched groups|) suffices: aggregate ONLY the
+delta, then merge the partial with the previous aggregate state.
+
+Spark-first shape: the merge is ``unionByName`` of two already-small
+aggregate tables followed by a re-aggregation — partials of algebraic
+aggregates compose exactly, so this is the same math Spark's own
+map-side partial aggregation performs, lifted across pipeline runs. One
+shuffle of |groups| rows (not |table|), skew-irrelevant, and the sums
+use fixed-scale decimals so the result is bit-identical to a full
+recompute regardless of how many increments produced it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(25,2)"
+
+
+def partial_group_stats(delta: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Aggregate state for one batch: exact decimal sum + row count per
+    group. This is the ONLY thing that ever needs persisting."""
+    return delta.groupBy(*keys).agg(
+        F.sum(F.col(value_col).cast(DEC)).alias("sum_value"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def merge_group_stats(old: DataFrame | None, partial: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a new batch's partial into the running aggregate state.
+    Associative + commutative, so increments can arrive in any order and
+    any grouping — the invariant the property test pins."""
+    if old is None:
+        return partial
+    return (
+        old.unionByName(partial)
+        .groupBy(*keys)
+        .agg(
+            F.sum("sum_value").cast(DEC).alias("sum_value"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+def finalize_group_stats(state: DataFrame) -> DataFrame:
+    """Publishable view of the state: double sum + derived mean (one
+    IEEE division of two exact values — engine-portable)."""
+    return state.select(
+        *[c for c in state.columns if c not in ("sum_value", "n_rows")],
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("n_rows").alias("n_rows"),
+        (F.col("sum_value").cast("double") / F.col("n_rows")).alias("avg_value"),
+    )

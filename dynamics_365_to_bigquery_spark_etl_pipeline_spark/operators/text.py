@@ -28,17 +28,21 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count; 0 for empty/blank strings."""
-    trimmed = F.trim(text)
+    """Whitespace token count; 0 for empty/blank strings. Regexp-trims
+    because ``F.trim`` / DuckDB ``TRIM`` strip spaces only — a trailing
+    tab would otherwise split into a phantom empty token (both engines
+    identically, but still the wrong count)."""
+    trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     )
 
 
 def token_count_sql(expr: str) -> str:
+    t = f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
     return (
-        f"CASE WHEN LENGTH(TRIM({expr})) = 0 THEN 0 "
-        f"ELSE LEN(regexp_split_to_array(TRIM({expr}), '\\s+')) END"
+        f"CASE WHEN LENGTH({t}) = 0 THEN 0 "
+        f"ELSE LEN(regexp_split_to_array({t}, '\\s+')) END"
     )
 
 

@@ -129,6 +129,36 @@ def q_events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
 
 
+def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the per-event-type value aggregate
+    kept up to date across three incremental loads (split on ts), each
+    step aggregating ONLY its delta and folding the partial into the
+    running state — never re-reading earlier data. The oracle is the
+    full recompute, so the comparison proves increment order and
+    batching are invisible in the result (exact decimal partials
+    compose; see operators/incr.py).
+
+    Scale: each run shuffles |delta| rows into |touched groups| partials
+    and merges tables of |groups| rows — O(|delta|) per run vs the
+    reference's nightly O(|table|) overwrite."""
+    from ..operators import incr
+
+    ev = load_table(spark, sf_dir, "events")
+    splits = ["2024-01-11 00:00:00", "2024-01-21 00:00:00"]
+    batches = [
+        ev.filter(F.col("ts") < splits[0]),
+        ev.filter((F.col("ts") >= splits[0]) & (F.col("ts") < splits[1])),
+        ev.filter(F.col("ts") >= splits[1]),
+    ]
+    state = None
+    for b in batches:
+        state = incr.merge_group_stats(
+            state, incr.partial_group_stats(b, ["event_type"], "value"),
+            ["event_type"],
+        )
+    return incr.finalize_group_stats(state)
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_events_sliding": q_events_sliding,
@@ -140,6 +170,9 @@ QUERIES = {
 EXTRA_QUERIES = {
     # exact-dedup family: registered sibling q_dedup_exact (documents)
     "q_events_dedup_exact": q_events_dedup_exact,
+    # agg family sibling: incremental maintenance of q_events_tumbling's
+    # aggregate shape, oracle = full recompute
+    "q_incr_agg_maintenance": q_incr_agg_maintenance,
 }
 
 ORACLES = {
@@ -206,6 +239,14 @@ GROUP BY user_id
 """,
     "q_events_dedup_exact": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+    "q_incr_agg_maintenance": """
+SELECT event_type,
+  CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value,
+  COUNT(*) AS n_rows,
+  (CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)) AS avg_value
+FROM events
+GROUP BY event_type
 """,
 }
 

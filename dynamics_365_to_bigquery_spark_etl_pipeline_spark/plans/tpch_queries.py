@@ -288,6 +288,107 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registered queries get a driver CORRECTNESS row (the driver checks the
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year — the two-alias dimension join (supplier nation vs customer
+    nation from the SAME broadcast table) the star family doesn't
+    otherwise exercise."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(vol, scale=4).alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue into the
+    AMERICA region per order year — conditional aggregate over a 7-way
+    star join, ratio of two exact decimal sums (one IEEE division:
+    engine-portable)."""
+    target = "NATION_3"
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    tagged = F.when(F.col("supp_nation") == target, vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (dsum(tagged, scale=4) / dsum(vol, scale=4)).alias("mkt_share")
+        )
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer, LEFT join so
+    zero-order customers land in the c_count=0 bucket."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-revenue supplier(s) for a quarter. The max
+    is computed as a 1-row aggregate joined back by broadcast — no
+    SinglePartition window over the supplier table, and ties surface
+    (deterministically) instead of being argmax'd away."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(dsum(vol, scale=4).alias("total_revenue"))
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 # first 50 registry entries); EXTRA_QUERIES are near-duplicates of a
 # registered sibling's operator family, verified by the same oracle
 # harness in pytest only (tests/test_entry_contract.py runs both).
@@ -317,6 +418,14 @@ EXTRA_QUERIES = {
     "q_anti_join": q_anti_join,
     # scalar surface: registered siblings q_scalar_datetime/q_scalar_part_funcs
     "q_scalar_functions": q_scalar_functions,
+    # self-aliased dim join: registered sibling q5 (single-alias star)
+    "q7_volume_shipping": q7_volume_shipping,
+    # conditional-agg ratio over a star join: registered sibling q14
+    "q8_market_share": q8_market_share,
+    # left-join histogram: registered sibling q_min_per_group_join
+    "q13_order_distribution": q13_order_distribution,
+    # agg-max joined back by broadcast: registered sibling q_topk_per_group
+    "q15_top_supplier": q15_top_supplier,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -481,6 +590,58 @@ SELECT p_partkey,
        WHEN p_size < 30 THEN 'medium'
        ELSE 'large' END AS size_class
 FROM part
+""",
+    "q7_volume_shipping": f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  year(l_shipdate) AS l_year, {dsum_sql(_REV, scale=4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+    "q8_market_share": f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year, {_REV} AS vol,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+)
+SELECT o_year,
+  ({dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END", scale=4)}
+   / {dsum_sql('vol', scale=4)}) AS mkt_share
+FROM j GROUP BY o_year
+""",
+    "q13_order_distribution": """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    "q15_top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey, {dsum_sql(_REV, scale=4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """,
 }
 

@@ -106,3 +106,29 @@ def test_pack_sequences_window_is_sharded_not_global(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_word_ngrams_matches_python_reference(spark):
+    """200 seeded-random whitespace-mess strings, one Spark job: the
+    column expression must agree with a plain-Python reference on every
+    edge (leading/trailing/multi-whitespace, empty, short docs)."""
+    import random
+    import re
+
+    rng = random.Random(42)
+    alphabet = "ab c  d\te "
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", C.word_ngrams(F.col("text"), 2).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip()) if t.strip() else []
+        want = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        assert got[i] == want, (i, repr(t))

@@ -127,3 +127,52 @@ def current_version_path(out: str) -> str | None:
     if not os.path.lexists(out):
         return None
     return os.path.realpath(out)
+
+
+def compact(spark, out: str, target_bytes: int = 128 * 1024 * 1024, keep: int = 2) -> int:
+    """Small-file compaction: rewrite the CURRENT version into
+    ``ceil(size / target_bytes)`` files and publish the result as a new
+    version through the same atomic pointer swap. Returns the new file
+    count.
+
+    Micro-batch streaming merges accrete a file per batch; thousands of
+    small files tax the driver's file index and kill scan throughput at
+    100 TB (per-file open cost dominates). Compaction is a pure rewrite
+    — readers see old files or new files, never a mix, and time travel
+    to the pre-compaction version still works (it is just another
+    retained version).
+
+    ``coalesce`` (not ``repartition``) does the merge: no shuffle, each
+    output task concatenates input splits."""
+    import math
+
+    cur = current_version_path(out)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published at {out}")
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(cur)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_bytes))
+    vdir = next_version_dir(out)
+    spark.read.parquet(cur).coalesce(n_files).write.parquet(vdir)
+    publish_version(out, vdir, keep=keep)
+    return sum(f.endswith(".parquet") for f in os.listdir(vdir))
+
+
+def write_clustered(df, out: str, cluster_cols: list[str], n_files: int = 0) -> None:
+    """Cluster-on-write: range-partition by ``cluster_cols`` then sort
+    within partitions, so every parquet file covers a narrow, mostly
+    disjoint key range and min/max row-group stats let point/range
+    scans skip almost all files (Delta/Iceberg OPTIMIZE ZORDER's
+    single-key special case, done at write time for free).
+
+    The range partitioner samples the keys, so skew in the cluster
+    column translates to more files for hot ranges, not hot tasks."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in cluster_cols]
+    part = df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(out)

@@ -48,6 +48,18 @@ def merge_group_stats(old: DataFrame | None, partial: DataFrame, keys: list[str]
     )
 
 
+def negate_group_stats(state: DataFrame) -> Column | DataFrame:
+    """Retraction form of an aggregate state: merging it cancels the
+    original contribution exactly (decimal negation is exact). This is
+    what lets UPDATE/DELETE-shaped deltas maintain a SUM/COUNT rollup:
+    subtract the touched keys' old partials, add their new ones."""
+    return state.select(
+        *[c for c in state.columns if c not in ("sum_value", "n_rows")],
+        (-F.col("sum_value")).cast(DEC).alias("sum_value"),
+        (-F.col("n_rows")).alias("n_rows"),
+    )
+
+
 def finalize_group_stats(state: DataFrame) -> DataFrame:
     """Publishable view of the state: double sum + derived mean (one
     IEEE division of two exact values — engine-portable)."""

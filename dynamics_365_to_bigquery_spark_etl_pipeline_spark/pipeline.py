@@ -71,6 +71,7 @@ class EntityPipeline:
         state_dir: str,
         tie_breakers: tuple[str, ...] = (),
         bucket_partitions: int | None = None,
+        rollup: dict | None = None,
     ):
         """``bucket_partitions``: when set, the sink is hash-bucketed on
         the CDC key into that many partitions and incremental merges
@@ -78,13 +79,22 @@ class EntityPipeline:
         overwrite) — the fix for the reference's nightly full-table
         rewrite (``incremental_etl_v1.py:184-188``). At 100 TB this
         makes the nightly write O(|delta| / bucket density), not
-        O(|table|)."""
+        O(|table|).
+
+        ``rollup``: ``{"keys": [...], "value": col}`` maintains a
+        grouped SUM/COUNT aggregate of the snapshot alongside it
+        (``{table}_rollup`` versioned sink), updated per run with
+        retraction math over ONLY the delta-touched keys —
+        materialized-view maintenance at O(|delta|) instead of a
+        nightly O(|table|) recompute. Replay-safe across every crash
+        window (see ``_maintain_rollup``)."""
         self.spark = spark
         self.landing_dir = landing_dir
         self.sink_dir = sink_dir
         self.store = WatermarkStore(state_dir)
         self.tie_breakers = tie_breakers
         self.bucket_partitions = bucket_partitions
+        self.rollup = rollup
 
     def entities(self) -> list[str]:
         return sorted(
@@ -129,13 +139,27 @@ class EntityPipeline:
             out = self._sink_path(entity)
             self._recover_staging(out, out + "__staging")
         snapshot = self.read_snapshot(entity) if state else None
+        prepared = prepare_entity_frame(delta)
+
+        # Rollup maintenance runs BEFORE the snapshot publish: after a
+        # crash between the two, the retry skips the (recorded) rollup
+        # batch and re-merges the snapshot idempotently. The other order
+        # would recompute the rollup delta against an already-merged
+        # snapshot — a zero update, silently losing the batch.
+        batch_files = sorted(f.path for f in pending)
+        rollup_needs_recompute = (
+            self._maintain_rollup(entity, snapshot, prepared, batch_files)
+            if self.rollup
+            else False
+        )
+
         if self.bucket_partitions:
-            self._write_bucketed(entity, delta, snapshot)
+            self._write_bucketed(entity, prepared, snapshot)
         else:
             if snapshot is None:
-                result = full_load(delta, self.tie_breakers)
+                result = cdc.resolve_snapshot(prepared, tie_breakers=self.tie_breakers)
             else:
-                result = incremental_merge(snapshot, delta, self.tie_breakers)
+                result = cdc.merge_cdc(snapshot, prepared, tie_breakers=self.tie_breakers)
             result = cdc.add_audit(result)
 
             # ONE physical write per run: the merge plan reads the
@@ -147,6 +171,8 @@ class EntityPipeline:
             vdir = sinks.next_version_dir(out)
             result.write.mode("overwrite").parquet(vdir)
             sinks.publish_version(out, vdir)
+        if rollup_needs_recompute:
+            self._rollup_recompute(entity, batch_files)
         newest = max(pending, key=lambda f: (f.mtime, f.path))
         self.store.commit(entity, newest.path, newest.mtime)
         return {"entity": entity, "status": "ok", "files": len(pending)}
@@ -156,7 +182,7 @@ class EntityPipeline:
 
         return F.pmod(F.hash(F.col(cdc.KEY)), F.lit(self.bucket_partitions)).cast("int")
 
-    def _write_bucketed(self, entity: str, delta: DataFrame, snapshot: DataFrame | None) -> None:
+    def _write_bucketed(self, entity: str, prepared: DataFrame, snapshot: DataFrame | None) -> None:
         """Bucketed sink path: full load writes every bucket; the
         incremental merge reads ONLY the delta-touched buckets
         (partition pruning on the snapshot scan) and replaces only those
@@ -171,7 +197,6 @@ class EntityPipeline:
         # Recovery already ran in run_entity (before the snapshot read —
         # see the ordering comment there); here staging is just cleared.
         shutil.rmtree(tmp, ignore_errors=True)
-        prepared = prepare_entity_frame(delta)
         if snapshot is None:
             result = cdc.resolve_snapshot(prepared, tie_breakers=self.tie_breakers)
             buckets = None
@@ -229,6 +254,94 @@ class EntityPipeline:
                 if name in written:
                     os.replace(os.path.join(tmp, name), dst)
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def _rollup_path(self, entity: str) -> str:
+        return self._sink_path(entity) + "_rollup"
+
+    def read_rollup(self, entity: str) -> DataFrame:
+        """Published rollup in its finalized (double sum + mean) form."""
+        from .operators import incr
+
+        return incr.finalize_group_stats(
+            self.spark.read.parquet(self._rollup_path(entity))
+        )
+
+    def _publish_rollup_state(self, entity: str, state: DataFrame, batch_files: list[str]) -> None:
+        out = self._rollup_path(entity)
+        vdir = sinks.next_version_dir(out)
+        state.write.mode("overwrite").parquet(vdir)
+        sinks.write_meta(vdir, {"files": batch_files})
+        sinks.publish_version(out, vdir)
+
+    def _maintain_rollup(
+        self,
+        entity: str,
+        snapshot: DataFrame | None,
+        prepared: DataFrame,
+        batch_files: list[str],
+    ) -> bool:
+        """Fold this batch into the rollup with retraction math over the
+        delta-touched keys only. Returns True when a full recompute from
+        the post-merge snapshot is required instead (caller runs it
+        AFTER the snapshot publish).
+
+        Replay safety: each rollup version records the batch's file list
+        (atomically, inside the version dir). On a crash-retry —
+        watermark never advanced, so the same files are pending —
+        the recorded list matches and the fold is skipped. If MORE files
+        landed between crash and retry, the pending set partially
+        overlaps the recorded one; delta math would double-count the
+        overlap, so it falls back to the O(|table|) recompute (rare,
+        crash-window-only). Touched keys are a semi-join, so per run the
+        cost is O(|delta| + |touched groups|) — with a bucketed
+        snapshot the semi-join also partition-prunes."""
+        from pyspark.sql import functions as F
+
+        from .operators import incr
+
+        keys, val = self.rollup["keys"], self.rollup["value"]
+        out = self._rollup_path(entity)
+        meta = sinks.read_meta(out)
+        if meta is not None:
+            prev, cur = set(meta["files"]), set(batch_files)
+            if cur <= prev:
+                return False  # crash-retry replay: already folded in
+            if prev & cur:
+                return True  # partial overlap -> recompute after publish
+        if snapshot is None:
+            state = incr.partial_group_stats(
+                cdc.resolve_snapshot(prepared, tie_breakers=self.tie_breakers),
+                keys,
+                val,
+            )
+        else:
+            if sinks.current_version_path(out) is None:
+                return True  # rollup enabled on an existing sink: bootstrap
+            old_state = self.spark.read.parquet(out)
+            kcol = cdc.KEY
+            touched = prepared.select(F.col(kcol).alias("__tk")).distinct()
+            old_rows = snapshot.join(
+                touched, F.col(kcol).eqNullSafe(F.col("__tk")), "left_semi"
+            )
+            new_rows = cdc.merge_cdc(old_rows, prepared, tie_breakers=self.tie_breakers)
+            update = incr.partial_group_stats(new_rows, keys, val).unionByName(
+                incr.negate_group_stats(incr.partial_group_stats(old_rows, keys, val))
+            )
+            state = incr.merge_group_stats(old_state, update, keys).filter(
+                F.col("n_rows") > 0
+            )
+        self._publish_rollup_state(entity, state, batch_files)
+        return False
+
+    def _rollup_recompute(self, entity: str, batch_files: list[str]) -> None:
+        """O(|table|) fallback: rebuild the rollup from the just-
+        published snapshot (correct by construction; used only for
+        bootstrap and the crash+new-files window)."""
+        from .operators import incr
+
+        keys, val = self.rollup["keys"], self.rollup["value"]
+        state = incr.partial_group_stats(self.read_snapshot(entity), keys, val)
+        self._publish_rollup_state(entity, state, batch_files)
 
     def _recover_staging(self, out: str, tmp: str) -> None:
         """Crash recovery for the two-phase bucket swap: a bucket moved

@@ -91,10 +91,22 @@ def _migrate_legacy_dir(out: str) -> None:
 
 def next_version_dir(out: str) -> str:
     """Reserve the next version directory path (not created). Migrates a
-    legacy real-directory sink into the versions root first."""
+    legacy real-directory sink into the versions root first, and GCs
+    orphaned version dirs NEWER than the published pointer — those can
+    only be crashed mid-write leftovers (publish immediately follows
+    the write), and without this sweep retention would later retain a
+    partial directory as the ``version=-2`` time-travel target, turning
+    a crash into silent partial reads."""
     _migrate_legacy_dir(out)
     vroot = _versions_root(out)
     os.makedirs(vroot, exist_ok=True)
+    cur = current_version_path(out)
+    # with no pointer yet, ANY existing version dir is a crashed first
+    # write; with a pointer, anything newer than its target is
+    cur_name = os.path.basename(cur) if cur is not None else ""
+    for v in list_versions(out):
+        if v > cur_name:
+            shutil.rmtree(os.path.join(vroot, v), ignore_errors=True)
     existing = list_versions(out)
     n = int(existing[-1][2:]) + 1 if existing else 1
     return os.path.join(vroot, f"v_{n:06d}")
@@ -176,3 +188,32 @@ def write_clustered(df, out: str, cluster_cols: list[str], n_files: int = 0) -> 
     cols = [F.col(c) for c in cluster_cols]
     part = df.repartitionByRange(n_files, *cols) if n_files else df.repartitionByRange(*cols)
     part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(out)
+
+
+META_NAME = "_sink_meta.json"
+
+
+def write_meta(vdir: str, payload: dict) -> None:
+    """Attach commit metadata to an (unpublished) version dir. The
+    underscore prefix makes Spark's parquet reader ignore the file, so
+    metadata rides inside the version it describes and is swapped /
+    retained / GC'd atomically with it."""
+    import json
+
+    with open(os.path.join(vdir, META_NAME), "w") as f:
+        json.dump(payload, f)
+
+
+def read_meta(out: str) -> dict | None:
+    """Commit metadata of the CURRENT version (None if unpublished or
+    the version carries none)."""
+    import json
+
+    cur = current_version_path(out)
+    if cur is None:
+        return None
+    try:
+        with open(os.path.join(cur, META_NAME)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None

@@ -47,6 +47,16 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+@lru_cache(maxsize=None)
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTER — a metadata-only driver-side
+    read, no Spark job. This is the statistics source parameter-sizing
+    code (e.g. ``grid_k_dims``) should use instead of ``df.count()``:
+    at 100 TB a count() is a full table pass, the footer read is not.
+    (On a real warehouse this is the catalog's row-count statistic.)"""
+    return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 

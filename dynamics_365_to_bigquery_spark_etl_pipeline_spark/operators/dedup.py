@@ -274,7 +274,7 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 20,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """Duplicate GROUPS from near-dup pairs: connected components by
     min-label propagation. Returns ``(id, group_id)`` for every node in
@@ -297,6 +297,12 @@ def connected_components(
     At extreme diameters the alternating star algorithm (Kiveris et
     al., "Connected Components in MapReduce and Beyond") halves rounds;
     not needed for dedup graphs.
+
+    Runs to convergence by default (termination is guaranteed: rounds
+    are bounded by the graph diameter, and every round strictly lowers
+    at least one label until the fixpoint). ``max_iters`` is an optional
+    safety valve for capped-latency callers: when set, exhausting it
+    RAISES rather than returning stale (i.e. wrong) group labels.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -308,7 +314,8 @@ def connected_components(
         .persist()
     )
     try:
-        for _ in range(max_iters):
+        rounds = 0
+        while True:
             msgs = edges.join(labels, edges.src == labels.id).select(
                 F.col("dst").alias("id"), "group_id"
             )
@@ -327,8 +334,21 @@ def connected_components(
             )
             labels.unpersist()
             labels = new_labels
+            rounds += 1
             if changed == 0:
                 break
+            if max_iters is not None and rounds >= max_iters:
+                # Unconverged labels are WRONG labels (a chain longer
+                # than max_iters still carries stale group_ids), and
+                # downstream retention would delete the wrong survivors
+                # — fail loudly rather than return them.
+                labels.unpersist()
+                raise RuntimeError(
+                    f"connected_components did not converge after "
+                    f"{max_iters} rounds ({changed} labels still "
+                    "changing); raise max_iters (rounds needed = graph "
+                    "diameter)"
+                )
         return labels
     finally:
         edges.unpersist()

@@ -100,20 +100,29 @@ def sample_frames(
             mimes = pdf["meta"].map(lambda m: m["mime"])
             doc_ids, fids, offs, sizes, hashes = [], [], [], [], []
             for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], mimes):
+                # byte_offset is the frame's true position in the
+                # payload: codec frames are variable-sized, so offsets
+                # come from the CUMULATIVE decoded sizes (over all
+                # frames, strided-out ones included), not fid*frame_size
+                # — that shortcut is only valid for the fixed-width
+                # default windowing.
                 if frame_decoder is not None:
-                    frames = list(enumerate(frame_decoder(payload, mime)))
+                    frames, pos = [], 0
+                    for i, chunk in enumerate(frame_decoder(payload, mime)):
+                        frames.append((i, pos, chunk))
+                        pos += len(chunk)
                 else:
                     n = (len(payload) + frame_size - 1) // frame_size
                     frames = [
-                        (i, payload[i * frame_size : (i + 1) * frame_size])
+                        (i, i * frame_size, payload[i * frame_size : (i + 1) * frame_size])
                         for i in range(n)
                     ]
-                for fid, chunk in frames:
+                for fid, off, chunk in frames:
                     if fid % stride:
                         continue
                     doc_ids.append(doc_id)
                     fids.append(fid)
-                    offs.append(fid * frame_size)
+                    offs.append(off)
                     sizes.append(len(chunk))
                     hashes.append(hashlib.md5(chunk).hexdigest())
             yield pd.DataFrame(

@@ -182,6 +182,8 @@ def grid_near_dup_pairs(
     k_dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine >= ``threshold``) WITHOUT an
     all-pairs cross join: grid-bucketed candidate generation with
@@ -207,14 +209,24 @@ def grid_near_dup_pairs(
 
     ``threshold=1.0`` (exact duplicates) is supported: the cell width is
     clamped to ``GRID_MIN_CELL_WIDTH`` so identical vectors still share
-    a cell; ``threshold > 1.0`` raises.
+    a cell (bit-identical duplicates only — see SCALING.md for the exact
+    guarantee at this edge); ``threshold > 1.0`` raises.
+
+    ``n_rows``/``dim`` are derivation HINTS for ``k_dims=None``: without
+    them the derivation must run ``count()`` + ``first()`` — two extra
+    table passes that at 100 TB cost a full scan just to size a
+    parameter. Production callers should pass explicit ``k_dims`` or at
+    least ``n_rows`` (catalog/footer statistics); an order-of-magnitude
+    estimate is fine, the rule is logarithmic in ``n_rows``.
     """
     g = _grid_cell_width(threshold)
     if k_dims is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        k_dims = grid_k_dims(
-            corpus.count(), threshold, dim=first["d"] if first else None
-        )
+        if dim is None:
+            first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = first["d"] if first else None
+        if n_rows is None:
+            n_rows = corpus.count()
+        k_dims = grid_k_dims(n_rows, threshold, dim=dim)
     keyed = _grid_cell_keys(corpus, g, k_dims, id_col, vec_col)
     a = keyed.select(F.col("id").alias("id_a"), *[f"c{i}" for i in range(k_dims)])
     probes = F.explode(

@@ -308,6 +308,12 @@ class EntityPipeline:
                 return False  # crash-retry replay: already folded in
             if prev & cur:
                 return True  # partial overlap -> recompute after publish
+        elif sinks.current_version_path(out) is not None:
+            # A PUBLISHED rollup without meta (e.g. a version produced
+            # outside _publish_rollup_state) gives no way to prove a
+            # crash-retry wasn't already folded — delta math could
+            # double-count, so take the recompute fallback instead.
+            return True
         if snapshot is None:
             state = incr.partial_group_stats(
                 cdc.resolve_snapshot(prepared, tie_breakers=self.tie_breakers),

@@ -17,12 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_num_rows
 from ..operators import dedup as D
 from ..operators.similarity import cosine_sql
 
 EXACT_MOD = 10
 NEAR_MOD = 20
+EMBED_DIM = 64  # fixture embeddings are 64-dim (TESTDATA.md)
 NEAR_DROP = 24
 JACCARD_MIN = 0.5
 HAMMING_MAX = 3
@@ -203,7 +204,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(exact).unionByName(nudged)
-    return grid_near_dup_pairs(corpus, threshold=COSINE_DUP_MIN)
+    # Derivation hints from the parquet footer (driver-side metadata
+    # read, no Spark job) so k_dims sizing costs zero extra table
+    # passes: base rows + the injected 1/EXACT_MOD + 1/NEAR_MOD copies.
+    base = table_num_rows(sf_dir, "embeddings")
+    n_rows = base + base // EXACT_MOD + base // NEAR_MOD
+    return grid_near_dup_pairs(
+        corpus, threshold=COSINE_DUP_MIN, n_rows=n_rows, dim=EMBED_DIM
+    )
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,6 +170,13 @@ def compact(spark, out: str, target_bytes: int = 128 * 1024 * 1024, keep: int = 
     n_files = max(1, math.ceil(size / target_bytes))
     vdir = next_version_dir(out)
     spark.read.parquet(cur).coalesce(n_files).write.parquet(vdir)
+    # A compaction is a pure rewrite: the prior version's commit
+    # metadata still describes the content, so it rides along. Dropping
+    # it would strip replay guards (e.g. the rollup's folded-file list)
+    # from the current version.
+    meta_src = os.path.join(cur, META_NAME)
+    if os.path.exists(meta_src):
+        shutil.copyfile(meta_src, os.path.join(vdir, META_NAME))
     publish_version(out, vdir, keep=keep)
     return sum(f.endswith(".parquet") for f in os.listdir(vdir))
 

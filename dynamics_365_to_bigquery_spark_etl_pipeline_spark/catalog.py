@@ -66,6 +66,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies, so oracle comparisons line up exactly.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Fixture timestamps are parquet TIMESTAMP(isAdjustedToUTC=false);
+    # by default Spark 4 surfaces those as TIMESTAMP_NTZ, which
+    # unix_micros()/window() reject. Read them as session-tz TIMESTAMP
+    # instead — the session tz is pinned to UTC (session.py), so the
+    # instant values match DuckDB's naive-timestamp reading exactly.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     nano_cols = _nano_ts_columns(path)

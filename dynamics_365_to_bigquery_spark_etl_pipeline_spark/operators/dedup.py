@@ -290,8 +290,14 @@ def connected_components(
     node id) per round, converging in <= cluster-diameter rounds.
     Near-dup clusters are shallow (most are 2-3 nodes; diameter grows
     only through chains of pairwise-similar docs), so rounds stay in
-    single digits. Each round's labels are persisted and the previous
-    round unpersisted, keeping lineage flat; the driver-side
+    single digits. Each round's labels are ``localCheckpoint``-ed:
+    persist() truncates EXECUTION but not the LOGICAL PLAN, and the
+    plan for round N references round N-1's labels three times (message
+    join, union, convergence join), so without checkpointing the plan
+    tree grows ~3^N and the driver OOMs just rendering it around a
+    dozen rounds. localCheckpoint cuts lineage at executor-memory cost;
+    a long-lived production job should ``setCheckpointDir`` and swap in
+    ``checkpoint()`` for executor-loss resilience. The driver-side
     convergence check (one count per round) is the standard shape for
     iterative algorithms on Spark — it moves one integer, not data.
     At extreme diameters the alternating star algorithm (Kiveris et
@@ -311,7 +317,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("group_id", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         rounds = 0
@@ -319,11 +325,13 @@ def connected_components(
             msgs = edges.join(labels, edges.src == labels.id).select(
                 F.col("dst").alias("id"), "group_id"
             )
+            # localCheckpoint materializes AND truncates lineage — the
+            # next round's plan starts from a leaf, not a 3x-deeper tree.
             new_labels = (
                 labels.unionByName(msgs)
                 .groupBy("id")
                 .agg(F.min("group_id").alias("group_id"))
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.join(
@@ -332,7 +340,6 @@ def connected_components(
                 .filter(F.col("group_id") != F.col("prev"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             rounds += 1
             if changed == 0:
@@ -342,7 +349,6 @@ def connected_components(
                 # than max_iters still carries stale group_ids), and
                 # downstream retention would delete the wrong survivors
                 # — fail loudly rather than return them.
-                labels.unpersist()
                 raise RuntimeError(
                     f"connected_components did not converge after "
                     f"{max_iters} rounds ({changed} labels still "

@@ -392,6 +392,169 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first 50 registry entries); EXTRA_QUERIES are near-duplicates of a
 # registered sibling's operator family, verified by the same oracle
 # harness in pytest only (tests/test_entry_contract.py runs both).
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to the fixture schema (no partsupp, so
+    profit omits the supply-cost term): nation x order-year profit over
+    parts matching a name pattern. Plan: every dimension (part filtered
+    to a fraction of rows, supplier, nation) broadcasts; the only
+    shuffles are the li-orders fact-fact join (AQE-planned) and the
+    final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(rev, scale=4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp stood in by lineitem): per-part value
+    with a HAVING threshold against a GLOBAL scalar aggregate. The
+    global total is a 1-row broadcast cross join — the scalar-subquery
+    plan shape — so the per-part agg shuffles once and the comparison
+    is map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(rev, scale=4).alias("part_value"))
+    total = li.agg(dsum(rev, scale=4).alias("__total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__total") * 0.0005)
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode column; l_linestatus stands in as
+    the grouping class): conditional CASE aggregation of order-priority
+    classes over a fact-fact join restricted to one ship year."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): COUNT(DISTINCT
+    supplier) per part attribute triple, excluding one brand and a
+    NOT-IN supplier set (negative balance; keys are non-null so
+    left_anti == NOT IN). The exclusion set broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & F.col("p_size").isin(1, 4, 7)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join reduction — suppliers whose
+    1996 shipped volume of any 'small' part exceeds a threshold, then
+    the supplier->nation join. The inner agg shuffles on the compound
+    (supp, part) key; the outer probe is a broadcast semi-join."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("small"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+def q21_lone_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates; l_returnflag='R' stands
+    in for 'failed delivery'): per supplier, count multi-supplier orders
+    where THIS supplier returned and no other supplier did — the
+    double-correlated EXISTS + NOT EXISTS. Expressed as distinct
+    (order, supplier) pair sets with a semi-join (exists: some other
+    supplier on the order) and an anti-join (not exists: another
+    RETURNING supplier) — both shuffle on l_orderkey only."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    rpairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    rother = rpairs.select(
+        F.col("l_orderkey").alias("r_k"), F.col("l_suppkey").alias("r_s")
+    )
+    lone = (
+        rpairs.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
+            "left_semi",
+        ).join(
+            rother,
+            (F.col("l_orderkey") == F.col("r_k")) & (F.col("l_suppkey") != F.col("r_s")),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        lone.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -426,6 +589,18 @@ EXTRA_QUERIES = {
     "q13_order_distribution": q13_order_distribution,
     # agg-max joined back by broadcast: registered sibling q_topk_per_group
     "q15_top_supplier": q15_top_supplier,
+    # 5-way star join + year rollup: registered siblings q5 (6-way), q3
+    "q9_product_type_profit": q9_product_type_profit,
+    # HAVING vs global scalar aggregate: registered sibling q17 (correlated avg)
+    "q11_important_part_value": q11_important_part_value,
+    # conditional CASE agg over fact-fact join: registered sibling q14
+    "q12_priority_by_status": q12_priority_by_status,
+    # count-distinct + NOT-IN exclusion: registered siblings q_agg_distinct, q22
+    "q16_supplier_variety": q16_supplier_variety,
+    # nested semi-join reduction: registered sibling q4_late_orders
+    "q20_excess_shippers": q20_excess_shippers,
+    # double-correlated EXISTS + NOT EXISTS: registered siblings q4, q22
+    "q21_lone_returning_supplier": q21_lone_returning_supplier,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -642,6 +817,78 @@ WITH rev AS (
 SELECT s_suppkey, s_name, total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+    "q9_product_type_profit": f"""
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  {dsum_sql(_REV, scale=4)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    "q11_important_part_value": f"""
+SELECT l_partkey, {dsum_sql(_REV, scale=4)} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING {dsum_sql(_REV, scale=4)} >
+  (SELECT {dsum_sql(_REV, scale=4)} FROM lineitem) * 0.0005
+""",
+    "q12_priority_by_status": """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+    AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY l_linestatus
+""",
+    "q16_supplier_variety": """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    "q20_excess_shippers": f"""
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%small%')
+    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING {dsum_sql('l_quantity')} > 150
+)
+""",
+    "q21_lone_returning_supplier": """
+WITH rpairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM rpairs r
+JOIN supplier ON r.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM pairs p
+    WHERE p.l_orderkey = r.l_orderkey AND p.l_suppkey <> r.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM rpairs r2
+    WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
 """,
 }
 

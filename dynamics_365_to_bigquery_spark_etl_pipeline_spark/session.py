@@ -39,6 +39,7 @@ def get_spark(app_name: str = "d365-spark-engine", cpus: str | None = None) -> S
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     return builder.getOrCreate()
 
@@ -53,6 +54,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         spark.conf.set(key, value)
     return spark

@@ -74,3 +74,18 @@ def test_write_clustered_files_cover_disjoint_ranges(spark, tmp_path):
 
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == {tuple(r) for r in ev.collect()}
+
+
+def test_compact_preserves_sink_meta(spark, tmp_path):
+    """Compaction is a pure rewrite: the version's commit metadata (e.g.
+    the rollup's folded-file list, a replay guard) must ride along."""
+    out = str(tmp_path / "t")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    vdir = sinks.next_version_dir(out)
+    ev.repartition(8).write.parquet(vdir)
+    sinks.write_meta(vdir, {"files": ["a.csv", "b.csv"]})
+    sinks.publish_version(out, vdir)
+
+    sinks.compact(spark, out)
+    meta = sinks.read_meta(out)
+    assert meta is not None and set(meta["files"]) == {"a.csv", "b.csv"}

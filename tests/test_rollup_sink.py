@@ -193,3 +193,32 @@ def test_crashed_version_write_never_becomes_time_travel(spark, zone):  # noqa: 
     # -2 time travel resolves to the real previous version
     prev = spark.read.parquet(sinks.version_path(out, -2))
     assert {r.systemid for r in prev.collect()} == {"a"}
+
+
+def test_metaless_rollup_version_recomputes_not_doublefolds(spark, zone):  # noqa: F811
+    """A published rollup version without commit metadata (e.g. produced
+    by an external rewrite) gives no replay proof — the next run must
+    take the full-recompute path and still equal a fresh GROUP BY."""
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Sales Invoice" / "b1.csv"),
+        [_live_row("a", "2024-01-01 10:00:00", 5),
+         _live_row("b", "2024-01-01 11:00:00", 7)],
+        t0,
+    )
+    pipe = _pipe(spark, zone)
+    assert pipe.run()[0]["status"] == "ok"
+
+    # strip the commit meta from the current rollup version
+    cur = sinks.current_version_path(pipe._rollup_path("Sales Invoice"))
+    assert cur is not None
+    os.remove(os.path.join(cur, sinks.META_NAME))
+
+    _write_csv(
+        str(landing / "Sales Invoice" / "b2.csv"),
+        [_live_row("a", "2024-01-02 09:00:00", 9)],
+        t0 + 50,
+    )
+    assert pipe.run()[0]["status"] == "ok"
+    _rollup_equals_snapshot(spark, pipe)

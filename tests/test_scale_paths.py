@@ -228,3 +228,31 @@ def test_stream_watermark_drops_late_rows(spark, tmp_path):
     # every emitted window is from the recent range, none from the late data
     hours = {r.h for r in spark.read.parquet(out).collect()}
     assert all(h >= late_cut.replace(minute=0, second=0, microsecond=0) for h in hours)
+
+
+def test_grid_hints_replace_derivation_scans(spark, monkeypatch):
+    """n_rows/dim hints must fully replace the count()+first()
+    derivation (no eager Spark job on the corpus) and yield the same
+    pair set as the self-derived path."""
+    from pyspark.sql import DataFrame
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        grid_near_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n, d = emb.count(), len(emb.first()["embedding"])
+    want = {
+        (r.id_a, r.id_b)
+        for r in grid_near_dup_pairs(emb, threshold=0.2).collect()
+    }
+
+    def _boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("hinted call ran an eager derivation scan")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "first", _boom)
+    plan = grid_near_dup_pairs(emb, threshold=0.2, n_rows=n, dim=d)
+    monkeypatch.undo()
+    got = {(r.id_a, r.id_b) for r in plan.collect()}
+    assert got == want and len(got) > 0

@@ -272,3 +272,40 @@ def test_sample_frames_windows_and_decoder_injection(spark):
         ).collect()
     }
     assert with_codec == {(1, 0, 4), (1, 1, 4)}
+
+
+def test_connected_components_capped_iters_raises_not_lies(spark):
+    """max_iters is a safety valve: exhausting it must RAISE, never
+    return stale (wrong) group labels; the default (uncapped) run
+    converges on the same chain."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12 > cap 3
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(pairs, max_iters=3).collect()
+    got = {(r.id, r.group_id) for r in D.connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(13)}
+
+
+def test_sample_frames_codec_offsets_are_cumulative(spark):
+    """With an injected variable-width codec, byte_offset must be the
+    cumulative decoded position, not fid*frame_size."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+
+    def varcodec(payload, mime):
+        # frames of 3, 2, 5 bytes -> offsets 0, 3, 5
+        return [payload[:3], payload[3:5], payload[5:]]
+
+    got = {
+        (r.frame_id, r.byte_offset, r.n_bytes)
+        for r in sample_frames(
+            attach_binary(docs), frame_size=16, stride=1, frame_decoder=varcodec
+        ).collect()
+    }
+    assert got == {(0, 0, 3), (1, 3, 2), (2, 5, 5)}

@@ -19,6 +19,7 @@ from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
     cdc_queries,
     curation_queries,
     dedup_queries,
+    export_queries,
     functions_queries,
     multimodal_queries,
     similarity_queries,
@@ -39,6 +40,7 @@ _PLAN_MODULES = [
     functions_queries,
     sql_surface_queries,
     curation_queries,
+    export_queries,
 ]
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

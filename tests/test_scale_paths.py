@@ -256,3 +256,35 @@ def test_grid_hints_replace_derivation_scans(spark, monkeypatch):
     monkeypatch.undo()
     got = {(r.id_a, r.id_b) for r in plan.collect()}
     assert got == want and len(got) > 0
+
+
+def test_export_shard_plan_has_no_global_sort_bottleneck(spark):
+    """Shard assignment must be modulo-on-hash (per-row arithmetic), not
+    ntile over a global window: assert the plan has no single-partition
+    Exchange and no Window operator, and that assignments are identical
+    under a different input partitioning (determinism under AQE
+    re-plans / speculative re-execution)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.export_queries import (
+        q_export_shards,
+        q_export_split,
+    )
+
+    df = q_export_shards(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan.split("Sort")[0]  # agg side
+
+    split = q_export_split(spark, SF_DIR)
+    want = {(r.doc_id, r.split) for r in split.collect()}
+    got = {
+        (r.doc_id, r.split)
+        for r in q_export_split(spark, SF_DIR).repartition(7).collect()
+    }
+    assert got == want
+    # split fractions are within sanity bands of 80/10/10
+    from collections import Counter
+
+    frac = Counter(s for _, s in want)
+    n = sum(frac.values())
+    assert 0.7 < frac["train"] / n < 0.9
+    assert frac["val"] > 0 and frac["test"] > 0

@@ -176,3 +176,42 @@ def extract_features(
             )
 
     return binary_df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def extract_features_arrow(binary_df: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of ``extract_features`` — the third Python
+    escape hatch after pandas_udf and mapInPandas, and the right one
+    for BINARY columns: pandas conversion boxes every payload into a
+    Python ``bytes`` object just to build the Series, while Arrow
+    record batches keep the blobs in contiguous buffers. Vectorizable
+    features (length) stay in ``pyarrow.compute``; only the inherently
+    per-row digest touches each payload. Output is the same
+    FEATURE_SCHEMA, equivalence-tested against the pandas path."""
+
+    def run(batches):
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            payload = batch.column(batch.schema.get_field_index("payload"))
+            mime = batch.column(batch.schema.get_field_index("meta")).field("mime")
+            n_bytes = pc.binary_length(payload).cast(pa.int32())
+            firsts, digests = [], []
+            for v in payload:
+                b = v.as_py()
+                firsts.append(b[0] if b else -1)
+                digests.append(hashlib.md5(b).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    mime,
+                    n_bytes,
+                    pa.array(firsts, type=pa.int32()),
+                    pa.array(digests, type=pa.string()),
+                ],
+                names=["doc_id", "mime", "n_bytes", "first_byte", "content_md5"],
+            )
+
+    return binary_df.mapInArrow(run, FEATURE_SCHEMA)

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..catalog import load_table
-from ..operators.multimodal import attach_binary, extract_features, sample_frames
+from ..operators.multimodal import (
+    attach_binary,
+    extract_features,
+    extract_features_arrow,
+    sample_frames,
+)
 from .similarity_queries import QUERY_MOD, TOP_K
 
 FRAME_SIZE = 16
@@ -30,6 +35,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> Arrow-batched byte-level features."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary(docs))
+
+
+def q_multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow twin of q_multimodal_features (same oracle): binary
+    payloads stay in Arrow buffers instead of being boxed into pandas
+    object Series."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features_arrow(attach_binary(docs))
 
 
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,9 +121,12 @@ EXTRA_QUERIES = {
     # mapInPandas frame fan-out variant of the registered
     # q_multimodal_features (registry at the driver's 50-row cap)
     "q_multimodal_framesample": q_multimodal_framesample,
+    # mapInArrow escape-hatch twin of the registered q_multimodal_features
+    "q_multimodal_features_arrow": q_multimodal_features_arrow,
 }
 
 EXTRA_ORACLES = {
+    "q_multimodal_features_arrow": ORACLES["q_multimodal_features"],
     "q_multimodal_framesample": f"""
 WITH f AS (
   SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents

@@ -117,6 +117,95 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_TOP_WORD_PCT = 12  # Gopher-style: flag if top word > 12% of words
+REP_DUP_BIGRAM_PCT = 10  # flag if >10% of bigrams are repeats
+CHUNK_W, CHUNK_S = 32, 24  # context window of 32 tokens, stride 24
+
+
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher/MassiveText rule
+    family, arXiv:2112.11446 §A.1.1, adapted to the fixture's
+    single-line corpus): per document, the most-frequent-word share and
+    the duplicate-bigram share, with integer-percent thresholds. Word
+    and bigram stats are explode + one groupBy(doc_id) each — the
+    shuffle key is doc_id, so at 100 TB this co-partitions with the
+    corpus and never concentrates (no global state, no windows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    words = docs.select("doc_id", F.explode(ws).alias("w"))
+    top = (
+        words.groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"), F.sum("count").alias("n_words"))
+    )
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat(
+                F.element_at(ws, i + 1), F.lit(" "), F.element_at(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # single-word docs have no bigrams -> explode drops them -> the
+    # inner join drops them from the gate (same as the SQL oracle)
+    grams = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    dup = grams.groupBy("doc_id").agg(
+        (F.count("*") - F.count_distinct("bg")).alias("dup_bg"),
+        F.count("*").alias("n_bg"),
+    )
+    return (
+        top.join(dup, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(F.col("top_cnt") * 100 / F.col("n_words"))
+            .cast("long")
+            .alias("top_word_pct"),
+            F.floor(F.col("dup_bg") * 100 / F.col("n_bg"))
+            .cast("long")
+            .alias("dup_bigram_pct"),
+            (
+                (F.col("top_cnt") * 100 <= F.col("n_words") * REP_TOP_WORD_PCT)
+                & (F.col("dup_bg") * 100 <= F.col("n_bg") * REP_DUP_BIGRAM_PCT)
+            ).alias("keep"),
+        )
+    )
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (the retrieval/training
+    counterpart of sequence packing): each document becomes
+    ceil-covering windows of CHUNK_W tokens at stride CHUNK_S, each
+    chunk carrying its token offset, length, and content md5. Pure
+    per-row array fan-out (sequence + transform + explode) — no
+    shuffle, chunks inherit the corpus partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    # chunk starts: 0, S, 2S, ... while start < n (always >= 1 chunk)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - CHUNK_W) / F.lit(CHUNK_S)).cast("int") + 1
+    )
+    chunked = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        n.alias("n_toks_doc"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_S
+    length = F.least(F.lit(CHUNK_W), F.col("n_toks_doc") - start)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("tok_start"),
+        length.cast("long").alias("n_toks"),
+        F.md5(F.array_join(F.slice(F.col("ws"), start + 1, length), " ")).alias(
+            "chunk_md5"
+        ),
+    )
+
+
 QUERIES = {
     "q_text_token_stats": q_text_token_stats,
     "q_text_quality_score": q_text_quality_score,
@@ -186,9 +275,60 @@ EXTRA_QUERIES = {
     # composition of the registered quality/lang/fingerprint stages
     # (registry is at the driver's 50-row cap; full oracle below)
     "q_corpus_curation": q_corpus_curation,
+    # Gopher-style repetition gate: sibling of registered q_text_quality_score
+    "q_text_repetition_filter": q_text_repetition_filter,
+    # context-window chunking: sibling of +extra q_pack_sequences
+    "q_text_chunk_windows": q_text_chunk_windows,
 }
 
 EXTRA_ORACLES = {
+    "q_text_repetition_filter": f"""
+WITH wx AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_words
+  FROM (SELECT doc_id, w, COUNT(*) AS c FROM wx GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(range(1, len(ws))) AS t(i)
+),
+dup AS (
+  SELECT doc_id, COUNT(*) - COUNT(DISTINCT bg) AS dup_bg, COUNT(*) AS n_bg
+  FROM g GROUP BY doc_id
+)
+SELECT top.doc_id,
+  CAST(floor(top_cnt * 100.0 / n_words) AS BIGINT) AS top_word_pct,
+  CAST(floor(dup_bg * 100.0 / n_bg) AS BIGINT) AS dup_bigram_pct,
+  (top_cnt * 100 <= n_words * {REP_TOP_WORD_PCT}
+   AND dup_bg * 100 <= n_bg * {REP_DUP_BIGRAM_PCT}) AS keep
+FROM top JOIN dup ON top.doc_id = dup.doc_id
+""",
+    "q_text_chunk_windows": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+    len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ws, n,
+    unnest(range(0, GREATEST(1,
+      CAST(ceil((n - {CHUNK_W}) / {CHUNK_S}.0) AS BIGINT) + 1))) AS chunk_id
+  FROM w
+)
+SELECT doc_id,
+  CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(chunk_id * {CHUNK_S} AS BIGINT) AS tok_start,
+  CAST(LEAST({CHUNK_W}, n - chunk_id * {CHUNK_S}) AS BIGINT) AS n_toks,
+  md5(array_to_string(
+    ws[CAST(chunk_id * {CHUNK_S} + 1 AS INT)
+       : CAST(chunk_id * {CHUNK_S} + LEAST({CHUNK_W}, n - chunk_id * {CHUNK_S}) AS INT)],
+    ' ')) AS chunk_md5
+FROM c
+""",
     "q_corpus_curation": f"""
 WITH q AS (
   SELECT doc_id,

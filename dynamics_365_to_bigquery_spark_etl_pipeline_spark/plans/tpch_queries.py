@@ -422,16 +422,22 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (partsupp stood in by lineitem): per-part value
     with a HAVING threshold against a GLOBAL scalar aggregate. The
-    global total is a 1-row broadcast cross join — the scalar-subquery
+    global stats are a 1-row broadcast cross join — the scalar-subquery
     plan shape — so the per-part agg shuffles once and the comparison
-    is map-side."""
+    is map-side. The threshold is RELATIVE (1.5x the mean per-part
+    value), so the query stays selective-but-nonempty at any scale
+    factor — Q11's literal fraction goes degenerate as 1/n_parts
+    shrinks. Both sides of the comparison derive from exact decimal
+    sums, so the cut is engine- and partitioning-deterministic."""
     li = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = li.groupBy("l_partkey").agg(dsum(rev, scale=4).alias("part_value"))
-    total = li.agg(dsum(rev, scale=4).alias("__total"))
+    stats = li.agg(
+        (dsum(rev, scale=4) / F.count_distinct("l_partkey")).alias("__avg")
+    )
     return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("__total") * 0.0005)
+        per_part.join(F.broadcast(stats))
+        .filter(F.col("part_value") > F.col("__avg") * 1.5)
         .select("l_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
@@ -495,11 +501,22 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
+    # threshold is 2x the mean per-(supp, part) volume — scale-relative
+    # (a literal cutoff goes empty as pair counts grow with SF) and
+    # exact-decimal-derived on both sides, so the cut is deterministic
+    matched = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    stats = matched.agg(
+        (dsum("l_quantity") / F.count_distinct("l_suppkey", "l_partkey")).alias(
+            "__avg"
+        )
+    )
     heavy = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .groupBy("l_suppkey", "l_partkey")
+        matched.groupBy("l_suppkey", "l_partkey")
         .agg(dsum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 150)
+        .join(F.broadcast(stats))
+        .filter(F.col("qty") > F.col("__avg") * 2)
         .select("l_suppkey")
         .distinct()
     )
@@ -835,7 +852,7 @@ SELECT l_partkey, {dsum_sql(_REV, scale=4)} AS part_value
 FROM lineitem
 GROUP BY l_partkey
 HAVING {dsum_sql(_REV, scale=4)} >
-  (SELECT {dsum_sql(_REV, scale=4)} FROM lineitem) * 0.0005
+  (SELECT {dsum_sql(_REV, scale=4)} / COUNT(DISTINCT l_partkey) FROM lineitem) * 1.5
 """,
     "q12_priority_by_status": """
 SELECT l_linestatus,
@@ -858,15 +875,20 @@ WHERE p_brand <> 'Brand#2'
 GROUP BY p_brand, p_type, p_size
 """,
     "q20_excess_shippers": f"""
+WITH matched AS (
+  SELECT l_suppkey, l_partkey, l_quantity FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%small%')
+    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+)
 SELECT s_name, n_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (
-  SELECT l_suppkey FROM lineitem
-  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%small%')
-    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  SELECT l_suppkey FROM matched
   GROUP BY l_suppkey, l_partkey
-  HAVING {dsum_sql('l_quantity')} > 150
+  HAVING {dsum_sql('l_quantity')} >
+    (SELECT {dsum_sql('l_quantity')} / COUNT(DISTINCT (l_suppkey, l_partkey))
+     FROM matched) * 2
 )
 """,
     "q21_lone_returning_supplier": """

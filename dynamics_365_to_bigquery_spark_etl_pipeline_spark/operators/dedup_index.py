@@ -108,7 +108,27 @@ class LshDedupIndex:
         )
         if batch_id in self.committed_batches():
             return empty  # replay: state already reflects this batch
+        pairs, commit = self.prepare_batch(docs, batch_id, id_col, text_col)
+        commit()
+        return pairs
 
+    def prepare_batch(
+        self,
+        docs: DataFrame,
+        batch_id: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        """Two-phase variant for exactly-once consumers (the streaming
+        leg): returns ``(pairs, commit)`` where ``pairs`` is computed
+        against the COMMITTED state only and ``commit()`` persists the
+        batch's postings. A caller that writes ``pairs`` to an
+        idempotent (per-batch, overwrite) location BEFORE calling
+        ``commit()`` gets exactly-once end to end: a crash before
+        commit replays the whole batch against unchanged state (same
+        pairs, overwritten in place); a crash after commit is caught by
+        the ``committed_batches`` guard with the pairs already on
+        disk."""
         sh = (
             docs.select(
                 F.col(id_col).alias("doc_id"),
@@ -168,13 +188,15 @@ class LshDedupIndex:
             .filter(F.col("jacc") >= self.jaccard_min)
         )
 
-        # append-only state: one new dir per store, then the meta commit
-        # makes both visible atomically (crash before commit -> orphan
-        # dirs are overwritten on retry, never read)
-        for name, df in (("buckets", banded), ("shingles", sh)):
-            out = self._store(name, batch_id)
-            if os.path.isdir(out):
-                shutil.rmtree(out)  # crashed earlier attempt
-            df.write.parquet(out)
-        self._commit(batch_id)
-        return pairs
+        def commit() -> None:
+            # append-only state: one new dir per store, then the meta
+            # commit makes both visible atomically (crash before commit
+            # -> orphan dirs are overwritten on retry, never read)
+            for name, df in (("buckets", banded), ("shingles", sh)):
+                out = self._store(name, batch_id)
+                if os.path.isdir(out):
+                    shutil.rmtree(out)  # crashed earlier attempt
+                df.write.parquet(out)
+            self._commit(batch_id)
+
+        return pairs, commit

@@ -18,6 +18,8 @@ aggregations over event time — the streaming twins of the batch
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -105,6 +107,52 @@ def stream_dedup(
     seen, with state bounded by the event-time watermark (without the
     watermark, dedup state grows forever — the at-scale failure mode)."""
     return events.withWatermark("ts", watermark).dropDuplicates(keys or ["event_id"])
+
+
+def stream_dedup_index(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    index_path: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    jaccard_min: float = 0.5,
+) -> StreamingQuery:
+    """Near-dup detection AT INGEST: file-source stream of documents ->
+    per-micro-batch probe of the incremental LSH index
+    (operators/dedup_index.py) -> near-dup pairs appended under
+    ``pairs_dir/epoch=<n>``.
+
+    Exactly-once choreography (the index's two-phase API): pairs are
+    computed against COMMITTED index state and written to the epoch dir
+    (overwrite -> idempotent) BEFORE the index commit. A replayed epoch
+    either re-runs identically (crash before commit) or is skipped with
+    its pairs already on disk (crash after commit). Per micro-batch the
+    work is O(|batch| + collisions) — new docs never rescan the indexed
+    corpus beyond their own bucket collisions."""
+    from ..operators.dedup_index import LshDedupIndex
+
+    idx = LshDedupIndex(spark, index_path, jaccard_min=jaccard_min)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        source_dir
+    )
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_key = f"epoch-{epoch_id}"
+        if batch_df.isEmpty() or batch_key in idx.committed_batches():
+            return
+        pairs, commit = idx.prepare_batch(batch_df, batch_key)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"epoch={epoch_id}")
+        )
+        commit()
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_stream_join(

@@ -115,3 +115,44 @@ def test_crash_before_commit_leaves_orphan_invisible(spark, tmp_path):
         .collect()
     }
     assert _norm(got | b1_pairs) == _norm(_full_pairs(spark, _corpus(spark)))
+
+
+def test_streaming_dedup_index_accumulates_exact_pairs(spark, tmp_path):
+    """Two micro-batches through the streaming leg (one file per
+    trigger): the union of per-epoch pair outputs must equal the
+    full-corpus recompute, and the index must hold one committed batch
+    per epoch."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_dedup_index,
+    )
+
+    corpus = _corpus(spark)
+    src = str(tmp_path / "src")
+    b1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    b2 = corpus.filter(F.col("doc_id") % 2 == 1)
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_dedup_index(
+        spark,
+        src,
+        corpus.schema,
+        index_path=str(tmp_path / "idx"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        jaccard_min=JMIN,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert _norm(got) == _norm(_full_pairs(spark, corpus))
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.dedup_index import (
+        LshDedupIndex,
+    )
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    assert len(idx.committed_batches()) == 2

@@ -22,6 +22,7 @@ from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
     export_queries,
     functions_queries,
     multimodal_queries,
+    quality_queries,
     similarity_queries,
     sql_surface_queries,
     text_queries,
@@ -41,6 +42,7 @@ _PLAN_MODULES = [
     sql_surface_queries,
     curation_queries,
     export_queries,
+    quality_queries,
 ]
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

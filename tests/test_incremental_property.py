@@ -131,3 +131,70 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long").distinct()
     got = {(r.id, r.group_id) for r in connected_components(pairs).collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=60),  # doc lengths in tokens
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_windows_cover_every_token_exactly(spark, lengths):
+    """Chunking invariant at arbitrary doc lengths: concatenating each
+    chunk's NON-OVERLAPPED prefix (stride tokens, all of the last
+    chunk) reconstructs the document's token stream exactly — no token
+    lost, none duplicated, offsets consistent with lengths."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.text_queries import (
+        CHUNK_S,
+        CHUNK_W,
+        q_text_chunk_windows,
+    )
+
+    docs = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        # single-file parquet, like the fixture layout load_table expects
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": pa.array([d[1] for d in docs], pa.string()),
+                }
+            ),
+            os.path.join(td, "documents.parquet"),
+        )
+        rows = q_text_chunk_windows(spark, td).collect()
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        n_toks = len(docs[i][1].split(" "))  # '' splits to 1 empty token
+        # offsets advance by the stride; every chunk is full-width
+        # except possibly the last; lengths tile the doc exactly
+        covered = 0
+        for j, r in enumerate(chunks):
+            assert r.tok_start == j * CHUNK_S
+            last = j == len(chunks) - 1
+            assert r.n_toks == (n_toks - r.tok_start if last else min(CHUNK_W, n_toks - r.tok_start))
+            if last:
+                covered = r.tok_start + r.n_toks
+        assert covered == n_toks
+        # consecutive chunks overlap by W - S tokens
+        if len(chunks) > 1:
+            assert chunks[0].n_toks == CHUNK_W

@@ -45,6 +45,35 @@ def q_multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features_arrow(attach_binary(docs))
 
 
+def q_udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (the Spark 4 table-function escape hatch, completing
+    the §2.7 set: pandas_udf / mapInPandas / mapInArrow /
+    applyInPandasWithState / udtf): per document, emit one row per
+    token with its position AND absolute character offset. The running
+    offset is the naturally-imperative bit — per-row state across the
+    emitted rows of one input — that plain explode can't carry without
+    a quadratic re-scan. The UDTF is defined in CLOSURE scope so
+    cloudpickle ships it by value (workers can't import this package).
+    Lateral-joined, so it fans out partition-locally with no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string, char_start int")
+    class TokenSpans:
+        def eval(self, text: str):
+            running = 0
+            for i, t in enumerate((text or "").split(" ")):
+                if t:
+                    yield i, t, running
+                running += len(t) + 1
+
+    spark.udtf.register("token_spans", TokenSpans)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, pos, tok, char_start "
+        "FROM __docs_udtf, LATERAL token_spans(text)"
+    )
+
+
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the binary payload: every 4th 16-byte window
     with offset/size/md5 — the mapInPandas fan-out a video keyframe or
@@ -123,10 +152,27 @@ EXTRA_QUERIES = {
     "q_multimodal_framesample": q_multimodal_framesample,
     # mapInArrow escape-hatch twin of the registered q_multimodal_features
     "q_multimodal_features_arrow": q_multimodal_features_arrow,
+    # Python UDTF escape hatch (lateral table function with running state)
+    "q_udtf_token_spans": q_udtf_token_spans,
 }
 
 EXTRA_ORACLES = {
     "q_multimodal_features_arrow": ORACLES["q_multimodal_features"],
+    "q_udtf_token_spans": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+x AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w
+)
+SELECT doc_id,
+  CAST(i - 1 AS INT) AS pos,
+  ws[CAST(i AS INT)] AS tok,
+  CAST(COALESCE(list_sum(list_transform(ws[1:CAST(i - 1 AS INT)],
+         t -> length(t))), 0) + (i - 1) AS INT) AS char_start
+FROM x
+WHERE ws[CAST(i AS INT)] <> ''
+""",
     "q_multimodal_framesample": f"""
 WITH f AS (
   SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents

@@ -69,6 +69,27 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT twin of q_events_json_props (same oracle): props parsed
+    once into Spark 4's binary VARIANT encoding, fields extracted with
+    typed variant_get. At scale this is the semi-structured posture —
+    parse once at ingest, store VARIANT, extract many times without
+    re-tokenizing JSON text per query (get_json_object re-parses the
+    string on every extraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user is idle
     > 30 min (lag + cumulative sum — the batch twin of session_window)."""
@@ -173,6 +194,8 @@ EXTRA_QUERIES = {
     # agg family sibling: incremental maintenance of q_events_tumbling's
     # aggregate shape, oracle = full recompute
     "q_incr_agg_maintenance": q_incr_agg_maintenance,
+    # VARIANT twin of registered q_events_json_props (same oracle)
+    "q_events_variant_props": q_events_variant_props,
 }
 
 ORACLES = {
@@ -250,4 +273,6 @@ GROUP BY event_type
 """,
 }
 
+# the VARIANT twin shares the registered JSON query's oracle verbatim
+ORACLES["q_events_variant_props"] = ORACLES["q_events_json_props"]
 EXTRA_ORACLES = {name: ORACLES.pop(name) for name in list(EXTRA_QUERIES)}

@@ -143,3 +143,57 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key by the same
+    bucket count sort-merge-join with NO exchange on either side — the
+    join's only Exchange in the whole plan is the downstream agg. This
+    is the 100 TB fact-fact join posture: pay the bucketing shuffle
+    once at write time, never again per query."""
+    import shutil
+
+    def drop(name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a table dir orphaned by a dead session blocks saveAsTable even
+        # after DROP (the catalog no longer knows it): remove it too
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        drop("bt_orders")
+        drop("bt_li")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bt_orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bt_li")
+
+        def shape(left, right):
+            j = (
+                left.join(right, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderstatus")
+                .count()
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange"), {
+                (r.o_orderstatus, r["count"]) for r in j.collect()
+            }
+
+        n_bucketed, got = shape(spark.table("bt_li"), spark.table("bt_orders"))
+        n_plain, want = shape(li, orders)
+        assert got == want and len(got) > 0
+        # bucketed: ONLY the agg exchanges; unbucketed: both join sides too
+        assert n_bucketed == 1, f"bucketed join still shuffles ({n_bucketed})"
+        assert n_plain >= 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        drop("bt_orders")
+        drop("bt_li")

@@ -137,6 +137,27 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketches (Datasketches `hll_sketch_agg`) — the
+    at-scale distinct story that `approx_count_distinct` can't tell:
+    the sketch itself is a column, so per-partition / per-day sketches
+    can be stored and UNIONED later (`hll_union_agg`) without touching
+    raw data again — distinct-users-per-anything over 100 TB becomes an
+    O(#sketches) rollup. Sketch bytes are engine-specific (rows-only
+    driver check); pytest proves estimate==exact at this cardinality
+    AND union-of-batch-sketches == whole-corpus sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    )
+
+
 QUERIES = {
     "q_scalar_datetime": q_scalar_datetime,
     "q_scalar_part_funcs": q_scalar_part_funcs,
@@ -154,6 +175,9 @@ EXTRA_QUERIES = {
     # (tests/test_tierb_operators.py)
     "q_approx_distinct": q_approx_distinct,
     "q_approx_quantiles": q_approx_quantiles,
+    # mergeable-sketch sibling of q_approx_distinct; verified by
+    # estimate-vs-exact + union-mergeability tests in pytest
+    "q_hll_distinct_users": q_hll_distinct_users,
 }
 
 from .changelog import CHANGELOG_SQL  # noqa: E402

@@ -309,3 +309,44 @@ def test_sample_frames_codec_offsets_are_cumulative(spark):
         ).collect()
     }
     assert got == {(0, 0, 3), (1, 3, 2), (2, 5, 5)}
+
+
+def test_hll_sketches_exact_and_mergeable(spark):
+    """The HLL sketch query's estimates match exact counts at fixture
+    cardinality, and sketches are MERGEABLE: per-batch sketches unioned
+    with hll_union_agg give the same estimate as one whole-corpus
+    sketch — the property that makes distinct-count rollups O(#sketches)
+    at scale."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.functions_queries import (
+        q_hll_distinct_users,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_hll_distinct_users(spark, sf).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r.est_users - r.exact_users) <= max(1, 0.05 * r.exact_users)
+
+    ev = load_table(spark, sf, "events")
+    halves = [
+        ev.filter(F.col("event_id") % 2 == i).agg(
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+        )
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .unionByName(halves[1])
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .first()
+        .est
+    )
+    whole = (
+        ev.agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .first()
+        .est
+    )
+    assert merged == whole

@@ -309,3 +309,29 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     bl, br = legs(events)
     want = {tuple(r_) for r_ in stream_stream_join(bl, br).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_restart_without_new_files_publishes_nothing(spark, tmp_path, changelog):
+    """Exactly-once across restarts: the checkpoint's file-source
+    offsets must stop a restarted query from reprocessing already-
+    merged files — a third start with no new input publishes NO new
+    sink version (reprocessing would re-merge and re-publish)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark import sinks
+
+    source = tmp_path / "source"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    changelog.write.parquet(str(source), mode="append")
+
+    q = stream_cdc_merge(
+        spark, str(source), changelog.schema, sink, ckpt, tie_breakers=("event_id",)
+    )
+    q.awaitTermination(120)
+    v_before = sinks.current_version_path(sink)
+    assert v_before is not None
+
+    q2 = stream_cdc_merge(
+        spark, str(source), changelog.schema, sink, ckpt, tie_breakers=("event_id",)
+    )
+    q2.awaitTermination(120)
+    assert sinks.current_version_path(sink) == v_before

@@ -60,19 +60,42 @@ class LshDedupIndex:
     def _meta_path(self) -> str:
         return os.path.join(self.path, META_NAME)
 
-    def committed_batches(self) -> list[str]:
+    def _read_meta(self) -> dict:
+        """Meta carries two distinct sets: ``batches`` = the LIVE store
+        dirs to read (compaction shrinks this to one), and
+        ``committed_ids`` = every batch id EVER ingested (the replay
+        guard — compaction must not forget ids, or a replayed old batch
+        would double its postings). Older metas carry only ``batches``;
+        treat that as both."""
         try:
             with open(self._meta_path()) as fh:
-                return json.load(fh)["batches"]
+                meta = json.load(fh)
         except FileNotFoundError:
-            return []
+            return {"batches": [], "committed_ids": [], "generation": 0}
+        meta.setdefault("committed_ids", list(meta.get("batches", [])))
+        meta.setdefault("generation", 0)
+        return meta
 
-    def _commit(self, batch_id: str) -> None:
-        batches = self.committed_batches() + [batch_id]
+    def _write_meta(self, meta: dict) -> None:
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"batches": batches}, fh)
+            json.dump(meta, fh)
         os.replace(tmp, self._meta_path())
+
+    def committed_batches(self) -> list[str]:
+        """Live store dirs (what reads scan)."""
+        return self._read_meta()["batches"]
+
+    def committed_ids(self) -> list[str]:
+        """Every batch id ever committed (what the replay guard checks);
+        survives compaction."""
+        return self._read_meta()["committed_ids"]
+
+    def _commit(self, batch_id: str) -> None:
+        meta = self._read_meta()
+        meta["batches"] = meta["batches"] + [batch_id]
+        meta["committed_ids"] = meta["committed_ids"] + [batch_id]
+        self._write_meta(meta)
 
     def _store(self, name: str, batch_id: str | None = None) -> str:
         base = os.path.join(self.path, name)
@@ -106,7 +129,7 @@ class LshDedupIndex:
         empty = self.spark.createDataFrame(
             [], "id_a long, id_b long, jacc double"
         )
-        if batch_id in self.committed_batches():
+        if batch_id in self.committed_ids():
             return empty  # replay: state already reflects this batch
         pairs, commit = self.prepare_batch(docs, batch_id, id_col, text_col)
         commit()
@@ -200,3 +223,58 @@ class LshDedupIndex:
             self._commit(batch_id)
 
         return pairs, commit
+
+    # -- maintenance -------------------------------------------------------
+    STORE_SCHEMAS = {
+        "buckets": "band_id int, band_hash string, doc_id long",
+        "shingles": "doc_id long, sh array<string>",
+    }
+
+    def compact(self, target_files: int = 32) -> bool:
+        """Merge every live ``batch=<id>`` dir into ONE generation dir
+        per store. Without this, probe fan-in and file counts grow
+        O(#batches) — a 100 TB ingest running thousands of batches
+        would drown the probe join in tiny files. Postings are
+        repartitioned on ``band_hash`` (uniform md5 — skew-free) so the
+        compacted store is also better laid out for the probe join than
+        the per-batch dirs it replaces.
+
+        Crash-safe two-phase, same discipline as the sink family:
+
+        1. write ``batch=gen<N>`` dirs for both stores (orphans until
+           the meta swap — a crash here leaves the old meta pointing at
+           the old dirs, fully readable; a retry rewrites the orphans);
+        2. atomically swap the meta to ``batches=[gen<N>]``, KEEPING
+           ``committed_ids`` (the replay guard must survive compaction
+           or a replayed pre-compaction batch would double-ingest);
+        3. best-effort GC of the now-invisible old dirs (a crash here
+           leaves unreferenced dirs that reads never touch; the next
+           compact sweeps them).
+
+        Returns True if a compaction ran, False if there was nothing to
+        merge (0 or 1 live dir)."""
+        meta = self._read_meta()
+        live = meta["batches"]
+        if len(live) <= 1:
+            return False
+        gen = meta["generation"] + 1
+        gen_id = f"gen{gen}"
+        for name, schema in self.STORE_SCHEMAS.items():
+            out = self._store(name, gen_id)
+            if os.path.isdir(out):
+                shutil.rmtree(out)  # crashed earlier attempt
+            key = "band_hash" if name == "buckets" else "doc_id"
+            self._read_committed(name, schema).repartition(
+                target_files, key
+            ).write.parquet(out)
+        self._write_meta(
+            {
+                "batches": [gen_id],
+                "committed_ids": meta["committed_ids"],
+                "generation": gen,
+            }
+        )
+        for name in self.STORE_SCHEMAS:
+            for b in live:
+                shutil.rmtree(self._store(name, b), ignore_errors=True)
+        return True

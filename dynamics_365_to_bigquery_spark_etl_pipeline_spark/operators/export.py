@@ -26,30 +26,62 @@ from pyspark.sql import DataFrame, functions as F
 
 MANIFEST_NAME = "_export_manifest.json"
 
+# ONE source of truth for the export hash scheme — the oracle-verified
+# query family (plans/export_queries.py) imports these same names, so
+# the logical split/shard queries and this physical writer can never
+# silently diverge in assignment.
+SEED = "seed42"
+N_SHARDS = 8
+# hash buckets are 0..99: 80 train / 10 val / 10 test
+TRAIN_HI, VAL_HI = 80, 90
+
+
+def hash_bucket(id_col, mod: int, seed: str = SEED):
+    """Deterministic uniform bucket in [0, mod): first 8 hex chars of
+    md5(id || seed) as a 32-bit int, mod ``mod``. Engine-portable: the
+    SQL twin is CAST('0x' || substr(md5(..), 1, 8) AS UBIGINT) % mod."""
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(seed))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h32 % mod
+
+
+def hash_bucket_sql(id_expr: str, mod: int, seed: str = SEED) -> str:
+    """DuckDB twin of :func:`hash_bucket` — same bytes, same buckets."""
+    return (
+        f"CAST(CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '{seed}'), 1, 8)"
+        f" AS UBIGINT) AS BIGINT) % {mod}"
+    )
+
+
+def split_expr(id_col, seed: str = SEED):
+    """train/val/test column from the shared bucket scheme."""
+    b = hash_bucket(id_col, 100, seed=seed)
+    return (
+        F.when(b < TRAIN_HI, "train").when(b < VAL_HI, "val").otherwise("test")
+    )
+
 
 def assign_export_keys(
     df: DataFrame,
     id_col: str = "doc_id",
-    seed: str = "seed42",
-    n_shards: int = 8,
-    train_pct: int = 80,
-    val_pct: int = 10,
+    seed: str = SEED,
+    n_shards: int = N_SHARDS,
 ) -> DataFrame:
     """Add deterministic ``split`` / ``shard_id`` / ``shuffle_key``
     columns from a seeded md5 of the id — stable across reruns,
     repartitionings, and engines (rand() is none of those under
-    speculative re-execution or AQE re-plans)."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
-    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    b = h32 % 100
+    speculative re-execution or AQE re-plans). Uses the same
+    ``hash_bucket`` / split thresholds as the query family above."""
     return df.select(
         "*",
-        F.when(b < train_pct, "train")
-        .when(b < train_pct + val_pct, "val")
-        .otherwise("test")
-        .alias("split"),
-        (h32 % n_shards).alias("shard_id"),
-        h.alias("shuffle_key"),
+        split_expr(F.col(id_col), seed=seed).alias("split"),
+        hash_bucket(F.col(id_col), n_shards, seed=seed).alias("shard_id"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))).alias(
+            "shuffle_key"
+        ),
     )
 
 

@@ -146,7 +146,10 @@ def extract_features(
 
     Without a decoder, emits deterministic byte-level features (size,
     first byte, md5) — the plumbing a real extractor would use, with the
-    decode step swapped in via ``decoder``.
+    decode step swapped in via ``decoder``. NULL payloads map to
+    ``n_bytes=-1, first_byte=-1, content_md5=NULL`` explicitly (a
+    missing blob is a fact to report, not a worker-side TypeError);
+    decoders never see them.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -156,7 +159,10 @@ def extract_features(
             payloads = pdf["payload"]
             mimes = pdf["meta"].map(lambda m: m["mime"])
             if decoder is not None:
-                feats = [decoder(p, m) for p, m in zip(payloads, mimes)]
+                feats = [
+                    _NULL_FEATURES if p is None else decoder(p, m)
+                    for p, m in zip(payloads, mimes)
+                ]
                 out = pd.DataFrame(feats)
                 out.insert(0, "doc_id", pdf["doc_id"].values)
                 yield out
@@ -165,12 +171,14 @@ def extract_features(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": mimes,
-                    "n_bytes": payloads.map(len).astype("int32"),
+                    "n_bytes": payloads.map(
+                        lambda b: -1 if b is None else len(b)
+                    ).astype("int32"),
                     "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
+                        lambda b: b[0] if b else -1
                     ).astype("int32"),
                     "content_md5": payloads.map(
-                        lambda b: hashlib.md5(b).hexdigest()
+                        lambda b: None if b is None else hashlib.md5(b).hexdigest()
                     ),
                 }
             )
@@ -178,7 +186,14 @@ def extract_features(
     return binary_df.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def extract_features_arrow(binary_df: DataFrame) -> DataFrame:
+# what a NULL payload yields on the decoder path (both twins)
+_NULL_FEATURES = {"mime": None, "n_bytes": -1, "first_byte": -1, "content_md5": None}
+
+
+def extract_features_arrow(
+    binary_df: DataFrame,
+    decoder: Callable[[bytes, str], dict] | None = None,
+) -> DataFrame:
     """``mapInArrow`` twin of ``extract_features`` — the third Python
     escape hatch after pandas_udf and mapInPandas, and the right one
     for BINARY columns: pandas conversion boxes every payload into a
@@ -186,7 +201,10 @@ def extract_features_arrow(binary_df: DataFrame) -> DataFrame:
     record batches keep the blobs in contiguous buffers. Vectorizable
     features (length) stay in ``pyarrow.compute``; only the inherently
     per-row digest touches each payload. Output is the same
-    FEATURE_SCHEMA, equivalence-tested against the pandas path."""
+    FEATURE_SCHEMA, equivalence-tested against the pandas path.
+    Full parity with the pandas twin: same optional ``decoder`` hook,
+    same NULL-payload contract (``n_bytes=-1, first_byte=-1,
+    content_md5=NULL`` — never a worker-side TypeError)."""
 
     def run(batches):
         import hashlib
@@ -197,15 +215,38 @@ def extract_features_arrow(binary_df: DataFrame) -> DataFrame:
         for batch in batches:
             payload = batch.column(batch.schema.get_field_index("payload"))
             mime = batch.column(batch.schema.get_field_index("meta")).field("mime")
-            n_bytes = pc.binary_length(payload).cast(pa.int32())
+            doc_id = batch.column(batch.schema.get_field_index("doc_id"))
+            if decoder is not None:
+                rows = []
+                for d, b, m in zip(
+                    doc_id.to_pylist(), payload.to_pylist(), mime.to_pylist()
+                ):
+                    feats = _NULL_FEATURES if b is None else decoder(b, m)
+                    rows.append({"doc_id": d, **feats})
+                yield pa.RecordBatch.from_pylist(
+                    rows,
+                    schema=pa.schema(
+                        [
+                            ("doc_id", pa.int64()),
+                            ("mime", pa.string()),
+                            ("n_bytes", pa.int32()),
+                            ("first_byte", pa.int32()),
+                            ("content_md5", pa.string()),
+                        ]
+                    ),
+                )
+                continue
+            n_bytes = pc.fill_null(
+                pc.binary_length(payload).cast(pa.int32()), -1
+            )
             firsts, digests = [], []
             for v in payload:
                 b = v.as_py()
-                firsts.append(b[0] if b else -1)
-                digests.append(hashlib.md5(b).hexdigest())
+                firsts.append(-1 if not b else b[0])
+                digests.append(None if b is None else hashlib.md5(b).hexdigest())
             yield pa.RecordBatch.from_arrays(
                 [
-                    batch.column(batch.schema.get_field_index("doc_id")),
+                    doc_id,
                     mime,
                     n_bytes,
                     pa.array(firsts, type=pa.int32()),

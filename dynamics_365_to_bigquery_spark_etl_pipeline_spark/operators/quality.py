@@ -28,20 +28,23 @@ class Check:
     predicate: Column
 
 
-def not_null(col: str) -> Check:
-    return Check(f"not_null_{col}", F.col(col).isNotNull())
+def not_null(col: str, name: str | None = None) -> Check:
+    return Check(name or f"not_null_{col}", F.col(col).isNotNull())
 
 
-def in_range(col: str, lo, hi) -> Check:
-    return Check(f"range_{col}", F.col(col).between(lo, hi))
+def in_range(col: str, lo, hi, name: str | None = None) -> Check:
+    """Two ranges on the same column need explicit ``name=`` — the
+    default alias is per-column, and ``violation_counts`` rejects
+    duplicate names loudly rather than emitting colliding columns."""
+    return Check(name or f"range_{col}", F.col(col).between(lo, hi))
 
 
-def matches(col: str, pattern: str) -> Check:
-    return Check(f"matches_{col}", F.col(col).rlike(pattern))
+def matches(col: str, pattern: str, name: str | None = None) -> Check:
+    return Check(name or f"matches_{col}", F.col(col).rlike(pattern))
 
 
-def one_of(col: str, values: list) -> Check:
-    return Check(f"one_of_{col}", F.col(col).isin(values))
+def one_of(col: str, values: list, name: str | None = None) -> Check:
+    return Check(name or f"one_of_{col}", F.col(col).isin(values))
 
 
 def violation_counts(df: DataFrame, checks: list[Check]) -> DataFrame:
@@ -49,7 +52,16 @@ def violation_counts(df: DataFrame, checks: list[Check]) -> DataFrame:
     in a SINGLE aggregate scan (each check is a conditional count in
     the same agg — adding a check adds an expression, not a pass).
     NULL predicate results count as violations (a null-valued range
-    check is not a pass)."""
+    check is not a pass). Check names must be unique — duplicate
+    aggregate aliases would make per-check results inaccessible by
+    name, so that's an error here, not a silent column collision."""
+    names = [c.name for c in checks]
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"duplicate check names {dupes}: give explicit name= to "
+            "distinguish same-kind checks on the same column"
+        )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in checks:
         aggs.append(

@@ -23,6 +23,7 @@ Fixes over the reference:
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 
@@ -36,6 +37,8 @@ from .sources import csv_entity
 from .sources.state import WatermarkStore
 
 LAYOUT_ASIDE_SUFFIX = "__layout_aside"
+
+log = logging.getLogger(__name__)
 
 
 def prepare_entity_frame(df: DataFrame) -> DataFrame:
@@ -87,7 +90,16 @@ class EntityPipeline:
         retraction math over ONLY the delta-touched keys —
         materialized-view maintenance at O(|delta|) instead of a
         nightly O(|table|) recompute. Replay-safe across every crash
-        window (see ``_maintain_rollup``)."""
+        window (see ``_maintain_rollup``).
+
+        Aggregate envelope: an optional ``"aggs"`` entry widens the
+        rollup beyond the default ``("sum", "count", "avg")``. SUM /
+        COUNT / AVG are exactly retractable, so CDC updates/deletes
+        fold in at O(|delta|). MIN / MAX are NOT retractable (deleting
+        the current minimum needs the group rescanned for the
+        runner-up), so configuring them switches incremental runs to
+        the O(|table|) recompute path — logged per run, never silently
+        wrong extrema. Unknown aggregate names fail fast here."""
         self.spark = spark
         self.landing_dir = landing_dir
         self.sink_dir = sink_dir
@@ -95,6 +107,18 @@ class EntityPipeline:
         self.tie_breakers = tie_breakers
         self.bucket_partitions = bucket_partitions
         self.rollup = rollup
+        if rollup is not None:
+            from .operators import incr
+
+            aggs = set(rollup.get("aggs", ("sum", "count", "avg")))
+            unknown = aggs - incr.RETRACTABLE_AGGS - incr.NON_RETRACTABLE_AGGS
+            if unknown:
+                raise ValueError(
+                    f"unsupported rollup aggs {sorted(unknown)}; supported: "
+                    f"{sorted(incr.RETRACTABLE_AGGS | incr.NON_RETRACTABLE_AGGS)}"
+                )
+            self.rollup_aggs = tuple(sorted(aggs))
+            self.rollup_retractable = not (aggs & incr.NON_RETRACTABLE_AGGS)
 
     def entities(self) -> list[str]:
         return sorted(
@@ -319,10 +343,23 @@ class EntityPipeline:
                 cdc.resolve_snapshot(prepared, tie_breakers=self.tie_breakers),
                 keys,
                 val,
+                aggs=self.rollup_aggs,
             )
         else:
             if sinks.current_version_path(out) is None:
                 return True  # rollup enabled on an existing sink: bootstrap
+            if not self.rollup_retractable:
+                # min/max configured: CDC deltas can delete/update the
+                # current extremum, and min/max have no retraction —
+                # the only correct incremental answer is a recompute
+                # from the post-merge snapshot (see incr.py envelope).
+                log.warning(
+                    "rollup for %s uses non-retractable aggs %s; "
+                    "incremental fold skipped, recomputing from snapshot",
+                    entity,
+                    sorted(set(self.rollup_aggs) & incr.NON_RETRACTABLE_AGGS),
+                )
+                return True
             old_state = self.spark.read.parquet(out)
             kcol = cdc.KEY
             touched = prepared.select(F.col(kcol).alias("__tk")).distinct()
@@ -346,7 +383,9 @@ class EntityPipeline:
         from .operators import incr
 
         keys, val = self.rollup["keys"], self.rollup["value"]
-        state = incr.partial_group_stats(self.read_snapshot(entity), keys, val)
+        state = incr.partial_group_stats(
+            self.read_snapshot(entity), keys, val, aggs=self.rollup_aggs
+        )
         self._publish_rollup_state(entity, state, batch_files)
 
     def _recover_staging(self, out: str, tmp: str) -> None:

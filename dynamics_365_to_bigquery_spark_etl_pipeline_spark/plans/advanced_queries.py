@@ -250,7 +250,6 @@ QUERIES = {
     "q_scd2_history": q_scd2_history,
     "q_window_zoo": q_window_zoo,
     "q_percentiles": q_percentiles,
-    "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
     "q_salted_agg": q_salted_agg,
@@ -261,6 +260,10 @@ EXTRA_QUERIES = {
     # argmin-per-group: registered siblings q_topk_per_group (window)
     # and q_asof_join's max_by right-side dedup
     "q_min_per_group_join": q_min_per_group_join,
+    # conditional-agg ratio over a join: registered siblings q19
+    # (disjunctive join+agg) and q17 — demoted r6 to free a driver slot
+    # for the LLM-pipeline flagships; full oracle kept
+    "q14_promo_revenue": q14_promo_revenue,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"

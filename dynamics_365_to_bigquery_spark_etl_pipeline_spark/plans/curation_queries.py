@@ -135,7 +135,6 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES: dict = {}
 ORACLES: dict = {}
 
 _GRAMS = C.word_ngrams_sql("text", NGRAM_N)
@@ -148,8 +147,13 @@ _RATE_CASE = (
 )
 _BL_PATTERN = r"\b(" + "|".join(BLOCKLIST) + r")\b"
 
-EXTRA_QUERIES = {
+# promoted r6: decontamination is an LLM-pipeline flagship (broadcast
+# held-out n-gram join), now a registered driver row
+QUERIES = {
     "q_decontaminate_ngram": q_decontaminate_ngram,
+}
+
+EXTRA_QUERIES = {
     "q_sample_stratified": q_sample_stratified,
     "q_text_blocklist": q_text_blocklist,
     "q_pack_sequences": q_pack_sequences,
@@ -209,3 +213,6 @@ SELECT doc_id, source, n_tokens,
 FROM o
 """,
 }
+
+# promoted r6: the registered row carries its full oracle
+ORACLES["q_decontaminate_ngram"] = EXTRA_ORACLES.pop("q_decontaminate_ngram")

@@ -251,6 +251,9 @@ QUERIES = {
     "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_topk": q_dedup_ngram_topk,
+    # pairs -> connected components (promoted r6: LLM-pipeline flagship,
+    # recursive-CTE oracle below)
+    "q_dedup_groups": q_dedup_groups,
 }
 
 EXTRA_QUERIES = {
@@ -258,9 +261,6 @@ EXTRA_QUERIES = {
     # family isn't SQL-portable, so its real check is the pair-set
     # equivalence test in tests/test_tierb_operators.py.
     "q_dedup_minhash_fast": q_dedup_minhash_fast,
-    # pairs -> connected components (registry is at the driver's 50-row
-    # cap; full recursive-CTE oracle below, harness-checked in pytest)
-    "q_dedup_groups": q_dedup_groups,
 }
 
 _FP = "md5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')))"
@@ -396,3 +396,6 @@ reach(id, lbl) AS (
 SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
 """,
 }
+
+# promoted r6: q_dedup_groups is a registered driver row again
+ORACLES["q_dedup_groups"] = EXTRA_ORACLES.pop("q_dedup_groups")

@@ -32,31 +32,21 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.portable import dsum, dsum_sql
 
-SEED = "seed42"
-N_SHARDS = 8
-# hash buckets are 0..99: 80 train / 10 val / 10 test
-TRAIN_HI, VAL_HI = 80, 90
+# The hash scheme (seed, thresholds, shard count, bucket function, SQL
+# twin) lives in ONE place — operators/export.py — shared with the
+# physical shard writer so the oracle-verified queries here and the
+# files it writes can never diverge in split/shard assignment.
+from ..operators.export import (  # noqa: F401  (re-exported names)
+    N_SHARDS,
+    SEED,
+    TRAIN_HI,
+    VAL_HI,
+    hash_bucket as _hash_bucket,
+    hash_bucket_sql as _hash_bucket_sql,
+    split_expr,
+)
 
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
-
-
-def _hash_bucket(id_col, mod: int):
-    """Deterministic uniform bucket in [0, mod): first 8 hex chars of
-    md5(id || seed) as a 32-bit int, mod ``mod``. Engine-portable: the
-    SQL twin is CAST('0x' || substr(md5(..), 1, 8) AS UBIGINT) % mod."""
-    h32 = F.conv(
-        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(SEED))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return h32 % mod
-
-
-def _hash_bucket_sql(id_expr: str, mod: int) -> str:
-    return (
-        f"CAST(CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '{SEED}'), 1, 8)"
-        f" AS UBIGINT) AS BIGINT) % {mod}"
-    )
 
 
 def q_export_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,10 +54,7 @@ def q_export_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     its seeded hash bucket, so the split is stable across reruns,
     repartitionings, and engines — and disjoint by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    b = _hash_bucket(F.col("doc_id"), 100)
-    split = (
-        F.when(b < TRAIN_HI, "train").when(b < VAL_HI, "val").otherwise("test")
-    )
+    split = split_expr(F.col("doc_id"))
     return docs.select(
         "doc_id", split.alias("split"), F.col("n_chars").alias("n_chars")
     )
@@ -119,13 +106,15 @@ def q_export_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES: dict = {}
 ORACLES: dict = {}
 
-# Registry is at the 50-row driver cap; the export family is verified by
-# the identical oracle harness in pytest (tests/test_entry_contract.py).
-EXTRA_QUERIES = {
+# promoted r6: the deterministic split is the export family's flagship
+# (every training run starts from it), now a registered driver row
+QUERIES = {
     "q_export_split": q_export_split,
+}
+
+EXTRA_QUERIES = {
     "q_export_shards": q_export_shards,
     "q_export_pii_redact": q_export_pii_redact,
 }
@@ -160,3 +149,6 @@ SELECT doc_id,
 FROM documents
 """,
 }
+
+# promoted r6: the registered row carries its full oracle
+ORACLES["q_export_split"] = EXTRA_ORACLES.pop("q_export_split")

@@ -160,12 +160,16 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_scalar_datetime": q_scalar_datetime,
-    "q_scalar_part_funcs": q_scalar_part_funcs,
-    "q_null_map_funcs": q_null_map_funcs,
     "q_token_explode": q_token_explode,
 }
 
 EXTRA_QUERIES = {
+    # scalar-function near-twins of registered q_scalar_datetime (same
+    # §2.5 family, same per-row JVM shape) — demoted r6 to free driver
+    # slots for the LLM-pipeline flagships; full oracles below, still
+    # harness-checked in pytest
+    "q_scalar_part_funcs": q_scalar_part_funcs,
+    "q_null_map_funcs": q_null_map_funcs,
     # grouped-sets family: registered sibling q_cube_orders (CUBE);
     # spark.sql front end: registered sibling q17_small_quantity
     "q_grouping_sets": q_grouping_sets,
@@ -252,3 +256,7 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     # q_approx_* have no oracle anywhere: sketch values are
     # engine-specific; tolerance-checked against exact twins in pytest.
 }
+
+# demoted-to-extra entries keep their full oracles (same harness)
+for _name in ("q_scalar_part_funcs", "q_null_map_funcs"):
+    EXTRA_ORACLES[_name] = ORACLES.pop(_name)

@@ -54,7 +54,14 @@ def q_udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted rows of one input — that plain explode can't carry without
     a quadratic re-scan. The UDTF is defined in CLOSURE scope so
     cloudpickle ships it by value (workers can't import this package).
-    Lateral-joined, so it fans out partition-locally with no shuffle."""
+    Lateral-joined, so it fans out partition-locally with no shuffle.
+
+    A per-row Python UDTF is a LAST RESORT, not a pattern: it pays
+    row-at-a-time Python dispatch on every input row. This query exists
+    precisely to exercise that escape hatch; anything expressible as
+    JVM functions (explode/posexplode + aggregates) or an Arrow-batched
+    pandas UDF / mapInPandas should use those instead — see
+    q_token_explode for the JVM-native version of tokenization."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos int, tok string, char_start int")

@@ -107,13 +107,16 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "q_unpivot_measures": q_unpivot_measures,
-    "q_array_functions": q_array_functions,
 }
 
 EXTRA_QUERIES = {
     # result-identical to registered cdc_snapshot (DataFrame API); the
     # spark.sql front end keeps a registered proof via q17_small_quantity
     "q_cdc_sql_notin": q_cdc_sql_notin,
+    # scalar array-function sampler — demoted r6 (same §2.5 per-row JVM
+    # family as q_scalar_datetime) to free a driver slot for the
+    # LLM-pipeline flagships; full oracle kept, harness-checked in pytest
+    "q_array_functions": q_array_functions,
 }
 
 ORACLES = {

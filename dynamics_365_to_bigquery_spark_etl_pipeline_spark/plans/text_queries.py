@@ -211,6 +211,10 @@ QUERIES = {
     "q_text_quality_score": q_text_quality_score,
     "q_text_lang_id": q_text_lang_id,
     "q_text_fingerprint_groups": q_text_fingerprint_groups,
+    # promoted r6: the end-to-end curation composite is an LLM-pipeline
+    # flagship (quality gate + lang gate + fingerprint dedup in one
+    # plan); full oracle below
+    "q_corpus_curation": q_corpus_curation,
 }
 
 _TOKENS = X.token_count_sql("text")
@@ -272,9 +276,6 @@ GROUP BY source
 }
 
 EXTRA_QUERIES = {
-    # composition of the registered quality/lang/fingerprint stages
-    # (registry is at the driver's 50-row cap; full oracle below)
-    "q_corpus_curation": q_corpus_curation,
     # Gopher-style repetition gate: sibling of registered q_text_quality_score
     "q_text_repetition_filter": q_text_repetition_filter,
     # context-window chunking: sibling of +extra q_pack_sequences
@@ -358,3 +359,6 @@ FROM q JOIN l USING (doc_id) JOIN s USING (doc_id)
 WHERE q.quality_score >= 70 AND l.pred_lang = 'en'
 """,
 }
+
+# promoted r6: q_corpus_curation is a registered driver row again
+ORACLES["q_corpus_curation"] = EXTRA_ORACLES.pop("q_corpus_curation")

@@ -18,6 +18,7 @@ aggregations over event time — the streaming twins of the batch
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -129,7 +130,19 @@ def stream_dedup_index(
     either re-runs identically (crash before commit) or is skipped with
     its pairs already on disk (crash after commit). Per micro-batch the
     work is O(|batch| + collisions) — new docs never rescan the indexed
-    corpus beyond their own bucket collisions."""
+    corpus beyond their own bucket collisions.
+
+    The index batch key is namespaced by the streaming query's run
+    identity (the ``id`` Spark persists in ``checkpoint_dir/metadata``):
+    epoch ids restart at 0 whenever a checkpoint dir is rebuilt, so a
+    bare ``epoch-<n>`` key would make a NEW stream pointed at an
+    EXISTING index silently skip its early epochs as "already
+    committed", dropping pairs without error. With the query id in the
+    key, a restart of the SAME checkpoint still replays exactly-once
+    (same id persists), while a fresh checkpoint gets fresh keys.
+    ``pairs_dir`` is still keyed by bare epoch (its layout is the
+    consumer contract), so pairs_dir must live and die with
+    checkpoint_dir — a fresh checkpoint needs a fresh pairs_dir."""
     from ..operators.dedup_index import LshDedupIndex
 
     idx = LshDedupIndex(spark, index_path, jaccard_min=jaccard_min)
@@ -137,9 +150,16 @@ def stream_dedup_index(
         source_dir
     )
 
+    def _query_id() -> str:
+        # Spark writes {"id": "<uuid>"} here when the query first
+        # starts against this checkpoint dir; the id is stable across
+        # restarts of the same checkpoint and fresh for a rebuilt one.
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return json.load(fh)["id"]
+
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_key = f"epoch-{epoch_id}"
-        if batch_df.isEmpty() or batch_key in idx.committed_batches():
+        batch_key = f"{_query_id()}-epoch-{epoch_id}"
+        if batch_df.isEmpty() or batch_key in idx.committed_ids():
             return
         pairs, commit = idx.prepare_batch(batch_df, batch_key)
         pairs.write.mode("overwrite").parquet(

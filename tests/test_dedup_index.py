@@ -117,6 +117,83 @@ def test_crash_before_commit_leaves_orphan_invisible(spark, tmp_path):
     assert _norm(got | b1_pairs) == _norm(_full_pairs(spark, _corpus(spark)))
 
 
+def test_compaction_preserves_probe_results_and_replay_guard(spark, tmp_path):
+    """compact() merges the per-batch store dirs into one generation
+    dir; probing a later batch must return identical pairs, a replayed
+    PRE-compaction batch id must stay a no-op, and the live dir count
+    must drop to one per store."""
+    corpus = _corpus(spark)
+    b1 = corpus.filter(F.col("doc_id") % 3 == 0)
+    b2 = corpus.filter(F.col("doc_id") % 3 == 1)
+    b3 = corpus.filter(F.col("doc_id") % 3 == 2)
+
+    plain = LshDedupIndex(spark, str(tmp_path / "plain"), jaccard_min=JMIN)
+    plain.add_batch(b1, "b1").collect()
+    plain.add_batch(b2, "b2").collect()
+    want = {(r.id_a, r.id_b) for r in plain.add_batch(b3, "b3").collect()}
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), jaccard_min=JMIN)
+    idx.add_batch(b1, "b1").collect()
+    idx.add_batch(b2, "b2").collect()
+    assert idx.compact() is True
+    assert idx.committed_batches() == ["gen1"]
+    assert sorted(os.listdir(str(tmp_path / "idx" / "buckets"))) == ["batch=gen1"]
+
+    got = {(r.id_a, r.id_b) for r in idx.add_batch(b3, "b3").collect()}
+    assert _norm(got) == _norm(want)
+
+    # pre-compaction ids survive in the replay guard
+    assert idx.add_batch(b1, "b1").collect() == []
+    assert "b1" in idx.committed_ids()
+
+    # nothing left to merge after a compact of a single live dir + b3
+    assert idx.compact() is True
+    assert idx.compact() is False
+
+
+def test_crash_mid_compact_leaves_index_readable(spark, tmp_path):
+    """A crash between writing the generation dirs and the meta swap
+    must leave the old per-batch state fully readable, and the retry
+    must converge to the same compacted state."""
+    corpus = _corpus(spark)
+    b1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    b2 = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), jaccard_min=JMIN)
+    idx.add_batch(b1, "b1").collect()
+    pre_batches = idx.committed_batches()
+
+    # crash: gen dirs written, meta swap never happens
+    write_meta = idx._write_meta
+    idx._write_meta = lambda meta: (_ for _ in ()).throw(OSError("crash"))
+    try:
+        idx.add_batch(b2, "b2")  # build second live dir first
+    except OSError:
+        pass
+    idx._write_meta = write_meta
+    idx.add_batch(b2, "b2").collect()  # commit b2 for real
+
+    idx._write_meta = lambda meta: (_ for _ in ()).throw(OSError("crash"))
+    try:
+        idx.compact()
+        assert False, "expected simulated crash"
+    except OSError:
+        pass
+    idx._write_meta = write_meta
+
+    # old state still live and readable: probe result == fresh recompute
+    assert sorted(idx.committed_batches()) == sorted(pre_batches + ["b2"])
+    assert (
+        idx._read_committed("buckets", idx.STORE_SCHEMAS["buckets"]).count() > 0
+    )
+
+    # retry converges
+    assert idx.compact() is True
+    assert idx.committed_batches() == ["gen1"]
+    got = {(r.id_a, r.id_b) for r in idx.add_batch(corpus.limit(0), "noop").collect()}
+    assert got == set()
+
+
 def test_streaming_dedup_index_accumulates_exact_pairs(spark, tmp_path):
     """Two micro-batches through the streaming leg (one file per
     trigger): the union of per-epoch pair outputs must equal the
@@ -156,3 +233,48 @@ def test_streaming_dedup_index_accumulates_exact_pairs(spark, tmp_path):
 
     idx = LshDedupIndex(spark, str(tmp_path / "idx"))
     assert len(idx.committed_batches()) == 2
+
+
+def test_fresh_checkpoint_on_existing_index_does_not_skip_epochs(spark, tmp_path):
+    """Epoch ids restart at 0 with a rebuilt checkpoint dir; because
+    the index batch key is namespaced by the streaming query id, a NEW
+    stream (new checkpoint + new pairs dir) probing an EXISTING index
+    must still process its epoch 0 instead of skipping it as 'already
+    committed'."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_dedup_index,
+    )
+
+    corpus = _corpus(spark)
+    b1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    # near-dups of b1 docs under fresh ids -> cross-stream pairs exist
+    b2 = b1.select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+
+    src1, src2 = str(tmp_path / "src1"), str(tmp_path / "src2")
+    b1.coalesce(1).write.parquet(src1)
+    b2.coalesce(1).write.parquet(src2)
+
+    idx_path = str(tmp_path / "idx")
+    q1 = stream_dedup_index(
+        spark, src1, corpus.schema, index_path=idx_path,
+        pairs_dir=str(tmp_path / "pairs1"),
+        checkpoint_dir=str(tmp_path / "ckpt1"), jaccard_min=JMIN,
+    )
+    q1.awaitTermination(180)
+
+    q2 = stream_dedup_index(
+        spark, src2, corpus.schema, index_path=idx_path,
+        pairs_dir=str(tmp_path / "pairs2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"), jaccard_min=JMIN,
+    )
+    q2.awaitTermination(180)
+
+    # the second stream's single epoch is epoch 0 again — it must have
+    # produced the b2-vs-b1 pairs, not been skipped
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "pairs2")).collect()
+    }
+    assert len(got) > 0
+    idx = LshDedupIndex(spark, idx_path)
+    assert len(idx.committed_ids()) == 2

@@ -41,6 +41,30 @@ def test_violation_counts_single_scan_and_null_semantics(spark):
     assert plan.count("Scan parquet") == 1
 
 
+def test_duplicate_check_names_rejected_explicit_names_pass(spark):
+    """Two same-kind checks on one column collide on the default alias;
+    violation_counts must reject that loudly, and explicit name= must
+    make both results addressable."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 500.0)], "k long, price double"
+    )
+    with pytest.raises(ValueError, match="range_price"):
+        Q.violation_counts(
+            df, [Q.in_range("price", 0, 100), Q.in_range("price", 0, 10)]
+        )
+
+    [row] = Q.violation_counts(
+        df,
+        [
+            Q.in_range("price", 0, 100, name="price_loose"),
+            Q.in_range("price", 0, 10, name="price_tight"),
+        ],
+    ).collect()
+    assert (row.price_loose, row.price_tight) == (1, 2)
+
+
 def test_split_quarantine_partitions_exactly(spark):
     orders = load_table(spark, SF_DIR, "orders")
     checks = [Q.in_range("o_totalprice", 0, 100_000), Q.one_of("o_orderstatus", ["F", "O"])]

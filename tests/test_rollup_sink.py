@@ -222,3 +222,75 @@ def test_metaless_rollup_version_recomputes_not_doublefolds(spark, zone):  # noq
     )
     assert pipe.run()[0]["status"] == "ok"
     _rollup_equals_snapshot(spark, pipe)
+
+
+def test_minmax_rollup_recomputes_under_deletes_never_wrong(spark, zone):  # noqa: F811
+    """MIN/MAX are outside the retractable envelope: configuring them
+    must (a) reject unknown agg names at construction, (b) make
+    negate_group_stats refuse min/max state, and (c) switch incremental
+    runs to the recompute path so a deleted extremum is never published
+    stale — the rollup must equal a fresh GROUP BY incl. min/max after
+    a delete of the current maximum."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import incr
+
+    landing, sink, state = zone
+    with _pytest.raises(ValueError, match="unsupported rollup aggs"):
+        EntityPipeline(
+            spark, str(landing), str(sink), str(state),
+            rollup={"keys": ["_company"], "value": "amount",
+                    "aggs": ("sum", "median")},
+        )
+
+    pipe = EntityPipeline(
+        spark, str(landing), str(sink), str(state),
+        tie_breakers=("amount",),
+        rollup={"keys": ["_company"], "value": "amount",
+                "aggs": ("sum", "count", "avg", "min", "max")},
+    )
+
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Sales Invoice" / "b1.csv"),
+        [_live_row("a", "2024-01-01 10:00:00", 5),
+         _live_row("b", "2024-01-01 11:00:00", 7),
+         _live_row("c", "2024-01-01 12:00:00", 11)],
+        t0,
+    )
+    assert pipe.run()[0]["status"] == "ok"
+
+    # negate refuses min/max state outright
+    st = incr.partial_group_stats(
+        pipe.read_snapshot("Sales Invoice"), ["_company"], "amount",
+        aggs=("sum", "count", "min", "max"),
+    )
+    with _pytest.raises(ValueError, match="not\\s+retractable"):
+        incr.negate_group_stats(st)
+
+    # delete the current max (c=11): the recompute path must yield the
+    # true new extrema, equal to a fresh GROUP BY of the snapshot
+    _write_csv(
+        str(landing / "Sales Invoice" / "b2.csv"),
+        [_delete_row("c"), _live_row("d", "2024-01-02 10:00:00", 2)],
+        t0 + 50,
+    )
+    assert pipe.run()[0]["status"] == "ok"
+
+    got = {
+        (r._company, r.min_value, r.max_value, r.sum_value, r.n_rows)
+        for r in pipe.read_rollup("Sales Invoice").collect()
+    }
+    snap = pipe.read_snapshot("Sales Invoice")
+    want = {
+        tuple(r)
+        for r in snap.groupBy("_company").agg(
+            F.min("amount").alias("mn"),
+            F.max("amount").alias("mx"),
+            F.sum(F.col("amount").cast("decimal(25,2)")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert not any(mx == "11" or mx == 11 or mx == 11.0 for _, _, mx, _, _ in got)

@@ -274,6 +274,47 @@ def test_sample_frames_windows_and_decoder_injection(spark):
     assert with_codec == {(1, 0, 4), (1, 1, 4)}
 
 
+def test_feature_twins_decoder_parity_and_null_payloads(spark):
+    """The mapInPandas and mapInArrow feature twins must agree with a
+    custom decoder injected into EITHER, and a NULL payload must yield
+    the explicit (n_bytes=-1, first_byte=-1, content_md5=NULL) row in
+    both — never a worker-side TypeError."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+    )
+
+    binary = spark.createDataFrame(
+        [(1, b"hello", {"mime": "text/plain", "n_bytes": 5}),
+         (2, None, {"mime": "text/plain", "n_bytes": 0})],
+        "doc_id long, payload binary, meta struct<mime:string,n_bytes:int>",
+    )
+
+    def fake_decoder(payload, mime):
+        return {
+            "mime": mime,
+            "n_bytes": len(payload),
+            "first_byte": payload[0],
+            "content_md5": f"decoded:{len(payload)}",
+        }
+
+    def rows(df):
+        return {
+            (r.doc_id, r.n_bytes, r.first_byte, r.content_md5)
+            for r in df.collect()
+        }
+
+    want = {(1, 5, ord("h"), "decoded:5"), (2, -1, -1, None)}
+    assert rows(extract_features(binary, decoder=fake_decoder)) == want
+    assert rows(extract_features_arrow(binary, decoder=fake_decoder)) == want
+
+    # default (no-decoder) path: same NULL contract in both twins
+    got_p = rows(extract_features(binary))
+    got_a = rows(extract_features_arrow(binary))
+    assert got_p == got_a
+    assert (2, -1, -1, None) in got_p
+
+
 def test_connected_components_capped_iters_raises_not_lies(spark):
     """max_iters is a safety valve: exhausting it must RAISE, never
     return stale (wrong) group labels; the default (uncapped) run

@@ -138,9 +138,13 @@ class EntityPipeline:
         path = self._sink_path(entity)
         if version is not None:
             return self.spark.read.parquet(sinks.version_path(path, version))
-        if not os.path.exists(path):
+        # resolve through the pointer backend (symlink OR manifest) —
+        # ``path`` itself is not a filesystem object under the manifest
+        # backend for pointer sinks
+        cur = sinks.current_version_path(path)
+        if cur is None:
             return None
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(cur)
 
     def run_entity(self, entity: str) -> dict:
         """Process one entity; returns a status dict. Watermark commits
@@ -287,7 +291,9 @@ class EntityPipeline:
         from .operators import incr
 
         return incr.finalize_group_stats(
-            self.spark.read.parquet(self._rollup_path(entity))
+            self.spark.read.parquet(
+                sinks.current_version_path(self._rollup_path(entity))
+            )
         )
 
     def _publish_rollup_state(self, entity: str, state: DataFrame, batch_files: list[str]) -> None:
@@ -360,7 +366,7 @@ class EntityPipeline:
                     sorted(set(self.rollup_aggs) & incr.NON_RETRACTABLE_AGGS),
                 )
                 return True
-            old_state = self.spark.read.parquet(out)
+            old_state = self.spark.read.parquet(sinks.current_version_path(out))
             kcol = cdc.KEY
             touched = prepared.select(F.col(kcol).alias("__tk")).distinct()
             old_rows = snapshot.join(

@@ -11,8 +11,22 @@ Readers always go through the pointer, so they see either the old or
 the new snapshot, never a partial write; an in-flight reader that
 resolved the pointer before a swap keeps a complete snapshot because
 the previous version is retained (time travel / Iceberg-style commit).
-On an object store the symlink becomes a manifest/pointer object and
-the version dirs become immutable data prefixes — same protocol.
+
+Two pointer BACKENDS implement the same protocol behind the same
+functions (selected by ``SPARK_GRAFT_SINK_POINTER``):
+
+- ``symlink`` (default): the pointer is a symlink at ``out`` swapped
+  with ``os.replace`` — the POSIX-filesystem commit.
+- ``manifest``: the pointer is a small JSON object at
+  ``out__pointer.json`` naming the current version dir — the
+  object-store commit (S3-style stores have no atomic rename of
+  directories or symlinks, but a single-object PUT is atomic; this is
+  the Delta ``_last_checkpoint`` / Iceberg ``version-hint`` shape).
+  The backend NEVER creates a symlink or renames a directory on the
+  commit path; locally the atomic PUT is emulated by a temp-file
+  write + single-file replace. Readers resolve through
+  ``current_version_path`` (both backends), never through ``out``
+  itself.
 
 Shared by the batch pipeline (``pipeline.EntityPipeline``) and the
 streaming merge (``streaming.cdc_stream.stream_cdc_merge``), so both
@@ -21,11 +35,34 @@ paths have exactly ONE physical write per run/micro-batch.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 VERSIONS_SUFFIX = "__versions"
 SWAP_SUFFIX = "__swap"
+POINTER_SUFFIX = "__pointer.json"
+
+
+def pointer_backend() -> str:
+    """Read the backend per call so tests can toggle via env."""
+    return os.environ.get("SPARK_GRAFT_SINK_POINTER", "symlink")
+
+
+def _manifest_path(out: str) -> str:
+    return out + POINTER_SUFFIX
+
+
+def _atomic_put(path: str, payload: dict) -> None:
+    """Local emulation of an object store's atomic single-object PUT:
+    readers of ``path`` see the old bytes or the new bytes, never a
+    torn write. (The file replace here stands in for PUT semantics —
+    it is a single OBJECT swap, not the directory/symlink rename the
+    symlink backend relies on.)"""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
 
 
 def _versions_root(out: str) -> str:
@@ -76,12 +113,19 @@ def _migrate_legacy_dir(out: str) -> None:
     the subsequent swap never hits ENOTDIR."""
     if not os.path.isdir(out) or os.path.islink(out):
         return
+    if pointer_backend() == "manifest" and os.path.exists(_manifest_path(out)):
+        return  # manifest-published sink; the real dir is bucketed data
     vroot = _versions_root(out)
     os.makedirs(vroot, exist_ok=True)
     existing = list_versions(out)
     n = int(existing[-1][2:]) + 1 if existing else 1
     legacy = os.path.join(vroot, f"v_{n:06d}")
+    # one-time layout upgrade, not the commit path: on a real object
+    # store this rename is a copy job run once at migration
     os.rename(out, legacy)
+    if pointer_backend() == "manifest":
+        _atomic_put(_manifest_path(out), {"current": os.path.abspath(legacy)})
+        return
     tmp = out + SWAP_SUFFIX
     if os.path.lexists(tmp):
         os.unlink(tmp)
@@ -125,17 +169,34 @@ def publish_version(out: str, vdir: str, keep: int = 2) -> None:
     readers need a larger ``keep``, mirroring snapshot-retention tuning
     in table formats."""
     _migrate_legacy_dir(out)
-    tmp = out + SWAP_SUFFIX
-    if os.path.lexists(tmp):
-        os.unlink(tmp)
-    os.symlink(os.path.abspath(vdir), tmp)
-    os.replace(tmp, out)
+    if pointer_backend() == "manifest":
+        # the object-store commit: ONE atomic small-object PUT — no
+        # symlink, no directory rename anywhere on this path
+        _atomic_put(_manifest_path(out), {"current": os.path.abspath(vdir)})
+    else:
+        tmp = out + SWAP_SUFFIX
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(os.path.abspath(vdir), tmp)
+        os.replace(tmp, out)
     for old in list_versions(out)[:-keep]:
         shutil.rmtree(os.path.join(_versions_root(out), old), ignore_errors=True)
 
 
 def current_version_path(out: str) -> str | None:
-    """Real path of the current version, or None if never published."""
+    """Real path of the current version, or None if never published.
+    This is the READ path for both backends — callers must resolve
+    through it rather than opening ``out`` directly (the manifest
+    backend has no filesystem object at ``out`` for pointer sinks)."""
+    if pointer_backend() == "manifest":
+        try:
+            with open(_manifest_path(out)) as f:
+                return json.load(f)["current"]
+        except FileNotFoundError:
+            # bucketed/real-dir sinks have data at ``out`` itself
+            if os.path.isdir(out) and not os.path.islink(out):
+                return os.path.realpath(out)
+            return None
     if not os.path.lexists(out):
         return None
     return os.path.realpath(out)

@@ -61,8 +61,9 @@ def stream_cdc_merge(
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if sinks.current_version_path(sink_dir) is not None:
-            snapshot = batch_df.sparkSession.read.parquet(sink_dir)
+        cur = sinks.current_version_path(sink_dir)
+        if cur is not None:
+            snapshot = batch_df.sparkSession.read.parquet(cur)
             merged = cdc.merge_cdc_delta_only(
                 snapshot, batch_df, key, order_col, tie_breakers
             )

@@ -46,6 +46,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated extra ORDER BY columns for deterministic "
         "latest-version-per-key resolution",
     )
+    p.add_argument(
+        "--rollup",
+        default=None,
+        metavar="KEYS:VALUE[:AGGS]",
+        help="maintain a grouped rollup beside each snapshot, e.g. "
+        "'_company:amount' or '_company:amount:sum,count,avg,min,max' "
+        "(min/max switch incremental runs to a logged recompute — they "
+        "have no retraction)",
+    )
+    p.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=None,
+        metavar="N",
+        help="after a successful run, bin-pack each processed entity's "
+        "sink into ~N MiB files (published as a new version through "
+        "the same atomic commit; streaming/micro-batch sinks accrete "
+        "a file per batch without this)",
+    )
     return p
 
 
@@ -55,6 +74,28 @@ def main(argv: list[str] | None = None) -> int:
 
     args = build_parser().parse_args(argv)
     tie = tuple(c for c in args.tie_breakers.split(",") if c)
+    rollup = None
+    if args.rollup:
+        parts = args.rollup.split(":")
+        if len(parts) not in (2, 3):
+            print(json.dumps({"status": "error", "error": "bad --rollup format"}))
+            return 1
+        rollup = {"keys": parts[0].split(","), "value": parts[1]}
+        if len(parts) == 3:
+            rollup["aggs"] = tuple(parts[2].split(","))
+    if args.compact_target_mb and args.bucket_partitions:
+        # the bucketed layout has its own delta-touched-bucket rewrite;
+        # whole-table compaction is a pointer-sink maintenance op
+        print(
+            json.dumps(
+                {
+                    "status": "error",
+                    "error": "--compact-target-mb applies to pointer sinks; "
+                    "bucketed sinks compact per touched bucket",
+                }
+            )
+        )
+        return 1
     spark = get_spark("d365-etl")
     pipe = EntityPipeline(
         spark,
@@ -63,8 +104,20 @@ def main(argv: list[str] | None = None) -> int:
         args.state_dir,
         tie_breakers=tie,
         bucket_partitions=args.bucket_partitions,
+        rollup=rollup,
     )
     results = pipe.run(only=args.entities or None)
+    if args.compact_target_mb:
+        from . import sinks
+
+        for r in results:
+            if r["status"] != "ok":
+                continue
+            out = pipe._sink_path(r["entity"])
+            n = sinks.compact(
+                spark, out, target_bytes=args.compact_target_mb * 1024 * 1024
+            )
+            r["compacted_files"] = n
     for r in results:
         print(json.dumps(r))
     return 1 if any(r["status"] == "error" for r in results) else 0

@@ -21,6 +21,8 @@ from __future__ import annotations
 import itertools
 import math
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,6 +66,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus, window top-k.
 
@@ -77,9 +80,24 @@ def brute_force_topk(
     nothing — 78 s either way, it's row plumbing). When the pair count
     is large, use :func:`matmul_topk`, which never materializes pairs
     (per-partition BLAS + partial top-k; same exact semantics), or the
-    IVF bucketed path."""
+    IVF bucketed path.
+
+    ``max_queries`` is the misuse guard: when set, the query side is
+    counted (one early-stopping ``limit(n+1)`` job, cheap next to the
+    pair join it gates) and exceeding it raises with a pointer at the
+    scale paths, instead of silently launching a pair join 10x bigger
+    than intended. Left None by default so the guard never adds a job
+    to callers that know their workload."""
     from pyspark.sql import Window
 
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"brute_force_topk: query side exceeds max_queries="
+                f"{max_queries}; the |Q|x|C| pair join is quadratic — "
+                "use matmul_topk (exact) or ivf_topk (ANN) instead"
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -393,16 +411,41 @@ def refine_centroids(
     )
 
 
+def _arrow_cosine_udf():
+    """Arrow-vectorized cosine over two array columns: one numpy kernel
+    per batch vs the interpreted per-element JVM fold. Built at call
+    time (pandas_udf parses its DDL eagerly, needing a session)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _arrow_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        va = np.stack(a.to_numpy()).astype(np.float64)
+        vb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", va, vb)
+        return pd.Series(
+            dots / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1))
+        )
+
+    return _arrow_cosine
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "jvm",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (broadcast
-    pass; at scale, write the result partitioned by bucket)."""
+    pass; at scale, write the result partitioned by bucket).
+    ``scorer="arrow"`` swaps the per-pair JVM fold for the vectorized
+    numpy kernel — same tie-break, last-ulp sum-order differences only."""
     from pyspark.sql import Window
 
+    score = _arrow_cosine_udf() if scorer == "arrow" else cosine
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     )
@@ -410,7 +453,7 @@ def assign_ivf_buckets(
         id_col,
         vec_col,
         "centroid_id",
-        cosine(F.col(vec_col), F.col("cent_vec")).alias("csim"),
+        score(F.col(vec_col), F.col("cent_vec")).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("csim").desc(), F.col("centroid_id").asc()
@@ -430,6 +473,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "jvm",
 ) -> DataFrame:
     """IVF-bucketed ANN top-k: bucket the corpus by nearest centroid,
     probe each query's ``nprobe`` nearest buckets, exact cosine + top-k
@@ -447,8 +491,18 @@ def ivf_topk(
     entire corpus onto #centroids reducers. The operator's contract is
     a query BATCH (bounded by the broadcast threshold); huge query sets
     are chunked into batches by the caller, each probing pruned bucket
-    partitions."""
-    bucketed = assign_ivf_buckets(corpus, centroids, id_col, vec_col)
+    partitions.
+
+    ``scorer``: ``"jvm"`` (default) evaluates candidate cosine with the
+    JVM element fold — the path the DuckDB oracle mirrors term-for-term;
+    ``"arrow"`` scores each Arrow batch of candidate pairs with one
+    vectorized numpy kernel instead (~10x per-pair at sf1; last-ulp sum
+    order differs, ranks identical on non-adversarial data — the
+    pair-set equivalence is pytest-checked)."""
+    if scorer not in ("jvm", "arrow"):
+        raise ValueError(f"scorer must be 'jvm' or 'arrow', got {scorer!r}")
+    score = _arrow_cosine_udf() if scorer == "arrow" else cosine
+    bucketed = assign_ivf_buckets(corpus, centroids, id_col, vec_col, scorer=scorer)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -476,7 +530,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col(vec_col), F.col("qvec")).alias("sim"),
+            score(F.col(vec_col), F.col("qvec")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

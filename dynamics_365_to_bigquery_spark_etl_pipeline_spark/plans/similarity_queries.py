@@ -68,6 +68,50 @@ QUERIES = {
     "q_sim_ivf_topk": q_sim_ivf_topk,
 }
 
+def q_sim_ivf_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Arrow-vectorized cosine in BOTH per-pair passes (corpus
+    bucket assignment + candidate scoring): identical probe pipeline
+    and the same oracle, each pass one numpy kernel per Arrow batch
+    instead of the interpreted JVM fold. Measured at sf1: 16.3 s ->
+    9.7 s; the remainder is centroid training, which stays on the
+    decimal-exact JVM path ON PURPOSE — that is what lets the DuckDB
+    oracle reproduce the trained centroids bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    trained = S.refine_centroids(emb, seeds)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return S.ivf_topk(
+        emb, trained, queries, k=TOP_K, nprobe=N_PROBE, scorer="arrow"
+    )
+
+
+def q_embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-prep representative (operators/embed_prep.py): L2
+    normalization verified through per-label summary scalars — the
+    deviation of every normalized vector's norm from 1 must be ~0, and
+    the pre-norm mass is summed exactly (decimal) so the whole check is
+    engine-portable. (Array-valued outputs stay out of oracled queries:
+    the hash harness normalizes top-level floats only.) Map-side
+    per-row JVM expressions + one aggregate shuffle."""
+    from ..functions.portable import dsum
+    from ..operators import embed_prep as EP
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pre = F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+    post = EP.l2_normalize(F.col("embedding"))
+    dev = F.abs(F.sqrt(S.dot(post, post)) - F.lit(1.0))
+    return (
+        emb.select("label", pre.alias("pre"), dev.alias("dev"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.max("dev").alias("max_norm_dev"),
+            dsum(F.col("pre"), scale=6).alias("sum_pre_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_sim_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k via per-partition BLAS matmul + partial top-k — the
     scale path for an exact dense scan (no |Q|x|C| pair rows; measured
@@ -83,6 +127,12 @@ EXTRA_QUERIES = {
     # exact twin of registered q_sim_bruteforce_topk (same oracle); the
     # partial-top-k matmul shape that replaces it at large |Q|x|C|
     "q_sim_topk_matmul": q_sim_topk_matmul,
+    # embedding-prep family representative (L2 normalize; PCA/whitening
+    # are eigen-based and not SQL-expressible — invariant-tested in
+    # tests/test_embed_prep.py)
+    "q_embed_l2_normalize": q_embed_l2_normalize,
+    # Arrow-scored IVF twin of registered q_sim_ivf_topk (same oracle)
+    "q_sim_ivf_topk_arrow": q_sim_ivf_topk_arrow,
 }
 
 _COS_CQ = S.cosine_sql("c.embedding", "q.qvec")
@@ -185,7 +235,30 @@ GROUP BY label
 }
 
 # matmul twin shares the brute-force oracle verbatim (same exact
-# semantics, different physical shape)
+# semantics, different physical shape); arrow-scored IVF shares the
+# IVF oracle likewise
 ORACLES["q_sim_topk_matmul"] = ORACLES["q_sim_bruteforce_topk"]
+ORACLES["q_sim_ivf_topk_arrow"] = ORACLES["q_sim_ivf_topk"]
+
+from ..operators.embed_prep import l2_normalize_sql as _l2_sql  # noqa: E402
+from ..functions.portable import dsum_sql as _dsum_sql  # noqa: E402
+
+_PRE = S.norm_sql("embedding")
+_POST = _l2_sql("embedding")
+_POST_NORM = S.norm_sql("nv")
+
+ORACLES["q_embed_l2_normalize"] = f"""
+WITH x AS (
+  SELECT label,
+         {_PRE} AS pre,
+         abs({_POST_NORM} - 1.0) AS dev
+  FROM (
+    SELECT label, embedding, {_POST} AS nv FROM embeddings
+  )
+)
+SELECT label, COUNT(*) AS n_vecs, MAX(dev) AS max_norm_dev,
+       {_dsum_sql('pre', scale=6)} AS sum_pre_norm
+FROM x GROUP BY label ORDER BY label
+"""
 
 EXTRA_ORACLES = {name: ORACLES.pop(name) for name in list(EXTRA_QUERIES)}

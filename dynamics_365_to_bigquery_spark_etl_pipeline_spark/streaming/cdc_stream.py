@@ -119,6 +119,7 @@ def stream_dedup_index(
     pairs_dir: str,
     checkpoint_dir: str,
     jaccard_min: float = 0.5,
+    compact_every: int = 0,
 ) -> StreamingQuery:
     """Near-dup detection AT INGEST: file-source stream of documents ->
     per-micro-batch probe of the incremental LSH index
@@ -143,7 +144,13 @@ def stream_dedup_index(
     (same id persists), while a fresh checkpoint gets fresh keys.
     ``pairs_dir`` is still keyed by bare epoch (its layout is the
     consumer contract), so pairs_dir must live and die with
-    checkpoint_dir — a fresh checkpoint needs a fresh pairs_dir."""
+    checkpoint_dir — a fresh checkpoint needs a fresh pairs_dir.
+
+    ``compact_every`` > 0 folds index maintenance into the stream:
+    after every N committed batches the per-batch store dirs are merged
+    into one generation dir (``LshDedupIndex.compact`` — crash-safe,
+    probe-identical), bounding probe fan-in at O(N) dirs instead of
+    O(#epochs) on a long-running ingest."""
     from ..operators.dedup_index import LshDedupIndex
 
     idx = LshDedupIndex(spark, index_path, jaccard_min=jaccard_min)
@@ -167,6 +174,8 @@ def stream_dedup_index(
             os.path.join(pairs_dir, f"epoch={epoch_id}")
         )
         commit()
+        if compact_every and len(idx.committed_batches()) >= compact_every:
+            idx.compact()
 
     return (
         stream.writeStream.foreachBatch(fold)

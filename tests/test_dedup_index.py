@@ -278,3 +278,40 @@ def test_fresh_checkpoint_on_existing_index_does_not_skip_epochs(spark, tmp_path
     assert len(got) > 0
     idx = LshDedupIndex(spark, idx_path)
     assert len(idx.committed_ids()) == 2
+
+
+def test_streaming_auto_compact_bounds_dirs_keeps_pairs_exact(spark, tmp_path):
+    """compact_every folds maintenance into the stream: after draining
+    two epochs with compact_every=1 the index holds ONE live generation
+    dir per store, the replay guard still knows both epochs, and the
+    accumulated pairs equal the full-corpus recompute."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_dedup_index,
+    )
+
+    corpus = _corpus(spark)
+    src = str(tmp_path / "src")
+    corpus.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    corpus.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_dedup_index(
+        spark, src, corpus.schema,
+        index_path=str(tmp_path / "idx"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        jaccard_min=JMIN,
+        compact_every=1,
+    )
+    q.awaitTermination(180)
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    assert len(idx.committed_batches()) == 1
+    assert idx.committed_batches()[0].startswith("gen")
+    assert len(idx.committed_ids()) == 2
+    assert len(os.listdir(str(tmp_path / "idx" / "buckets"))) == 1
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert _norm(got) == _norm(_full_pairs(spark, corpus))

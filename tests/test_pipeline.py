@@ -160,6 +160,45 @@ def test_cli_module_entry(spark, zone, capsys):
     assert out2 == {"Other": "ok", "Sales Invoice": "no_new_files"}
 
 
+def test_cli_rollup_and_compaction_flags(spark, zone, capsys):
+    """--rollup KEYS:VALUE[:AGGS] wires the materialized-view config
+    through argv; --compact-target-mb bin-packs each processed sink
+    after the run and reports the file count (and is rejected for
+    bucketed sinks, whose maintenance is per touched bucket)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.__main__ import main
+
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Sales Invoice" / "b1.csv"),
+        [_live_row("a", "2024-01-01 10:00:00", 5),
+         _live_row("b", "2024-01-01 11:00:00", 7)],
+        t0,
+    )
+    rc = main([
+        str(landing), str(sink), str(state),
+        "--tie-breakers", "amount",
+        "--rollup", "_company:amount",
+        "--compact-target-mb", "64",
+    ])
+    assert rc == 0
+    [res] = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert res["status"] == "ok" and res["compacted_files"] >= 1
+
+    # rollup exists and matches a fresh GROUP BY
+    rollup = spark.read.parquet(str(sink / "salesinvoice_rollup"))
+    [row] = rollup.collect()
+    assert (row._company, float(row.sum_value), row.n_rows) == ("acme", 12.0, 2)
+
+    # conflicting maintenance flags fail fast
+    rc = main([
+        str(landing), str(sink), str(state),
+        "--bucket-partitions", "4", "--compact-target-mb", "64",
+    ])
+    assert rc == 1
+
+
 def test_sink_write_is_single_physical_write(spark, zone):
     """The versioned-pointer sink writes each run's data exactly once:
     after two runs the sink keeps <= 2 version dirs and the current

@@ -288,3 +288,46 @@ def test_export_shard_plan_has_no_global_sort_bottleneck(spark):
     n = sum(frac.values())
     assert 0.7 < frac["train"] / n < 0.9
     assert frac["val"] > 0 and frac["test"] > 0
+
+
+def test_matmul_topk_equals_bruteforce_no_pair_join(spark):
+    """The BLAS partial-top-k path must return the identical ranking as
+    the pair-join brute force, with a physical plan that contains NO
+    join at all (queries ride the UDF closure) and whose pre-window row
+    count is bounded by partitions * |Q| * k, not |Q| * |C|."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        matmul_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    got_df = matmul_topk(emb, queries, k=10)
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in got_df.collect()}
+    assert got == want and len(got) > 0
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "Join"):
+        assert bad not in plan, f"unexpected {bad} in matmul plan"
+
+
+def test_brute_force_max_queries_guard(spark):
+    """The misuse guard: exceeding max_queries raises toward the scale
+    paths instead of silently launching a quadratic pair join."""
+    import pytest
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="matmul_topk"):
+        brute_force_topk(emb, emb, max_queries=10)
+    # under the cap: runs normally
+    q1 = emb.filter(F.col("vec_id") == 0)
+    assert brute_force_topk(emb, q1, k=3, max_queries=10).count() == 3

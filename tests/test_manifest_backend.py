@@ -165,3 +165,51 @@ def test_manifest_rollup_maintenance(spark, zone, manifest_backend):  # noqa: F8
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_manifest_streaming_merge(spark, tmp_path, manifest_backend):
+    """The streaming CDC merge publishes each micro-batch through the
+    same backend-agnostic commit — under the manifest backend the sink
+    must accumulate correctly across epochs with no symlink ever
+    created."""
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.changelog import (
+        changelog_from_events,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_cdc_merge,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import cdc
+
+    changelog = changelog_from_events(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    source = str(tmp_path / "source")
+    sink = str(tmp_path / "sink")
+    split = "2024-01-16 00:00:00"
+    b1 = changelog.filter(F.col("systemmodifiedat") < split)
+    b2 = changelog.filter(
+        F.col("systemmodifiedat").isNull() | (F.col("systemmodifiedat") >= split)
+    )
+    b1.write.parquet(source, mode="append")
+    q = stream_cdc_merge(
+        spark, source, changelog.schema, sink, str(tmp_path / "ckpt"),
+        tie_breakers=("event_id",),
+    )
+    q.awaitTermination(120)
+    b2.write.parquet(source, mode="append")
+    q2 = stream_cdc_merge(
+        spark, source, changelog.schema, sink, str(tmp_path / "ckpt"),
+        tie_breakers=("event_id",),
+    )
+    q2.awaitTermination(120)
+
+    assert not os.path.lexists(sink)  # no symlink/dir at the pointer path
+    got = spark.read.parquet(sinks.current_version_path(sink))
+    want = cdc.resolve_snapshot(changelog, tie_breakers=("event_id",))
+    assert got.count() == want.count() > 0
+    assert (
+        got.select("systemid").subtract(want.select("systemid")).count() == 0
+    )

@@ -180,11 +180,7 @@ def matmul_topk(
             sims = Cn @ Qn.T  # (batch, |Q|) — one BLAS call
             # self-match mask (same id on both sides)
             sims[ids[:, None] == q_ids[None, :]] = -np.inf
-            take = min(k, sims.shape[0])
-            # partial top-k per query within this batch only
-            part = np.argpartition(-sims, take - 1, axis=0)[:take]
-            qi = np.repeat(np.arange(len(q_ids)), take)
-            ci = part.T.ravel()
+            ci, qi = _local_topk_with_ties(sims, k)
             s = sims[ci, qi]
             keep = np.isfinite(s)
             yield pd.DataFrame(
@@ -370,11 +366,262 @@ def grid_near_dup_pairs(
     )
 
 
+def _local_topk_with_ties(sims, k: int):
+    """Row/column index pairs of each column's top-k scores INCLUDING
+    every boundary tie: everything >= the k-th largest value is kept.
+    A plain ``argpartition[:k]`` breaks boundary ties arbitrarily,
+    which is wrong for a partial top-k feeding a deterministic global
+    merge (sim desc, id asc): the batch holding the LOWER-id member of
+    a tie could drop it while another batch emits the higher-id clone
+    — exactly what duplicated corpora produce (caught at sf1, where
+    every vector has replicas: recall vs the exact scan was 98.7%
+    instead of 100%). Emitting ties costs O(tie multiplicity) extra
+    rows and restores 'union of local top-k ⊇ global top-k' under the
+    total order."""
+    import numpy as np
+
+    take = min(k, sims.shape[0])
+    part = np.argpartition(-sims, take - 1, axis=0)
+    cols = np.arange(sims.shape[1])
+    thresh = sims[part[take - 1], cols]  # k-th largest per column
+    keep = sims >= thresh[None, :]
+    ci, qi = np.nonzero(keep)
+    return ci, qi
+
+
+def assign_ivf_buckets_matmul(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket assignment as ONE argmax kernel per Arrow batch: the
+    centroid matrix rides the closure, each batch computes
+    cosine(C_batch, Cent) as a single BLAS matmul and takes the row
+    argmax — no |corpus| x |centroids| pair rows, no window. Ties
+    resolve to the LOWEST centroid id (matrix sorted by id; argmax
+    returns the first maximum), the same tie-break as the pair-join
+    path. Measured at sf10 with 447 centroids: the pair-join assignment
+    took ~8 min; this takes seconds — the same row-plumbing-vs-BLAS
+    gap as matmul_topk."""
+    import numpy as np
+
+    cent_rows = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(corpus.select(id_col, vec_col).schema.fields)
+        + [T.StructField("bucket_id", T.LongType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["bucket_id"] = ids[np.argmax(Xn @ Mn.T, axis=1)]
+            yield pdf
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def matmul_topk_from_layout(
+    spark,
+    layout_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN probe of a persisted IVF layout with matmul-shaped scoring:
+    the scan is partition-pruned to the query batch's probed buckets,
+    and each Arrow batch scores its rows against ONLY the queries
+    probing that row's bucket — one BLAS call per (batch, bucket),
+    emitting local top-k rows. Per-batch cost is O(probed vectors),
+    and scoring runs at matmul throughput instead of pair-row
+    plumbing (the pair-join probe variant scanned 7% of the corpus yet
+    LOST to the full exact scan at sf10 — see scripts/ab_ivf_layout.py)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, rank int")
+    q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.qvec) for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    cent_rows = sorted(
+        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    # per-query probe set (driver-side numpy — |Q| x |centroids| is
+    # metadata-sized); ties toward lower centroid_id like the window
+    qsims = Qn @ Mn.T
+    order = np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]
+    probe_ids = c_ids[order]  # (|Q|, nprobe)
+    # bucket -> indices of queries probing it
+    bucket_queries: dict[int, list[int]] = {}
+    for qi, row in enumerate(probe_ids):
+        for b in row:
+            bucket_queries.setdefault(int(b), []).append(qi)
+    needed = sorted(bucket_queries)
+
+    table = spark.read.parquet(layout_path).filter(
+        F.col("bucket_id").isin(needed)  # partition-pruned scan
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_n, out_s = [], [], []
+            for b, grp in pdf.groupby("bucket_id"):
+                qidx = np.array(bucket_queries.get(int(b), []), dtype=np.int64)
+                if qidx.size == 0:
+                    continue
+                ids = grp[id_col].to_numpy(dtype=np.int64)
+                C = np.array(list(grp[vec_col]), dtype=np.float64)
+                Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+                sims = Cn @ Qn[qidx].T  # (rows, |probing queries|)
+                sims[ids[:, None] == q_ids[qidx][None, :]] = -np.inf
+                cc, qq = _local_topk_with_ties(sims, k)
+                ss = sims[cc, qq]
+                keep = np.isfinite(ss)
+                out_q.append(q_ids[qidx[qq[keep]]])
+                out_n.append(ids[cc[keep]])
+                out_s.append(ss[keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    cand = table.select(id_col, vec_col, "bucket_id").mapInPandas(
+        run, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def build_ivf_layout(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    out: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scorer: str = "jvm",
+) -> None:
+    """Persist the IVF index: corpus assigned to nearest-centroid
+    buckets and written ``partitionBy(bucket_id)``. This is the build
+    HALF of the amortization trade the in-query ``ivf_topk`` cannot
+    express: pay assignment once, then every query batch reads only its
+    probed bucket partitions (partition pruning at the scan — see
+    ``ivf_topk_from_layout`` and ``scripts/ab_ivf_layout.py`` for the
+    measured break-even). ``scorer="matmul"`` uses the argmax-kernel
+    assignment (no pair rows — the build path that actually amortizes)."""
+    assigner = (
+        assign_ivf_buckets_matmul(corpus, centroids, id_col, vec_col)
+        if scorer == "matmul"
+        else assign_ivf_buckets(corpus, centroids, id_col, vec_col, scorer=scorer)
+    )
+    assigner.write.mode("overwrite").partitionBy("bucket_id").parquet(out)
+
+
+def ivf_topk_from_layout(
+    spark,
+    layout_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scorer: str = "jvm",
+) -> DataFrame:
+    """ANN top-k against a PERSISTED ``build_ivf_layout`` index: the
+    query batch's probe set decides which ``bucket_id=`` partitions are
+    read (an ``isin`` literal over the collected probe ids — bucket-id
+    metadata, not data, crosses the driver), so per-batch cost is
+    O(probed fraction of corpus), not O(corpus). Same probe/score/rank
+    pipeline as ``ivf_topk``, so results are identical for the same
+    centroids."""
+    score = _arrow_cosine_udf() if scorer == "arrow" else cosine
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("centroid_id").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            score(F.col("qvec"), F.col("cent_vec")).alias("qsim"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+        .localCheckpoint()  # probe set is reused for the id list + join
+    )
+    bucket_ids = [r.centroid_id for r in probed.select("centroid_id").distinct().collect()]
+    table = spark.read.parquet(layout_path).filter(
+        F.col("bucket_id").isin(bucket_ids)  # partition-pruned scan
+    )
+    cand = (
+        table.join(F.broadcast(probed), table.bucket_id == probed.centroid_id)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            score(F.col(vec_col), F.col("qvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def refine_centroids(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scorer: str = "jvm",
 ) -> DataFrame:
     """One k-means (Lloyd) update: assign every vector to its nearest
     centroid, then recompute each centroid as the mean of its bucket.
@@ -390,7 +637,7 @@ def refine_centroids(
     (bucket_id, pos) aggregate, both map-side-combining; centroids that
     lose every vector drop out (k shrinks deterministically).
     """
-    assigned = assign_ivf_buckets(corpus, centroids, id_col, vec_col)
+    assigned = assign_ivf_buckets(corpus, centroids, id_col, vec_col, scorer=scorer)
     per_coord = assigned.select(
         "bucket_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
     )

@@ -10,8 +10,9 @@ batches" that the Tier-B dedup/quality stages don't cover —
 - sequence packing (concat-and-chop document → training-sequence
   assignment).
 
-All pure JVM expressions with exact DuckDB mirrors; registered as
-extras because the driver registry is at its 50-row cap.
+All pure JVM expressions with exact DuckDB mirrors. Decontamination is
+a registered driver row (promoted r6); the rest are extras under the
+50-row registry cap, verified by the identical pytest harness.
 """
 
 from __future__ import annotations

@@ -331,3 +331,108 @@ def test_brute_force_max_queries_guard(spark):
     # under the cap: runs normally
     q1 = emb.filter(F.col("vec_id") == 0)
     assert brute_force_topk(emb, q1, k=3, max_queries=10).count() == 3
+
+
+def test_ivf_layout_probe_equals_in_query_ivf(spark, tmp_path):
+    """The persisted-layout probe (build once, partition-pruned reads)
+    must return exactly the in-query ivf_topk result for the same
+    centroids — the amortization changes WHERE assignment cost is paid,
+    never the answer."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        build_ivf_layout,
+        ivf_topk,
+        ivf_topk_from_layout,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, centroids, queries, k=10, nprobe=4).collect()
+    }
+
+    layout = str(tmp_path / "ivf")
+    build_ivf_layout(emb, centroids, layout)
+    got_df = ivf_topk_from_layout(
+        spark, layout, centroids, queries, k=10, nprobe=4
+    )
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in got_df.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_matmul_ivf_layout_full_recall_at_high_nprobe(spark, tmp_path):
+    """The matmul-shaped build + probe (argmax-kernel assignment,
+    partition-pruned BLAS scoring): with nprobe == #centroids (probe
+    everything) it must reproduce the exact matmul scan — same scan
+    set, same scoring — proving the pruning is the ONLY approximation;
+    at small nprobe recall stays high on the fixture corpus."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        build_ivf_layout,
+        matmul_topk,
+        matmul_topk_from_layout,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    layout = str(tmp_path / "ivf")
+    build_ivf_layout(emb, centroids, layout, scorer="matmul")
+
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in matmul_topk(emb, queries, k=10).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in matmul_topk_from_layout(
+            spark, layout, centroids, queries, k=10, nprobe=16
+        ).collect()
+    }
+    assert full == exact and len(full) > 0
+
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in matmul_topk_from_layout(
+            spark, layout, centroids, queries, k=10, nprobe=4
+        ).collect()
+    }
+    exact_pairs = {(q, n) for q, n, _ in exact}
+    recall = len(ann & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"nprobe=4 recall collapsed: {recall}"
+
+
+def test_matmul_topk_tie_break_exact_on_cloned_corpus(spark):
+    """Duplicated corpora produce sim TIES at the top-k boundary
+    (every replicated vector scores identically); the partial top-k
+    must emit boundary ties so the global (sim desc, id asc) order is
+    applied exactly — a bare argpartition[:k] drops the lower-id tie
+    member whole batches at a time (caught at sf1 where recall read
+    98.7% instead of 100%)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        matmul_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # clone every vector twice -> three-way exact ties everywhere
+    corpus = (
+        emb.unionByName(emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+        .unionByName(emb.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding"))
+        .repartition(16)
+    )
+    queries = emb.filter(F.col("vec_id") % 500 == 0)
+
+    # compare modulo clone identity: per-batch BLAS blocking can differ
+    # by 1 ulp for identical vectors in different batches, permuting
+    # WITHIN a tie group (documented matmul_topk contract) — but the
+    # dropped-tie bug lost whole tie members, which this set equality
+    # still catches (the wrong CLONE GROUP appeared in its place).
+    def base(r):
+        return (r.query_id, r.neighbor_id % 100000, r.rank)
+
+    want = {base(r) for r in brute_force_topk(corpus, queries, k=5).collect()}
+    got = {base(r) for r in matmul_topk(corpus, queries, k=5).collect()}
+    assert got == want and len(got) > 0

@@ -42,6 +42,10 @@ HEADLINE = [
     "q_text_token_stats",
     "q_sim_bruteforce_topk",
     "q_asof_join",
+    # added r6: the exact-top-k scale path (partial-top-k BLAS matmul);
+    # tracked per-round so regressions in the non-pair-join shape are
+    # visible. Totals across rounds shift by its ~0.5 s accordingly.
+    "q_sim_topk_matmul",
 ]
 
 

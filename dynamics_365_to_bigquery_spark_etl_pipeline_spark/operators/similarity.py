@@ -528,6 +528,71 @@ def matmul_topk_from_layout(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 4096,
+) -> DataFrame:
+    """SemDeDup-shaped near-duplicate pairs (cluster-then-pairwise, the
+    method of arXiv:2303.09540): assign every vector to its nearest
+    centroid with the argmax kernel, then compute pairwise cosine ONLY
+    within each cluster — total work sum(|cluster|^2) instead of n^2,
+    and embarrassingly parallel across clusters.
+
+    APPROXIMATE BY DESIGN: a near-dup pair split across two clusters is
+    missed (SemDeDup's documented trade); ``grid_near_dup_pairs`` is
+    the full-recall alternative at high thresholds. Exact clones are
+    never split: identical vectors get identical centroid sims in one
+    argmax pass, so they land in the same cluster deterministically.
+
+    Shape: ``applyInPandas`` per cluster — each cluster must fit one
+    worker's memory, which is the method's real operating point (you
+    size #centroids so clusters are ~|corpus|/k); the inner matmul is
+    CHUNKED (``chunk`` rows at a time against the cluster) so the sims
+    buffer is bounded regardless of cluster size. Returns
+    (cluster_id, id_a, id_b, sim) with id_a < id_b."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = assign_ivf_buckets_matmul(corpus, centroids, id_col, vec_col)
+
+    def pairs_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.array(list(pdf[vec_col]), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        n = len(ids)
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = Xn[lo:hi] @ Xn.T  # (hi-lo, n)
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + lo
+            keep = ids[gi] < ids[jj]  # dedupe + drop self
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[jj[keep]])
+            out_s.append(sims[ii[keep], jj[keep]])
+        bucket = pdf["bucket_id"].iloc[0] if n else 0
+        if not out_a:
+            return pd.DataFrame(
+                {"cluster_id": [], "id_a": [], "id_b": [], "sim": []}
+            )
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(sum(map(len, out_a)), bucket, dtype=np.int64),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return assigned.groupBy("bucket_id").applyInPandas(
+        pairs_in_cluster, "cluster_id long, id_a long, id_b long, sim double"
+    )
+
+
 def build_ivf_layout(
     corpus: DataFrame,
     centroids: DataFrame,

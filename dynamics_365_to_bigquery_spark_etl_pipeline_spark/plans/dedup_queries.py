@@ -214,6 +214,62 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_CENTROIDS = 8  # SemDeDup cluster count at fixture scale
+
+
+def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared injected-dup embedding corpus (verbatim + nudged copies,
+    same recipe as q_dedup_embedding_cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = emb.filter(F.col("vec_id") % EXACT_MOD == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+    )
+    nudged = emb.filter(F.col("vec_id") % NEAR_MOD == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.01)).cast("float")),
+            F.slice("embedding", 2, 1_000_000),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(exact).unionByName(nudged)
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped near-dup pairs (arXiv:2303.09540: cluster the
+    embeddings, compare pairs WITHIN a cluster only): nearest-centroid
+    assignment + within-cluster cosine >= 0.999 self-join. Work is
+    sum(|cluster|^2), not n^2, at the documented cost of missing
+    cross-cluster pairs (the grid query is the full-recall twin;
+    injected exact clones can never split — identical vectors assign
+    identically). This registered form keeps every step in the
+    JVM-fold cosine the SQL oracle mirrors term-for-term; the
+    production kernel (`similarity.semantic_dedup_pairs`, argmax
+    assignment + chunked per-cluster BLAS) is pair-set-equivalence
+    tested against it in pytest."""
+    from ..operators.similarity import assign_ivf_buckets, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _embedding_corpus(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < SEM_CENTROIDS)
+    assigned = assign_ivf_buckets(corpus, seeds)
+    a = assigned.select(
+        F.col("bucket_id").alias("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        F.col("bucket_id").alias("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= COSINE_DUP_MIN)
+        .select("cluster_id", "id_a", "id_b")
+    )
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: the MinHash-LSH verified pairs resolved into
     connected components — ``group_id`` is each doc's canonical survivor
@@ -261,6 +317,9 @@ EXTRA_QUERIES = {
     # family isn't SQL-portable, so its real check is the pair-set
     # equivalence test in tests/test_tierb_operators.py.
     "q_dedup_minhash_fast": q_dedup_minhash_fast,
+    # SemDeDup-shaped cluster-then-pairwise near-dup (full SQL oracle;
+    # the grid query is the full-recall twin of the same threshold)
+    "q_dedup_semantic": q_dedup_semantic,
 }
 
 _FP = "md5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')))"
@@ -399,3 +458,36 @@ SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
 
 # promoted r6: q_dedup_groups is a registered driver row again
 ORACLES["q_dedup_groups"] = EXTRA_ORACLES.pop("q_dedup_groups")
+
+_SEM_CORPUS = f"""
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % {EXACT_MOD} = 0
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [CAST(embedding[1] + 0.01 AS REAL)] || embedding[2:]
+  FROM embeddings WHERE vec_id % {NEAR_MOD} = 0
+"""
+
+EXTRA_ORACLES["q_dedup_semantic"] = f"""
+WITH corpus AS ({_SEM_CORPUS}),
+seeds AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id < {SEM_CENTROIDS}
+),
+assign AS (
+  SELECT c.vec_id, c.embedding, s.centroid_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY c.vec_id
+      ORDER BY {cosine_sql('c.embedding', 's.cvec')} DESC, s.centroid_id ASC
+    ) AS rn
+  FROM corpus c CROSS JOIN seeds s
+),
+clustered AS (
+  SELECT vec_id, embedding, centroid_id AS cluster_id FROM assign WHERE rn = 1
+)
+SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b
+FROM clustered a JOIN clustered b
+  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.999
+"""

@@ -436,3 +436,45 @@ def test_matmul_topk_tie_break_exact_on_cloned_corpus(spark):
     want = {base(r) for r in brute_force_topk(corpus, queries, k=5).collect()}
     got = {base(r) for r in matmul_topk(corpus, queries, k=5).collect()}
     assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_kernel_equals_jvm_composition(spark):
+    """The production SemDeDup kernel (argmax assignment + chunked
+    per-cluster BLAS in applyInPandas) must produce the same pair set
+    as the oracle-mirrored JVM composition, and must always contain
+    every injected exact-clone pair (identical vectors cannot split
+    across clusters)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.dedup_queries import (
+        SEM_CENTROIDS,
+        COSINE_DUP_MIN,
+        EXACT_MOD,
+        _embedding_corpus,
+        q_dedup_semantic,
+    )
+
+    corpus = _embedding_corpus(spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") < SEM_CENTROIDS)
+
+    want = {
+        (r.cluster_id, r.id_a, r.id_b)
+        for r in q_dedup_semantic(spark, SF_DIR).collect()
+    }
+    got = {
+        (r.cluster_id, r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            corpus, seeds, threshold=COSINE_DUP_MIN, chunk=257
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # every verbatim clone pair is present (never split across clusters)
+    clones = {
+        (r.vec_id, r.vec_id + 2_000_000)
+        for r in emb.filter(F.col("vec_id") % EXACT_MOD == 0).collect()
+    }
+    found = {(a, b) for _, a, b in got}
+    assert clones <= found

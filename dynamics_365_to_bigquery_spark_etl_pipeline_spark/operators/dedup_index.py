@@ -230,7 +230,9 @@ class LshDedupIndex:
         "shingles": "doc_id long, sh array<string>",
     }
 
-    def compact(self, target_files: int = 32) -> bool:
+    COMPACT_TARGET_BYTES = 64 * 1024 * 1024
+
+    def compact(self, target_files: int | None = None) -> bool:
         """Merge every live ``batch=<id>`` dir into ONE generation dir
         per store. Without this, probe fan-in and file counts grow
         O(#batches) — a 100 TB ingest running thousands of batches
@@ -264,8 +266,23 @@ class LshDedupIndex:
             if os.path.isdir(out):
                 shutil.rmtree(out)  # crashed earlier attempt
             key = "band_hash" if name == "buckets" else "doc_id"
+            # size output files by DATA, not a constant: a store of N
+            # tiny batch files must compact DOWN (a fixed fan-out
+            # re-fragmented small stores — measured), a large store
+            # splits into ~64 MiB files
+            n_files = target_files or max(
+                1,
+                -(-sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for b in live
+                    if os.path.isdir(self._store(name, b))
+                    for dp, _d, fs in os.walk(self._store(name, b))
+                    for f in fs
+                    if f.endswith(".parquet")
+                ) // self.COMPACT_TARGET_BYTES),
+            )
             self._read_committed(name, schema).repartition(
-                target_files, key
+                n_files, key
             ).write.parquet(out)
         self._write_meta(
             {

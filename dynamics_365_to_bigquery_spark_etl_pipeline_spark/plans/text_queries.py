@@ -117,6 +117,56 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP = 3  # salient terms per source
+
+
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source salient terms: rank tokens by tf-idf where tf is the
+    token's count within the source and idf is n_docs/df (df = global
+    document frequency). The score stays ENGINE-EXACT: tf * n_docs is
+    exact integer arithmetic and the single double division of two
+    exact ints is IEEE-identical everywhere, so the ranking (score
+    desc, token asc) hash-matches the oracle without float tolerance.
+    Shapes: one explode + two token-keyed aggregates + a broadcast
+    one-row scalar + a per-source window — at 100 TB every shuffle key
+    is the token (uniform) or the source (bounded)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import normalized_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "source", F.explode(normalized_tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+    df_ = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("source", "tok", "tf", "df", "rank")
+        .orderBy("source", "rank")
+    )
+
+
 REP_TOP_WORD_PCT = 12  # Gopher-style: flag if top word > 12% of words
 REP_DUP_BIGRAM_PCT = 10  # flag if >10% of bigrams are repeats
 CHUNK_W, CHUNK_S = 32, 24  # context window of 32 tokens, stride 24
@@ -280,6 +330,8 @@ EXTRA_QUERIES = {
     "q_text_repetition_filter": q_text_repetition_filter,
     # context-window chunking: sibling of +extra q_pack_sequences
     "q_text_chunk_windows": q_text_chunk_windows,
+    # per-source tf-idf salient terms (exact-arithmetic ranking)
+    "q_text_tfidf_topk": q_text_tfidf_topk,
 }
 
 EXTRA_ORACLES = {
@@ -362,3 +414,30 @@ WHERE q.quality_score >= 70 AND l.pred_lang = 'en'
 
 # promoted r6: q_corpus_curation is a registered driver row again
 ORACLES["q_corpus_curation"] = EXTRA_ORACLES.pop("q_corpus_curation")
+
+from ..operators.dedup import normalized_tokens_sql as _NT_SQL  # noqa: E402
+
+EXTRA_ORACLES["q_text_tfidf_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_NT_SQL('text')}) AS tok FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE LENGTH(tok) > 0),
+tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks2 GROUP BY source, tok),
+df AS (
+  SELECT tok, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks2) GROUP BY tok
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.tok, tf.tf, df.df,
+         CAST(tf.tf * nd.n_docs AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN nd
+),
+ranked AS (
+  SELECT source, tok, tf, df,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT source, tok, tf, df, rank FROM ranked WHERE rank <= {TFIDF_TOP}
+ORDER BY source, rank
+"""

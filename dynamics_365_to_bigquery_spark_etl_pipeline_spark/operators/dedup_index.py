@@ -291,7 +291,12 @@ class LshDedupIndex:
                 "generation": gen,
             }
         )
+        # GC everything the new meta doesn't reference — the just-merged
+        # live dirs AND any orphans from a previous compact that crashed
+        # between ITS meta swap and ITS sweep (reads never see either)
         for name in self.STORE_SCHEMAS:
-            for b in live:
-                shutil.rmtree(self._store(name, b), ignore_errors=True)
+            base = os.path.join(self.path, name)
+            for d in os.listdir(base) if os.path.isdir(base) else []:
+                if d.startswith("batch=") and d != f"batch={gen_id}":
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         return True

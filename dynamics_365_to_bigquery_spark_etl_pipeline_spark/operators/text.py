@@ -85,6 +85,32 @@ def lang_score_sql(expr: str, markers: tuple[str, ...]) -> str:
     )
 
 
+def quality_score(text: Column) -> Column:
+    """Heuristic quality score in [0,100]: length band + alpha ratio +
+    stopword ratio, exact integer arithmetic (no FP, so both engines and
+    every partitioning agree bit-for-bit). Single source of truth shared
+    by ``q_text_quality_score``, the curation composite, and canonical-
+    survivor selection — the SQL twin below must change in lockstep."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_tokens = token_count(text)
+    n_stop = stopword_hits(text)
+    length_pts = F.when((n_chars >= 100) & (n_chars <= 2000), 40).otherwise(10)
+    alpha_pts = F.when(n_alpha * 100 >= n_chars * 60, 30).otherwise(5)
+    stop_pts = F.when(n_stop * 100 >= n_tokens * 5, 30).otherwise(5)
+    return (length_pts + alpha_pts + stop_pts).cast("int")
+
+
+def quality_score_sql(expr: str) -> str:
+    return f"""CAST(
+    (CASE WHEN LENGTH({expr}) >= 100 AND LENGTH({expr}) <= 2000 THEN 40 ELSE 10 END)
+    + (CASE WHEN LENGTH(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) * 100
+             >= LENGTH({expr}) * 60 THEN 30 ELSE 5 END)
+    + (CASE WHEN {stopword_hits_sql(expr)} * 100 >= {token_count_sql(expr)} * 5
+       THEN 30 ELSE 5 END)
+  AS INT)"""
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lowercased,
     non-alphanumerics collapsed to single spaces, trimmed). Same idea as

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, table_num_rows
 from ..operators import dedup as D
+from ..operators import text as X
 from ..operators.similarity import cosine_sql
 
 EXACT_MOD = 10
@@ -286,6 +287,42 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection — the retention step AFTER grouping:
+    within each near-dup component keep the member with the highest
+    quality score (tie → lowest doc_id), reporting the survivor, its
+    score, and the group size. This is the policy real pipelines apply
+    ("keep the best copy, not the first-seen copy"); min-id survivors
+    (q_dedup_groups) are what you get when no quality signal exists.
+
+    Scale shape: the component table is tiny relative to the corpus
+    (only dup-involved docs appear), so the corpus join is
+    hash-broadcast-able; the quality score is computed AFTER the join,
+    for members only, not for the whole corpus; survivor selection is a
+    single ``max_by(struct)`` hash aggregate — partial-aggregated
+    map-side, no window over the full corpus. The DuckDB oracle resolves
+    the same components with a recursive CTE and ranks with a window, so
+    both the grouping AND the tie-break policy are value-checked."""
+    corpus = _corpus(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir, fast=False).select("id_a", "id_b")
+    groups = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "group_id"
+    )
+    members = groups.join(corpus, "doc_id").select(
+        "doc_id",
+        "group_id",
+        X.quality_score(F.col("text")).alias("quality_score"),
+    )
+    # max_by on (quality, -doc_id): highest score wins, ties go to the
+    # smallest doc_id — struct comparison is lexicographic in Spark
+    best = F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("nid"))
+    return members.groupBy("group_id").agg(
+        F.max_by("doc_id", best).alias("canonical_id"),
+        F.max("quality_score").alias("best_quality"),
+        F.count("*").alias("n_members"),
+    )
+
+
 def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard top-k: the 10 documents most similar to doc 0 by
     3-token-shingle Jaccard (brute force against a broadcast query doc)."""
@@ -320,6 +357,9 @@ EXTRA_QUERIES = {
     # SemDeDup-shaped cluster-then-pairwise near-dup (full SQL oracle;
     # the grid query is the full-recall twin of the same threshold)
     "q_dedup_semantic": q_dedup_semantic,
+    # keep-best-copy retention on top of the components (full oracle:
+    # recursive CTE + quality-ranked window)
+    "q_dedup_canonical": q_dedup_canonical,
 }
 
 _FP = "md5(TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g')))"
@@ -415,11 +455,11 @@ LIMIT 10
 """,
 }
 
-EXTRA_ORACLES = {
-    # components via recursive CTE: MIN reachable id per node over the
-    # undirected verified-pair graph — the ground truth the iterative
-    # Spark min-label propagation must converge to
-    "q_dedup_groups": f"""
+# The verified-pair graph resolved to connected components with a
+# recursive CTE: MIN reachable id per node — the ground truth the
+# iterative Spark min-label propagation must converge to. Shared by the
+# groups oracle and the canonical-survivor oracle below.
+_COMPONENTS_CTE_SQL = f"""
 WITH RECURSIVE {_SHINGLED_SQL},
 sigs AS (
   SELECT doc_id, sh, {D.band_keys_sql(D.minhash_signature_sql('sh'))} AS bands
@@ -451,8 +491,39 @@ reach(id, lbl) AS (
   SELECT DISTINCT src AS id, src AS lbl FROM edges
   UNION
   SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (
+  SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
 )
-SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
+"""
+
+EXTRA_ORACLES = {
+    "q_dedup_groups": f"""
+{_COMPONENTS_CTE_SQL}
+SELECT doc_id, group_id FROM comp
+""",
+    # canonical survivor: within each component keep the member with the
+    # highest quality score (tie -> lowest doc_id); same score SQL twin
+    # as q_text_quality_score, applied to the injected-dup corpus
+    "q_dedup_canonical": f"""
+{_COMPONENTS_CTE_SQL},
+scored AS (
+  SELECT c.doc_id, c.group_id,
+         {X.quality_score_sql('k.text')} AS quality_score
+  FROM comp c JOIN corpus k ON k.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT group_id, doc_id, quality_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY group_id
+           ORDER BY quality_score DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY group_id) AS n_members,
+         MAX(quality_score) OVER (PARTITION BY group_id) AS best_quality
+  FROM scored
+)
+SELECT group_id, doc_id AS canonical_id, best_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1
 """,
 }
 

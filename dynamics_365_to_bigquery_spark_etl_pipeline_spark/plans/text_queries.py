@@ -43,19 +43,13 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score in [0,100]: length band + alpha ratio +
-    stopword ratio, computed with exact integer arithmetic (portable)."""
+    stopword ratio, computed with exact integer arithmetic (portable).
+    The expression lives in ``operators.text.quality_score`` (one source
+    of truth shared with canonical-survivor selection; its SQL twin sits
+    next to it so the pair can't drift apart)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    n_chars = F.length(t)
-    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    n_tokens = X.token_count(t)
-    n_stop = X.stopword_hits(t)
-    length_pts = F.when((n_chars >= 100) & (n_chars <= 2000), 40).otherwise(10)
-    alpha_pts = F.when(n_alpha * 100 >= n_chars * 60, 30).otherwise(5)
-    stop_pts = F.when(n_stop * 100 >= n_tokens * 5, 30).otherwise(5)
     return docs.select(
-        "doc_id",
-        (length_pts + alpha_pts + stop_pts).cast("int").alias("quality_score"),
+        "doc_id", X.quality_score(F.col("text")).alias("quality_score")
     )
 
 
@@ -300,13 +294,7 @@ SELECT doc_id,
 FROM documents
 """,
     "q_text_quality_score": f"""
-SELECT doc_id,
-  CAST(
-    (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 2000 THEN 40 ELSE 10 END)
-    + (CASE WHEN LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100
-             >= LENGTH(text) * 60 THEN 30 ELSE 5 END)
-    + (CASE WHEN {_STOPS} * 100 >= {_TOKENS} * 5 THEN 30 ELSE 5 END)
-  AS INT) AS quality_score
+SELECT doc_id, {X.quality_score_sql('text')} AS quality_score
 FROM documents
 """,
     "q_text_lang_id": f"""
@@ -384,13 +372,7 @@ FROM c
 """,
     "q_corpus_curation": f"""
 WITH q AS (
-  SELECT doc_id,
-    CAST(
-      (CASE WHEN LENGTH(text) >= 100 AND LENGTH(text) <= 2000 THEN 40 ELSE 10 END)
-      + (CASE WHEN LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100
-               >= LENGTH(text) * 60 THEN 30 ELSE 5 END)
-      + (CASE WHEN {_STOPS} * 100 >= {_TOKENS} * 5 THEN 30 ELSE 5 END)
-    AS INT) AS quality_score
+  SELECT doc_id, {X.quality_score_sql('text')} AS quality_score
   FROM documents
 ),
 scored AS (

@@ -258,6 +258,43 @@ def write_clustered(df, out: str, cluster_cols: list[str], n_files: int = 0) -> 
     part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(out)
 
 
+def write_zordered(
+    df,
+    out: str,
+    cluster_cols: list[str],
+    n_files: int = 0,
+    bits: int | None = None,
+    stats: dict | None = None,
+) -> None:
+    """Multi-dimensional cluster-on-write: sort by the Z-order (Morton)
+    code of ``cluster_cols`` so each file covers a small hyper-rectangle
+    of the key space — min/max footer stats then skip files for
+    predicates on ANY clustered column, where ``write_clustered``'s
+    lexicographic sort only skips on the leading one (Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``, done at write time).
+
+    Same skew behavior as ``write_clustered``: the range partitioner
+    samples the CODE, so hot key regions become more files, not hot
+    tasks. The code column never reaches the files — it is dropped after
+    the sort (projection preserves within-partition order)."""
+    from pyspark.sql import functions as F
+
+    from .operators import layout as L
+
+    code = L.zorder_code(
+        df, cluster_cols, bits=bits or L.DEFAULT_BITS, stats=stats
+    )
+    zdf = df.withColumn("__zcode", code)
+    part = (
+        zdf.repartitionByRange(n_files, F.col("__zcode"))
+        if n_files
+        else zdf.repartitionByRange(F.col("__zcode"))
+    )
+    part.sortWithinPartitions("__zcode").drop("__zcode").write.mode(
+        "overwrite"
+    ).parquet(out)
+
+
 META_NAME = "_sink_meta.json"
 
 

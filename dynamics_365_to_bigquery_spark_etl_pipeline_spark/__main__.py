@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
         "the same atomic commit; streaming/micro-batch sinks accrete "
         "a file per batch without this)",
     )
+    p.add_argument(
+        "--cluster-by",
+        default=None,
+        metavar="col1[,col2...]",
+        help="after a successful run, rewrite each processed entity's "
+        "sink clustered on these columns (one column: range sort; "
+        "several: Z-order) so parquet min/max stats prune scans; "
+        "bin-packs files too, so it supersedes --compact-target-mb",
+    )
     return p
 
 
@@ -83,7 +92,18 @@ def main(argv: list[str] | None = None) -> int:
         rollup = {"keys": parts[0].split(","), "value": parts[1]}
         if len(parts) == 3:
             rollup["aggs"] = tuple(parts[2].split(","))
-    if args.compact_target_mb and args.bucket_partitions:
+    if args.cluster_by and args.compact_target_mb:
+        print(
+            json.dumps(
+                {
+                    "status": "error",
+                    "error": "--cluster-by already bin-packs; drop "
+                    "--compact-target-mb",
+                }
+            )
+        )
+        return 1
+    if (args.compact_target_mb or args.cluster_by) and args.bucket_partitions:
         # the bucketed layout has its own delta-touched-bucket rewrite;
         # whole-table compaction is a pointer-sink maintenance op
         print(
@@ -118,6 +138,15 @@ def main(argv: list[str] | None = None) -> int:
                 spark, out, target_bytes=args.compact_target_mb * 1024 * 1024
             )
             r["compacted_files"] = n
+    if args.cluster_by:
+        from . import sinks
+
+        cols = [c for c in args.cluster_by.split(",") if c]
+        for r in results:
+            if r["status"] != "ok":
+                continue
+            n = sinks.recluster(spark, pipe._sink_path(r["entity"]), cols)
+            r["reclustered_files"] = n
     for r in results:
         print(json.dumps(r))
     return 1 if any(r["status"] == "error" for r in results) else 0

@@ -83,8 +83,18 @@ def zorder_code(
     ``k_dims`` derivation). Layouts only need approximate bounds, so
     stale hints from a previous run's footers are fine.
     """
+    from pyspark.sql.types import NumericType
+
     if not cols:
         raise ValueError("zorder_code needs at least one column")
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, NumericType):
+            raise ValueError(
+                f"zorder_code: column {c!r} is {df.schema[c].dataType}; "
+                "Z-ordering needs numeric keys (rank-scale a string/time "
+                "key to a numeric surrogate first — hashing would destroy "
+                "the range locality the layout exists to create)"
+            )
     if stats is None:
         row = df.agg(
             *[F.min(c).alias(f"lo_{c}") for c in cols],

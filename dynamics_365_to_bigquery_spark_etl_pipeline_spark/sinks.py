@@ -242,6 +242,48 @@ def compact(spark, out: str, target_bytes: int = 128 * 1024 * 1024, keep: int = 
     return sum(f.endswith(".parquet") for f in os.listdir(vdir))
 
 
+def recluster(
+    spark,
+    out: str,
+    cluster_cols: list[str],
+    target_bytes: int = 128 * 1024 * 1024,
+    keep: int = 2,
+) -> int:
+    """OPTIMIZE-style maintenance: rewrite the CURRENT version clustered
+    on ``cluster_cols`` — one column → range sort (`write_clustered`),
+    several → Z-order (`write_zordered`) — sized like `compact` and
+    published as a new version through the same atomic commit, commit
+    metadata riding along. Returns the new file count.
+
+    Compaction fixes file COUNT; reclustering fixes file STATS: after
+    enough micro-batch merges every file spans the whole key domain and
+    min/max skipping stops working, so periodic re-sorting is the same
+    kind of maintenance as bin-packing."""
+    import math
+
+    cur = current_version_path(out)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published at {out}")
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(cur)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_bytes))
+    vdir = next_version_dir(out)
+    df = spark.read.parquet(cur)
+    if len(cluster_cols) == 1:
+        write_clustered(df, vdir, cluster_cols, n_files=n_files)
+    else:
+        write_zordered(df, vdir, cluster_cols, n_files=n_files)
+    meta_src = os.path.join(cur, META_NAME)
+    if os.path.exists(meta_src):
+        shutil.copyfile(meta_src, os.path.join(vdir, META_NAME))
+    publish_version(out, vdir, keep=keep)
+    return sum(f.endswith(".parquet") for f in os.listdir(vdir))
+
+
 def write_clustered(df, out: str, cluster_cols: list[str], n_files: int = 0) -> None:
     """Cluster-on-write: range-partition by ``cluster_cols`` then sort
     within partitions, so every parquet file covers a narrow, mostly

@@ -199,6 +199,39 @@ def test_cli_rollup_and_compaction_flags(spark, zone, capsys):
     assert rc == 1
 
 
+def test_cli_cluster_by_flag(spark, zone, capsys):
+    """--cluster-by rewrites each processed sink clustered (published as
+    a new version) and reports the file count; combining it with
+    --compact-target-mb is rejected (it already bin-packs)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.__main__ import main
+
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Sales Invoice" / "b1.csv"),
+        [_live_row("a", "2024-01-01 10:00:00", 5),
+         _live_row("b", "2024-01-01 11:00:00", 7)],
+        t0,
+    )
+    rc = main([
+        str(landing), str(sink), str(state),
+        "--tie-breakers", "amount",
+        "--cluster-by", "amount",
+    ])
+    assert rc == 0
+    [res] = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert res["status"] == "ok" and res["reclustered_files"] >= 1
+    snap = spark.read.parquet(str(sink / "salesinvoice"))
+    assert {(r.systemid, r.amount) for r in snap.collect()} == {("a", 5), ("b", 7)}
+
+    rc = main([
+        str(landing), str(sink), str(state),
+        "--cluster-by", "amount", "--compact-target-mb", "64",
+    ])
+    assert rc == 1
+
+
 def test_sink_write_is_single_physical_write(spark, zone):
     """The versioned-pointer sink writes each run's data exactly once:
     after two runs the sink keeps <= 2 version dirs and the current

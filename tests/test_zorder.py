@@ -107,6 +107,35 @@ def test_zorder_layout_preserves_data(spark, tmp_path):
     assert have == want
 
 
+def test_recluster_publishes_stats_bounded_version(spark, tmp_path):
+    """OPTIMIZE-style maintenance through the versioned sink: an
+    unsorted (micro-batch-accreted) table is rewritten Z-ordered as a
+    NEW version via the same atomic commit — data identical, footer
+    stats now bounded on both keys, previous version still readable."""
+    out = str(tmp_path / "t")
+    df = _xy(spark)
+    vdir = sinks.next_version_dir(out)
+    df.repartition(8).write.parquet(vdir)  # stats span the full domain
+    sinks.publish_version(out, vdir)
+
+    n = sinks.recluster(spark, out, ["x", "y"], target_bytes=40_000)
+    assert n >= 1
+    cur = sinks.current_version_path(out)
+    spans_y = _file_spans(cur, "y")
+    if len(spans_y) > 4:
+        assert _files_hit(spans_y, 0, K // 16 - 1) <= len(spans_y) // 2
+    got = sorted(r.payload for r in spark.read.parquet(out).collect())
+    assert got == list(range(N))
+    prev = spark.read.parquet(sinks.version_path(out, -2))
+    assert prev.count() == N
+
+
+def test_zorder_rejects_non_numeric_keys(spark):
+    df = spark.range(10).select(F.col("id"), F.lit("s").alias("name"))
+    with pytest.raises(ValueError, match="numeric"):
+        L.zorder_code(df, ["id", "name"], bits=8)
+
+
 def test_zorder_code_guards_and_hints(spark):
     """bits x dims must fit a signed long; constant columns rank to 0;
     caller-supplied stats hints skip the min/max aggregate scan."""

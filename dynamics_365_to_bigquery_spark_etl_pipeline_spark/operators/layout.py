@@ -43,7 +43,11 @@ def scale_to_rank(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     span = (hi - lo).cast("double")
     scaled = F.floor((col.cast("double") - lo.cast("double")) * top / span)
     clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit(top))
-    return F.when(span <= 0, F.lit(0)).otherwise(clamped).cast("long")
+    ranked = F.when(span <= 0, F.lit(0)).otherwise(clamped).cast("long")
+    # NULL keys (or an all-NULL column, where lo/hi are NULL) rank to 0:
+    # they cluster together at the origin instead of nulling the whole
+    # interleaved code and landing in an arbitrary range partition.
+    return F.coalesce(ranked, F.lit(0).cast("long"))
 
 
 def interleave_bits(ranks: list[Column], bits: int = DEFAULT_BITS) -> Column:

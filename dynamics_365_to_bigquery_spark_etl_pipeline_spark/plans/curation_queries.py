@@ -88,6 +88,74 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUOTA_PER_SOURCE = 15  # exact per-stratum sample size
+QUOTA_SALT = "quota:"
+
+
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count quota sampling: the first QUOTA_PER_SOURCE documents
+    per source by salted-md5 rank — the mixture-sampling twin of
+    q_sample_stratified for when the recipe demands exact counts ("15
+    docs from every source"), not rates. The hash rank makes the sample
+    deterministic across engines, retries, and AQE re-plans (never
+    ``rand()``), and uniformly random in distribution.
+
+    Scale shape: rank-within-stratum is a window over each source
+    partition — fine while strata are bounded (sources, languages); for
+    quotas over huge skewed strata the rate-based sampler with a
+    count-calibrated rate is the 100 TB path, since any exact-k selector
+    must total-order k winners per stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(QUOTA_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source")
+    )
+
+
+def q_quality_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality gate: keep documents at or above
+    their OWN source's 25th-percentile quality score — a fixed global
+    cutoff over-prunes clean sources and under-prunes noisy ones, so
+    real curation gates adapt per domain.
+
+    Exact and portable by construction: the threshold is the smallest
+    score whose within-source cumulative count reaches 1/4 (``4*cum >=
+    n`` — integer arithmetic, no FP percentile interpolation to diverge
+    between engines). Scale shape: the cumulative window runs over the
+    (source, score) AGGREGATE — |sources| x |distinct scores| rows, not
+    documents — and the resulting per-source threshold table is tiny, so
+    it broadcasts back onto the corpus scan; the documents themselves
+    are never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", X.quality_score(F.col("text")).alias("quality_score")
+    )
+    counts = scored.groupBy("source", "quality_score").agg(F.count("*").alias("c"))
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("quality_score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("source")
+    cum = counts.withColumn("cum", F.sum("c").over(cum_w)).withColumn(
+        "n", F.sum("c").over(tot_w)
+    )
+    thr = (
+        cum.filter(F.col("cum") * 4 >= F.col("n"))
+        .groupBy("source")
+        .agg(F.min("quality_score").alias("q_thr"))
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("quality_score") >= F.col("q_thr"))
+        .select("doc_id", "source", "quality_score", "q_thr")
+    )
+
+
 def q_text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate: per-document count of blocklisted word
     hits (word-boundary regex, case-insensitive) and the keep/drop
@@ -156,6 +224,8 @@ QUERIES = {
 
 EXTRA_QUERIES = {
     "q_sample_stratified": q_sample_stratified,
+    "q_sample_quota": q_sample_quota,
+    "q_quality_adaptive_threshold": q_quality_adaptive_threshold,
     "q_text_blocklist": q_text_blocklist,
     "q_pack_sequences": q_pack_sequences,
 }
@@ -183,6 +253,42 @@ GROUP BY doc_id, n_doc_ngrams
 SELECT doc_id, lang, source FROM documents
 WHERE {C.sample_permille_sql(
         "'" + SAMPLE_SALT + "' || CAST(doc_id AS VARCHAR)", _RATE_CASE)}
+""",
+    "q_sample_quota": f"""
+WITH h AS (
+  SELECT doc_id, source,
+         md5('{QUOTA_SALT}' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, source FROM r WHERE rk <= {QUOTA_PER_SOURCE}
+""",
+    "q_quality_adaptive_threshold": f"""
+WITH scored AS (
+  SELECT doc_id, source, {X.quality_score_sql('text')} AS quality_score
+  FROM documents
+),
+counts AS (
+  SELECT source, quality_score, COUNT(*) AS c
+  FROM scored GROUP BY source, quality_score
+),
+cum AS (
+  SELECT source, quality_score,
+         SUM(c) OVER (PARTITION BY source ORDER BY quality_score) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM counts
+),
+thr AS (
+  SELECT source, MIN(quality_score) AS q_thr
+  FROM cum WHERE cum * 4 >= n GROUP BY source
+)
+SELECT s.doc_id, s.source, s.quality_score, t.q_thr
+FROM scored s JOIN thr t USING (source)
+WHERE s.quality_score >= t.q_thr
 """,
     "q_text_blocklist": f"""
 SELECT doc_id,

@@ -180,6 +180,90 @@ def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incr.finalize_group_stats(state)
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 24  # conversion deadline per step
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel view → click → purchase: a user counts
+    for step k only with a step-k event AFTER their step-(k-1) entry
+    time and within the 24 h conversion window (min-per-step alone
+    over-counts users who clicked before ever viewing, and an unbounded
+    window converts everyone in a dense corpus). Output: one row per
+    step with the surviving-user count.
+
+    Scale shape: each step is a filtered scan aggregated to ONE row per
+    user, then a user-key join with the (even smaller) previous step's
+    survivors — every shuffle is on user_id over per-user rows, never
+    raw events, and each step's table shrinks monotonically. At 100 TB
+    the event filter pushes to the scan and the per-user tables are
+    join-key co-partitioned."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.lit(f"1_{FUNNEL_STEPS[0]}").alias("step"), F.count("*").alias("n_users")),
+        s2.agg(F.lit(f"2_{FUNNEL_STEPS[1]}").alias("step"), F.count("*").alias("n_users")),
+        s3.agg(F.lit(f"3_{FUNNEL_STEPS[2]}").alias("step"), F.count("*").alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by the week of their FIRST
+    event; for each (cohort week, week offset) the count of cohort
+    members active that week. Monday-truncated weeks in both engines;
+    offset = whole weeks between the cohort week and the active week.
+
+    Scale shape: one aggregate to per-user first-event times, one
+    distinct over (user, week) — both user-keyed shuffles over per-user
+    /per-user-week rows — then a user-key join and a final small
+    aggregate; nothing ever windows or sorts the raw event stream."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_events_sliding": q_events_sliding,
@@ -196,6 +280,10 @@ EXTRA_QUERIES = {
     "q_incr_agg_maintenance": q_incr_agg_maintenance,
     # VARIANT twin of registered q_events_json_props (same oracle)
     "q_events_variant_props": q_events_variant_props,
+    # event-analytics composites: strict sequential funnel + weekly
+    # cohort retention (full SQL oracles below)
+    "q_events_funnel": q_events_funnel,
+    "q_events_cohort_retention": q_events_cohort_retention,
 }
 
 ORACLES = {
@@ -272,6 +360,49 @@ FROM events
 GROUP BY event_type
 """,
 }
+
+ORACLES["q_events_funnel"] = f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id
+)
+SELECT '1_{FUNNEL_STEPS[0]}' AS step, COUNT(*) AS n_users FROM s1
+UNION ALL
+SELECT '2_{FUNNEL_STEPS[1]}' AS step, COUNT(*) AS n_users FROM s2
+UNION ALL
+SELECT '3_{FUNNEL_STEPS[2]}' AS step, COUNT(*) AS n_users FROM s3
+"""
+
+ORACLES["q_events_cohort_retention"] = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+       CAST(datediff('day', cohort_week, active_week) / 7 AS BIGINT)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
 
 # the VARIANT twin shares the registered JSON query's oracle verbatim
 ORACLES["q_events_variant_props"] = ORACLES["q_events_json_props"]

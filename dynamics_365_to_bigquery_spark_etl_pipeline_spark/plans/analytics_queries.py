@@ -264,6 +264,54 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_2024_US = 1_704_067_200 * 1_000_000  # 2024-01-01 UTC, microseconds
+
+
+def q_events_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per event type: least-squares trend slope
+    of value over time (value-units/day) and the value-time correlation.
+
+    Built from EXACT decimal moment sums, not ``regr_slope``/``corr``
+    built-ins: double-summed moments are partitioning/order-dependent
+    FP, so two engines (or two AQE plans) disagree in the last digits.
+    Here x = centered event-time micros (decimal(14,0)), y =
+    floor(value*1000) (decimal(10,0)) — both integral, so every sum and
+    product is exact and engine-identical; only the FINAL slope/corr
+    division happens in doubles, an identical IEEE expression tree on
+    identical inputs in both engines, then rounded. Scale shape: one
+    hash aggregate with map-side partials, same as any sum."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # 19,0 operands so products bind at (38,0) in BOTH engines (DuckDB
+    # sizes a product at p1+p2, Spark at p1+p2+1 capped to 38 — either
+    # way exact here: |x| <= ~2.6e12, so x*x <= ~7e24 << 1e38)
+    x = (F.unix_micros(F.col("ts")) - F.lit(EPOCH_2024_US)).cast("decimal(19,0)")
+    y = F.floor(F.col("value") * 1000).cast("decimal(19,0)")
+    s = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_num = d("n") * d("sxy") - d("sx") * d("sy")
+    var_x = d("n") * d("sxx") - d("sx") * d("sx")
+    var_y = d("n") * d("syy") - d("sy") * d("sy")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(cov_num / var_x * F.lit(86400000000.0) / F.lit(1000.0), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(cov_num / F.sqrt(var_x * var_y), 6).alias("corr_xy"),
+    )
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_events_sliding": q_events_sliding,
@@ -284,6 +332,8 @@ EXTRA_QUERIES = {
     # cohort retention (full SQL oracles below)
     "q_events_funnel": q_events_funnel,
     "q_events_cohort_retention": q_events_cohort_retention,
+    # statistical aggregates from exact decimal moments (full oracle)
+    "q_events_trend_stats": q_events_trend_stats,
 }
 
 ORACLES = {
@@ -402,6 +452,38 @@ SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
        COUNT(*) AS n_users
 FROM active JOIN firsts USING (user_id)
 GROUP BY 1, 2
+"""
+
+ORACLES["q_events_trend_stats"] = f"""
+WITH base AS (
+  SELECT event_type,
+    CAST(epoch_us(ts) - {EPOCH_2024_US} AS DECIMAL(19,0)) AS x,
+    CAST(FLOOR(value * 1000) AS DECIMAL(19,0)) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * y) AS sxy,
+    SUM(x * x) AS sxx,
+    SUM(y * y) AS syy
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+  ROUND(
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    * 86400000000.0 / 1000.0, 6) AS slope_per_day,
+  ROUND(
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_xy
+FROM s
 """
 
 # the VARIANT twin shares the registered JSON query's oracle verbatim

@@ -132,3 +132,62 @@ def test_word_ngrams_matches_python_reference(spark):
         toks = re.split(r"\s+", t.strip()) if t.strip() else []
         want = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
         assert got[i] == want, (i, repr(t))
+
+
+def test_adaptive_threshold_broadcasts_and_respects_quartile(spark):
+    """Documents must NOT shuffle: the per-source threshold table joins
+    back by broadcast. And per source, the kept fraction is >= 3/4 with
+    every kept score >= the threshold (the 4*cum >= n rule)."""
+    df = Q.q_quality_adaptive_threshold(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+        assert r.quality_score >= r.q_thr
+    totals = {
+        r.source: r.n
+        for r in Q.load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for src, kept in by_src.items():
+        assert len(kept) >= 0.75 * totals[src], (src, len(kept), totals[src])
+
+
+def test_quota_sample_exact_counts_and_determinism(spark):
+    """Exactly min(quota, stratum size) rows per source, identical
+    membership across runs, and membership reproducible from the salted
+    md5 rule outside Spark."""
+    a = {(r.doc_id, r.source) for r in Q.q_sample_quota(spark, SF_DIR).collect()}
+    b = {(r.doc_id, r.source) for r in Q.q_sample_quota(spark, SF_DIR).collect()}
+    assert a == b
+    sizes = {
+        r.source: r.n
+        for r in Q.load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    per_src: dict = {}
+    for _, src in a:
+        per_src[src] = per_src.get(src, 0) + 1
+    for src, n in sizes.items():
+        assert per_src.get(src, 0) == min(Q.QUOTA_PER_SOURCE, n)
+    # reproduce one source's winners outside Spark
+    docs = [
+        (r.doc_id, r.source)
+        for r in Q.load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    ]
+    src0 = docs[0][1]
+    ranked = sorted(
+        (hashlib.md5(f"{Q.QUOTA_SALT}{d}".encode()).hexdigest(), d)
+        for d, s in docs
+        if s == src0
+    )
+    want = {d for _, d in ranked[: Q.QUOTA_PER_SOURCE]}
+    assert {d for d, s in a if s == src0} == want

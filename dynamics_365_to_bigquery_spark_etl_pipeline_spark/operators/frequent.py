@@ -1,0 +1,96 @@
+"""Frequent-items (heavy hitters) via mergeable Misra-Gries summaries.
+
+The exact way to find terms above a frequency threshold is GROUP BY
+term — but that shuffles EVERY distinct term, and a 100 TB corpus has
+billions of rare terms that exist only to be discarded by the HAVING.
+The sketch route never shuffles the tail:
+
+1. each partition keeps a k-counter Misra-Gries summary (one pass,
+   O(k) memory) — per-partition candidate terms with lower-bound
+   counts;
+2. the union of per-partition summaries is a GUARANTEED superset of
+   every item with global frequency > N/(k+1): an item missing from
+   every summary lost ≤ N_p/(k+1) decrements per partition, which sums
+   to ≤ N/(k+1) total (Agarwal et al., "Mergeable Summaries", PODS'12
+   — public result);
+3. a second pass counts ONLY the candidates exactly (broadcast hash
+   semi-join against ≤ k × #partitions terms), so the final answer is
+   EXACT — the sketch just replaced the all-terms shuffle with a
+   candidate-only one.
+
+Python is unavoidable for step 1 (a decrement loop is per-row stateful
+state no JVM expression carries), so it runs as ``mapInPandas`` over
+Arrow batches with the counter dict held across batches of the
+partition; steps 2-3 are pure JVM joins/aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_partition_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ k rows (item, mg_count)
+    per partition; mg_count is a lower bound undercounting by at most
+    N_partition/(k+1)."""
+    out_schema = f"{col} string, mg_count long"
+
+    def run(batches):
+        # closure, not module-level: cloudpickle must ship the code, a
+        # worker launched from a non-repo cwd can't import the package
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf[col]:
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {col: list(counters.keys()), "mg_count": list(counters.values())}
+        )
+
+    return items.mapInPandas(run, schema=out_schema)
+
+
+def heavy_hitters_exact(
+    items: DataFrame, col: str, phi: float, k: int | None = None
+) -> DataFrame:
+    """Items with frequency > phi·N, EXACT counts, without shuffling the
+    long tail: MG candidates (k = ceil(1/phi) so the superset guarantee
+    N/(k+1) < phi·N holds), then an exact count of candidates only.
+
+    Returns (item, n_occurrences) — identical to the naive
+    ``GROUP BY col HAVING count > phi*N`` (how the oracle states it),
+    with the shuffle carrying only candidate rows."""
+    import math
+
+    if not 0 < phi < 1:
+        raise ValueError(f"phi must be in (0,1), got {phi}")
+    k = k or math.ceil(1.0 / phi)
+    candidates = (
+        mg_partition_summaries(items, col, k).select(col).distinct()
+    )
+    counted = (
+        items.join(F.broadcast(candidates), col)
+        .groupBy(col)
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    total = items.select(F.count("*").alias("n")).withColumnRenamed("n", "_total_n")
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("_total_n") * phi)
+        .drop("_total_n")
+    )

@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import curation as C
+from ..operators import frequent as FR
 from ..operators import text as X
 
 
@@ -250,6 +252,28 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_PHI = 0.0013  # heavy-hitter frequency threshold (fraction of all bigrams)
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: word bigrams occurring in more than
+    HH_PHI of all bigram positions, with EXACT counts, computed the
+    sketch way — per-partition Misra-Gries summaries (mapInPandas,
+    O(k) state) whose union provably contains every qualifying item,
+    then an exact count of candidates only (broadcast semi-join).
+
+    The plain GROUP-BY-HAVING (which the oracle states) shuffles every
+    distinct term; at 100 TB the long tail of rare terms dominates that
+    shuffle and exists only to be discarded. The sketch path's shuffle
+    carries candidates alone (<= k rows per partition), and because the
+    second pass recounts exactly, the sketch's approximation never
+    reaches the output — same rows, same counts, different cost shape
+    (operators/frequent.py has the guarantee arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(F.explode(C.word_ngrams(F.col("text"), 2)).alias("bigram"))
+    return FR.heavy_hitters_exact(items, "bigram", HH_PHI)
+
+
 QUERIES = {
     "q_text_token_stats": q_text_token_stats,
     "q_text_quality_score": q_text_quality_score,
@@ -320,6 +344,9 @@ EXTRA_QUERIES = {
     "q_text_chunk_windows": q_text_chunk_windows,
     # per-source tf-idf salient terms (exact-arithmetic ranking)
     "q_text_tfidf_topk": q_text_tfidf_topk,
+    # heavy hitters: MG-sketch candidates + exact recount (plain
+    # GROUP-BY-HAVING oracle below)
+    "q_text_heavy_hitters": q_text_heavy_hitters,
 }
 
 EXTRA_ORACLES = {
@@ -422,4 +449,13 @@ ranked AS (
 )
 SELECT source, tok, tf, df, rank FROM ranked WHERE rank <= {TFIDF_TOP}
 ORDER BY source, rank
+"""
+
+EXTRA_ORACLES["q_text_heavy_hitters"] = f"""
+WITH bg AS (
+  SELECT unnest({C.word_ngrams_sql('text', 2)}) AS bigram FROM documents
+)
+SELECT bigram, COUNT(*) AS n_occurrences
+FROM bg GROUP BY bigram
+HAVING COUNT(*) > {HH_PHI} * (SELECT COUNT(*) FROM bg)
 """

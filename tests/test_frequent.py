@@ -1,0 +1,71 @@
+"""Misra-Gries frequent-items: the superset guarantee and the exact
+two-pass heavy-hitters equality, under adversarial partitioning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import frequent as FR
+
+
+def _skewed(spark, n_items=50, scale=600):
+    """Zipf-ish: item i appears ~scale/i times (deterministic)."""
+    rows = []
+    for i in range(1, n_items + 1):
+        rows.extend([f"item{i}"] * (scale // i))
+    return spark.createDataFrame([(r,) for r in rows], "item string")
+
+
+def test_mg_union_contains_every_guaranteed_heavy_item(spark):
+    """Every item with global freq > N/(k+1) must appear in the union
+    of per-partition summaries — even with many partitions and a k far
+    below the distinct count (compression constantly firing)."""
+    df = _skewed(spark).repartition(16)
+    n = df.count()
+    k = 10
+    cands = {
+        r.item for r in FR.mg_partition_summaries(df, "item", k).select("item").collect()
+    }
+    true = {r.item: r.c for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    for item, c in true.items():
+        if c > n / (k + 1):
+            assert item in cands, (item, c, n / (k + 1))
+
+
+def test_mg_single_partition_counts_are_bounded_undercounts(spark):
+    """On one partition: mg_count <= true count and within N/(k+1)."""
+    df = _skewed(spark).repartition(1)
+    n = df.count()
+    k = 10
+    got = {r.item: r.mg_count for r in FR.mg_partition_summaries(df, "item", k).collect()}
+    true = {r.item: r.c for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    assert got  # summaries are non-empty
+    for item, mg in got.items():
+        assert 0 < mg <= true[item]
+        assert true[item] - mg <= n / (k + 1)
+
+
+def test_heavy_hitters_exact_equals_group_by_having(spark):
+    """The sketch path's OUTPUT is exact: identical rows and counts to
+    the naive GROUP BY ... HAVING, regardless of partitioning."""
+    phi = 0.02
+    for parts in (1, 7, 32):
+        df = _skewed(spark).repartition(parts)
+        n = df.count()
+        got = {
+            (r.item, r.n_occurrences)
+            for r in FR.heavy_hitters_exact(df, "item", phi).collect()
+        }
+        want = {
+            (r.item, r.c)
+            for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()
+            if r.c > phi * n
+        }
+        assert got == want, parts
+
+
+def test_heavy_hitters_rejects_bad_phi(spark):
+    df = _skewed(spark)
+    with pytest.raises(ValueError, match="phi"):
+        FR.heavy_hitters_exact(df, "item", 0.0)

@@ -38,26 +38,27 @@ def mg_partition_summaries(items: DataFrame, col: str, k: int) -> DataFrame:
 
     def run(batches):
         # closure, not module-level: cloudpickle must ship the code, a
-        # worker launched from a non-repo cwd can't import the package
+        # worker launched from a non-repo cwd can't import the package.
+        #
+        # Batch-merge form of MG, not the textbook per-row decrement
+        # loop: the per-row form pays O(k) Python ops per rare item
+        # (every tail item decrements all k counters — measured 170 s
+        # over 2.7M bigrams at sf1). Here each Arrow batch is counted
+        # exactly at C speed (value_counts), merged, and the summary
+        # compressed by subtracting the (k+1)-th largest count and
+        # dropping non-positives — the MERGE operation of Agarwal et
+        # al. (PODS'12) with one side exact, which carries the same
+        # cumulative error bound: each compress removes >= (k+1)*cut
+        # total mass, so the sum of cuts is <= N_partition/(k+1).
         import pandas as pd
 
         counters: dict[str, int] = {}
         for pdf in batches:
-            for item in pdf[col]:
-                if item is None:
-                    continue
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            for item, c in pdf[col].dropna().value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - cut for i, c in counters.items() if c > cut}
         yield pd.DataFrame(
             {col: list(counters.keys()), "mg_count": list(counters.values())}
         )

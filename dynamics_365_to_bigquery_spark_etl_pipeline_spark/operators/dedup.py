@@ -46,18 +46,26 @@ def normalized_tokens_sql(expr: str) -> str:
 def shingles(text: Column, k: int = SHINGLE_K) -> Column:
     """Distinct k-token shingles (k consecutive tokens joined by a space).
 
-    NB: guard the < k-token case explicitly — ``sequence(0, size-k)``
-    with a negative stop generates a DESCENDING sequence in Spark, which
-    then indexes out of bounds."""
+    Built as a ``zip_with`` chain over k shifted slices (the same
+    reshape as ``curation.word_ngrams``): a ``transform`` lambda that
+    indexes ``toks`` would re-evaluate the whole lower+regexp+split
+    subtree per element — HOFs run interpreted without subexpression
+    elimination, which made shingling quadratic in document length.
+    Here ``toks`` appears only as HOF *arguments* (evaluated once per
+    row); the ``when`` keeps the under-k-tokens case an EMPTY array
+    (an unguarded ``sequence(0, size-k)`` with negative stop would
+    count DOWN and index out of bounds)."""
     toks = normalized_tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    joined = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(F.size(toks) >= k, F.array_distinct(joined)).otherwise(
+    n_pos = F.size(toks) - F.lit(k - 1)
+    length = F.greatest(n_pos, F.lit(0))
+    grams = F.slice(toks, 1, length)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, length),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return F.when(n_pos > 0, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 

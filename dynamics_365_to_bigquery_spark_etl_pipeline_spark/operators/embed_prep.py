@@ -38,8 +38,15 @@ def l2_normalize(vec: Column) -> Column:
     """Unit-length copy of a float-array column (JVM-side; NULL-safe:
     a zero vector stays zero rather than dividing by 0)."""
     nrm = F.sqrt(dot(vec, vec))
+    # the norm rides in as a zip_with ARGUMENT (array_repeat evaluates
+    # it once per row); referencing `nrm` inside a transform lambda
+    # would re-run the whole dot-product per ELEMENT — HOF lambdas are
+    # interpreted with no subexpression elimination, turning an O(dim)
+    # normalize into O(dim^2)
+    nrm_arr = F.array_repeat(nrm, F.size(vec))
     return F.when(
-        nrm > 0, F.transform(vec, lambda x: x.cast("double") / nrm)
+        nrm > 0,
+        F.zip_with(vec, nrm_arr, lambda x, m: x.cast("double") / m),
     ).otherwise(F.transform(vec, lambda x: x.cast("double")))
 
 

@@ -185,13 +185,16 @@ def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("count").alias("top_cnt"), F.sum("count").alias("n_words"))
     )
+    # zip_with of shifted slices, not element_at in a transform lambda:
+    # an outer-column reference inside a HOF lambda re-splits the text
+    # per element (see curation.word_ngrams)
+    bg_len = F.greatest(F.size(ws) - 1, F.lit(0))
     bigrams = F.when(
         F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 2),
-            lambda i: F.concat(
-                F.element_at(ws, i + 1), F.lit(" "), F.element_at(ws, i + 2)
-            ),
+        F.zip_with(
+            F.slice(ws, 1, bg_len),
+            F.slice(ws, 2, bg_len),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     # single-word docs have no bigrams -> explode drops them -> the

@@ -79,6 +79,24 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    # Python-worker warm-up: the first Arrow-batched UDF of a session
+    # pays worker fork + numpy/pandas import (~8 s — q_sim_topk_matmul's
+    # first rep read 9.2 s vs a 0.8 s median). One tiny mapInPandas
+    # outside the timed section charges that cost to setup, where it
+    # belongs; it is NOT a data warm-up for any headline query.
+    import pandas as _pd
+    from pyspark.sql import functions as _F  # noqa: F401
+
+    def _touch(batches):
+        import numpy as np  # noqa: F401
+
+        for pdf in batches:
+            yield pdf
+
+    spark.range(8).mapInPandas(_touch, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:

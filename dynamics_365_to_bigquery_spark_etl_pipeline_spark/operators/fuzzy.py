@@ -1,0 +1,102 @@
+"""Blocked fuzzy (edit-distance) string join.
+
+The reference has no fuzzy matching, but entity resolution over CDC
+streams (its domain: customer/supplier master data,
+``incremental_etl_v1.py:43-46`` entity folders) is the canonical next
+step after exact-key dedup — near-identical names that exact
+``dropDuplicates`` (``helper_functions.py:183``) cannot catch.
+
+Candidate generation is the symmetric-deletion scheme (public
+"SymSpell" / FastSS family): every string emits its depth-1 deletion
+neighborhood — itself plus each string obtainable by deleting ONE
+character. Two strings with Levenshtein distance <= 1 ALWAYS share a
+neighborhood member:
+
+- equal:         s itself is shared;
+- substitution:  deleting the substituted position from both sides
+                 yields the same string;
+- insert/delete: the shorter string IS a member of both neighborhoods.
+
+So an equi-join on the variant key has provably full recall at d=1;
+sharing a variant only bounds the distance by 2, so candidates are
+verified with exact ``levenshtein`` — the same generate-bucketed-
+candidates-then-verify shape as the MinHash/SimHash/grid family
+(operators/dedup.py, operators/similarity.py): never all-pairs.
+
+Scale: O(L+1) keys per row (L = string length), uniform-ish variant
+buckets, one shuffle for the equi-join, verification only on candidate
+pairs. At d >= 2 the deletion neighborhood grows O(L^d); the public
+alternative is PassJoin-style segment blocking (partition into d+1
+segments; pigeonhole guarantees a shared segment *substring*), which
+trades key count for substring-match probing. d=1 covers the
+master-data typo case and keeps the join a pure equality bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(s: Column) -> Column:
+    """Array of the depth-1 deletion neighborhood of ``s``: element 0 is
+    ``s`` itself, element i (1-based position) is ``s`` with character i
+    removed. Distinct-ified by the caller (duplicate variants arise from
+    repeated characters).
+
+    The ``transform`` lambda references the outer column, which HOFs
+    re-evaluate per element (no subexpression elimination) — fine here
+    because ``s`` is a plain storage column, not a derived expression;
+    pre-materialize derived inputs before calling (same caveat as
+    ``curation.word_ngrams``)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.length(s)),
+        lambda i: F.when(i == 0, s).otherwise(
+            F.concat(F.substr(s, F.lit(1), i - 1), F.substr(s, i + 1))
+        ),
+    )
+
+
+def deletion_variants_sql(expr: str) -> str:
+    """DuckDB mirror (1-indexed ``substr``; ``range(a,b)`` end-exclusive)."""
+    return (
+        f"list_prepend({expr}, list_transform(range(1, LEN({expr}) + 1), "
+        f"i -> substr({expr}, 1, i - 1) || substr({expr}, i + 1)))"
+    )
+
+
+def fuzzy_join_d1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """All pairs (id_a < id_b) whose ``str_col`` values are within
+    Levenshtein distance 1. Returns (id_a, id_b, dist).
+
+    Plan: explode distinct deletion variants (O(L) rows per input row),
+    self-equi-join on the variant — Catalyst plans a shuffled hash join
+    on uniform keys, NO cartesian — dedupe candidate pairs, then verify
+    with exact JVM ``levenshtein``. NULL strings cannot match anything
+    and are dropped up front."""
+    base = df.select(
+        F.col(id_col).alias("_fid"), F.col(str_col).alias("_fs")
+    ).where(F.col(str_col).isNotNull())
+    exploded = base.select(
+        "_fid",
+        "_fs",
+        F.explode(F.array_distinct(deletion_variants(F.col("_fs")))).alias("_v"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cands = (
+        a.join(b, F.col("a._v") == F.col("b._v"))
+        .where(F.col("a._fid") < F.col("b._fid"))
+        .select(
+            F.col("a._fid").alias("id_a"),
+            F.col("b._fid").alias("id_b"),
+            F.col("a._fs").alias("s_a"),
+            F.col("b._fs").alias("s_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("s_a", "s_b")
+    return (
+        cands.where(dist <= 1)
+        .select("id_a", "id_b", dist.alias("dist"))
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.portable import dsum, dsum_sql
+from ..functions.portable import davg_sql, dsum, dsum_sql
 
 SESSION_GAP_MIN = 30
 
@@ -489,3 +489,56 @@ FROM s
 # the VARIANT twin shares the registered JSON query's oracle verbatim
 ORACLES["q_events_variant_props"] = ORACLES["q_events_json_props"]
 EXTRA_ORACLES = {name: ORACLES.pop(name) for name in list(EXTRA_QUERIES)}
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized per-user hourly series with forward fill
+    (operators/timeseries.py): one row per (user, hour) across each
+    user's own [first, last] event hour, empty hours carrying the
+    previous hour's exact-decimal average value. The gap-fill semantics
+    the reference's consumers would hand-roll in BigQuery SQL, as one
+    spine-join-window plan."""
+    from ..operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_ffill(ev, "user_id", "ts", "value", "1 hour", "hour")
+    return out.withColumnRenamed("key", "user_id").withColumnRenamed(
+        "bucket_start", "hour_start"
+    )
+
+
+EXTRA_QUERIES["q_resample_ffill"] = q_resample_ffill
+# ANSI ffill without IGNORE NULLS: gaps-and-islands — a running count of
+# non-null bucket values numbers each island, whose single non-null
+# leader MAX() recovers. The carried value is the exact decimal-sum
+# average, so Spark and DuckDB agree bit-for-bit.
+EXTRA_ORACLES["q_resample_ffill"] = f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_start,
+         COUNT(*) AS n_in_bucket, {davg_sql('value')} AS avg_in_bucket
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+           AS hour_start
+  FROM bounds
+),
+joined AS (
+  SELECT s.user_id, s.hour_start,
+         COALESCE(h.n_in_bucket, 0) AS n_events, h.avg_in_bucket,
+         COUNT(h.avg_in_bucket) OVER (
+           PARTITION BY s.user_id ORDER BY s.hour_start) AS island
+  FROM spine s
+  LEFT JOIN hourly h
+    ON s.user_id = h.user_id AND s.hour_start = h.hour_start
+)
+SELECT user_id, hour_start, n_events,
+       MAX(avg_in_bucket) OVER (PARTITION BY user_id, island)
+         AS avg_value_ffill
+FROM joined
+"""

@@ -562,3 +562,28 @@ FROM clustered a JOIN clustered b
   ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
 WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.999
 """
+
+
+def q_fuzzy_join_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance join (operators/fuzzy.py): supplier-name
+    pairs within Levenshtein distance 1 via symmetric-deletion blocking
+    — candidates from an equi-join on shared depth-1 deletion variants
+    (provably full recall at d=1), verified with exact levenshtein.
+    The fuzzy sibling of the exact-key dedup the reference runs
+    (helper_functions.py:183 dropDuplicates); never all-pairs — the
+    oracle below IS the all-pairs plan, which only DuckDB at test scale
+    can afford."""
+    from ..operators.fuzzy import fuzzy_join_d1
+
+    sup = load_table(spark, sf_dir, "supplier")
+    return fuzzy_join_d1(sup, "s_suppkey", "s_name")
+
+
+EXTRA_QUERIES["q_fuzzy_join_d1"] = q_fuzzy_join_d1
+EXTRA_ORACLES["q_fuzzy_join_d1"] = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+FROM supplier a
+JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""

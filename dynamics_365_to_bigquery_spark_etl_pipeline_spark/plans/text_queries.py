@@ -462,3 +462,94 @@ SELECT bigram, COUNT(*) AS n_occurrences
 FROM bg GROUP BY bigram
 HAVING COUNT(*) > {HH_PHI} * (SELECT COUNT(*) FROM bg)
 """
+
+
+COLLOC_MIN_COUNT = 5  # keep bigrams seen at least this often
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide collocation mining: for every adjacent word pair
+    seen >= COLLOC_MIN_COUNT times, its pointwise-mutual-information
+    LIFT  P(w1 w2) / (P(w1) P(w2))  — the association score (PMI is its
+    log; lift is emitted because it needs NO transcendental call, so
+    Spark and DuckDB agree bit-for-bit: exact bigint counts, identical
+    left-associated double products, one IEEE division).
+
+    Shape: one normalize pass feeding an explode->count for unigrams
+    and a zip_with bigram explode->count; the bigram table then takes
+    two BROADCAST joins against the unigram counts (vocabulary-sized —
+    bounded, tiny next to the corpus) and broadcast one-row totals. At
+    100 TB the only corpus-sized shuffles are the two count
+    aggregations; the scoring join moves vocabulary-sized data only."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    normed = docs.select(norm.alias("norm"))
+
+    toks = normed.select(F.explode(F.split(F.col("norm"), " ")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = toks.agg(F.count("*").alias("t_total"))
+
+    bg = normed.select(
+        F.explode(C.word_ngrams(F.col("norm"), 2)).alias("bigram")
+    )
+    bgc = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= COLLOC_MIN_COUNT)
+    )
+    btot = bg.agg(F.count("*").alias("b_total"))
+
+    parts = F.split("bigram", " ")
+    sp = bgc.select(
+        parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2"), "n_ab"
+    )
+    ua = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
+    d = F.col  # noqa: E741 - brevity below
+    lift = (
+        d("n_ab").cast("double")
+        * d("t_total").cast("double")
+        * d("t_total").cast("double")
+    ) / (
+        d("b_total").cast("double")
+        * d("n_a").cast("double")
+        * d("n_b").cast("double")
+    )
+    return (
+        sp.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("w1", "w2", "n_ab", lift.alias("lift"))
+    )
+
+
+_COLLOC_NORM = "TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'))"
+EXTRA_QUERIES["q_text_collocations"] = q_text_collocations
+EXTRA_ORACLES["q_text_collocations"] = f"""
+WITH norm AS (SELECT {_COLLOC_NORM} AS norm FROM documents),
+toks AS (SELECT unnest(string_split(norm, ' ')) AS tok FROM norm),
+uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS t_total FROM toks),
+bg AS (SELECT unnest({C.word_ngrams_sql('norm', 2)}) AS bigram FROM norm),
+btot AS (SELECT COUNT(*) AS b_total FROM bg),
+bgc AS (
+  SELECT bigram, COUNT(*) AS n_ab FROM bg GROUP BY bigram
+  HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+),
+sp AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2, n_ab
+  FROM bgc
+)
+SELECT sp.w1, sp.w2, sp.n_ab,
+  (CAST(sp.n_ab AS DOUBLE) * CAST(t.t_total AS DOUBLE)
+     * CAST(t.t_total AS DOUBLE))
+  / (CAST(bt.b_total AS DOUBLE) * CAST(ua.n AS DOUBLE)
+     * CAST(ub.n AS DOUBLE)) AS lift
+FROM sp
+JOIN uni ua ON ua.tok = sp.w1
+JOIN uni ub ON ub.tok = sp.w2
+CROSS JOIN tot t
+CROSS JOIN btot bt
+"""

@@ -1,0 +1,100 @@
+"""Edge semantics for the blocked fuzzy join (operators/fuzzy.py) and
+time-series resample/forward-fill (operators/timeseries.py). Their
+fixture-scale oracle parity runs in test_entry_contract; these pin the
+properties the fixtures cannot exercise."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+from pyspark.sql import Row
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.fuzzy import (
+    fuzzy_join_d1,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.timeseries import (
+    resample_ffill,
+)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_matches_brute_force_on_adversarial_strings(spark):
+    # Every edit class at d=1 (substitution / deletion / insertion /
+    # exact duplicate), d=2 strings that SHARE a deletion variant
+    # (candidate generated, must be verified away), repeated chars
+    # (duplicate variants), and 0/1-char strings.
+    names = [
+        "alpha", "alphb",          # substitution
+        "beta", "bet", "betaa",    # deletion / insertion
+        "gamma", "gamma",          # exact duplicate content, two ids
+        "ab", "ba",                # d=2 via transposition, shares variant "a"? (b? no: {ab,b,a} vs {ba,a,b} share both)
+        "aa", "a", "",             # short + repeated chars
+        "delta", "dxlta", "dxltx", # chain: d1, then d2 from the head
+    ]
+    df = spark.createDataFrame(
+        [Row(rid=i, name=n) for i, n in enumerate(names)]
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_join_d1(df, "rid", "name").collect()
+    }
+    want = {
+        (i, j, _levenshtein(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if _levenshtein(a, b) <= 1
+    }
+    assert got == want
+    # sanity: the adversarial set really exercises both directions
+    assert any(d == 0 for _, _, d in want) and any(d == 1 for _, _, d in want)
+    # "ab"/"ba" (d=2, transposition) share deletion variants, so they are
+    # candidates — the levenshtein verify must reject them
+    assert (7, 8) not in {(a, b) for a, b, _ in got}
+
+
+def test_fuzzy_join_null_strings_never_match(spark):
+    df = spark.createDataFrame(
+        [Row(rid=0, name=None), Row(rid=1, name=None), Row(rid=2, name="x")]
+    )
+    assert fuzzy_join_d1(df, "rid", "name").count() == 0
+
+
+def test_resample_ffill_fills_gaps_and_keeps_keys_isolated(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+
+    def at(hours, minutes=0):
+        return t0 + dt.timedelta(hours=hours, minutes=minutes)
+
+    rows = [
+        # key "u": events in hours 0 and 3 -> hours 1,2 are gaps
+        Row(k="u", ts=at(0), v=10.0),
+        Row(k="u", ts=at(0, 10), v=20.0),
+        Row(k="u", ts=at(3), v=40.0),
+        # key "w": single event -> single-row series, no fill needed
+        Row(k="w", ts=at(1), v=7.5),
+    ]
+    out = resample_ffill(
+        spark.createDataFrame(rows), "k", "ts", "v", "1 hour", "hour"
+    )
+    got = {
+        (r.key, r.bucket_start.hour, r.n_events, r.avg_value_ffill)
+        for r in out.collect()
+    }
+    assert got == {
+        ("u", 0, 2, 15.0),  # real bucket: exact decimal avg of 10, 20
+        ("u", 1, 0, 15.0),  # gap carries hour 0's average
+        ("u", 2, 0, 15.0),
+        ("u", 3, 1, 40.0),
+        ("w", 1, 1, 7.5),   # w's series never sees u's values
+    }

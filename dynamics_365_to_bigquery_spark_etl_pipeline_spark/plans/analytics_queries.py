@@ -542,3 +542,66 @@ SELECT user_id, hour_start, n_events,
          AS avg_value_ffill
 FROM joined
 """
+
+
+ZSCORE_LOOKBACK = 24  # trailing events per user
+ZSCORE_MIN_N = 12     # below this history, never flag
+ZSCORE_Z = 3          # |z| > 3 flags
+
+
+def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: an event is anomalous when its
+    value sits more than ZSCORE_Z sample standard deviations from the
+    mean of the SAME user's trailing ZSCORE_LOOKBACK events (current row
+    excluded — the event must not mask itself).
+
+    The test |y - s/n| > z*sqrt((n*ssq - s^2)/n^2) is algebraically
+    cleared of division and sqrt:  (n*y - s)^2 > z^2 * (n*ssq - s^2) —
+    every operand an exact decimal from integral y = floor(value*1000),
+    so the flag needs NO floating point at all and both engines agree
+    bit-for-bit (same posture as q_events_trend_stats' moments).
+
+    Shape: ONE window pass partitioned by user (count/sum/sumsq share
+    the frame), never a SinglePartition; at 100 TB repartition by
+    (user, coarse time) and carry the tail across the boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.floor(F.col("value") * 1000).cast("decimal(19,0)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    base = ev.select("event_id", "user_id", "ts", y.alias("y"))
+    n = F.count("y").over(w)
+    s = F.sum("y").over(w)
+    ssq = F.sum(F.col("y") * F.col("y")).over(w)
+    lhs = (n * F.col("y") - s) * (n * F.col("y") - s)
+    rhs = F.lit(ZSCORE_Z * ZSCORE_Z) * (n * ssq - s * s)
+    return base.select(
+        "event_id",
+        "user_id",
+        n.alias("n_window"),
+        ((n >= ZSCORE_MIN_N) & (lhs > rhs)).alias("is_anomaly"),
+    )
+
+
+EXTRA_QUERIES["q_events_rolling_zscore"] = q_events_rolling_zscore
+EXTRA_ORACLES["q_events_rolling_zscore"] = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 1000) AS DECIMAL(19,0)) AS y
+  FROM events
+),
+m AS (
+  SELECT event_id, user_id, y,
+    COUNT(y) OVER w AS n, SUM(y) OVER w AS s, SUM(y * y) OVER w AS ssq
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, n AS n_window,
+       (n >= {ZSCORE_MIN_N}
+        AND (n * y - s) * (n * y - s)
+            > {ZSCORE_Z * ZSCORE_Z} * (n * ssq - s * s)) AS is_anomaly
+FROM m
+"""

@@ -323,3 +323,51 @@ FROM o
 
 # promoted r6: the registered row carries its full oracle
 ORACLES["q_decontaminate_ngram"] = EXTRA_ORACLES.pop("q_decontaminate_ngram")
+
+
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per source, the resampling weight that makes
+    the training mixture UNIFORM across sources by token mass —
+    weight = target_share / actual_share = total_tokens /
+    (n_sources * source_tokens). The static sibling of DoReMi-style
+    learned mixtures: downstream, ``sample_permille(key, weight-scaled
+    rate)`` applies it deterministically.
+
+    Exactness: token counts are exact integers; the single division of
+    two exact-int-valued doubles is IEEE-identical in both engines.
+    Shape: one corpus scan -> source-keyed aggregate (bounded key
+    domain), then a broadcast one-row total; nothing corpus-sized moves
+    after the first aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    weight = F.col("total_tokens").cast("double") / (
+        F.col("n_sources") * F.col("n_tokens")
+    ).cast("double")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select("source", "n_docs", "n_tokens", weight.alias("mix_weight"))
+    )
+
+
+EXTRA_QUERIES["q_source_mixture_weights"] = q_source_mixture_weights
+EXTRA_ORACLES["q_source_mixture_weights"] = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM({X.token_count_sql('text')}) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(total_tokens AS DOUBLE)
+         / CAST(n_sources * n_tokens AS DOUBLE) AS mix_weight
+FROM per_src, tot
+"""

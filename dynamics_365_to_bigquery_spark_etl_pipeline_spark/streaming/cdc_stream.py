@@ -221,6 +221,45 @@ def stream_stream_join(
     ).select(key, "l_event_id", "l_ts", "r_event_id", "r_ts")
 
 
+def stream_stream_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: like
+    ``stream_stream_join`` but a left event with NO right match inside
+    ``max_delay`` still emits — with NULL right columns — once BOTH
+    watermarks pass its join bound (before that, Spark cannot know a
+    match won't still arrive; this is why outer stream-stream joins
+    REQUIRE the watermark + time-bound condition, not merely benefit
+    from it).
+
+    Emission caveat users must know: the null-extended row for a left
+    event near the END of a stream only surfaces after a later batch
+    advances the watermark past its bound — a drained/idle stream holds
+    those rows in state rather than guessing
+    (``test_stream_stream_outer_join_semantics`` pins exactly this)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "left_outer",
+    ).select(key, "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
 def stream_session_counts(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -98,3 +98,39 @@ def test_resample_ffill_fills_gaps_and_keeps_keys_isolated(spark):
         ("u", 3, 1, 40.0),
         ("w", 1, 1, 7.5),   # w's series never sees u's values
     }
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=2,
+        max_size=15,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzzy_join_property_equals_brute_force(spark, names):
+    """Property: on random small-alphabet strings (dense d<=1 pairs and
+    plenty of shared-variant d=2 near-misses), the blocked join's pair
+    set equals all-pairs levenshtein <= 1 — full recall AND no false
+    positives, regardless of duplicates, empties, or repeated chars."""
+    df = spark.createDataFrame(
+        [Row(rid=i, name=n) for i, n in enumerate(names)]
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_join_d1(df, "rid", "name").collect()
+    }
+    want = {
+        (i, j, _levenshtein(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if _levenshtein(a, b) <= 1
+    }
+    assert got == want

@@ -335,3 +335,70 @@ def test_stream_restart_without_new_files_publishes_nothing(spark, tmp_path, cha
     )
     q2.awaitTermination(120)
     assert sinks.current_version_path(sink) == v_before
+
+
+def test_stream_stream_outer_join_semantics(spark, tmp_path):
+    """Left-outer watermarked stream-stream join, drained with
+    availableNow:
+
+    1. the matched rows equal the batch inner join exactly;
+    2. every null-extended row is a genuinely unmatched left event;
+    3. every unmatched left event whose join bound the query's FINAL
+       watermark provably passed HAS emitted its null row — while
+       later unmatched events legitimately still sit in state (the
+       end-of-stream caveat the operator documents; note the final
+       watermark itself lags the last batch's max event time by one
+       batch, so it is read from query progress, not computed from
+       the data).
+    """
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_stream_join_outer,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+
+    def legs(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "error"),
+        )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    l, r = legs(stream)
+    q = (
+        stream_stream_join_outer(l, r)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjo_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [tuple(r_) for r_ in spark.sql("SELECT * FROM ssjo_out").collect()]
+    got_matched = {t for t in got if t[3] is not None}
+    got_null_left = {t[1] for t in got if t[3] is None}
+
+    bl, br = legs(events)
+    batch = stream_stream_join_outer(bl, br).collect()
+    want_matched = {tuple(r_) for r_ in batch if r_.r_event_id is not None}
+    want_null = {r_.l_event_id: r_.l_ts for r_ in batch if r_.r_event_id is None}
+
+    assert got_matched == want_matched and len(got_matched) > 0
+
+    # no spurious nulls: a null-extended emit must be batch-unmatched
+    assert got_null_left <= set(want_null)
+
+    # completeness below the final watermark horizon: a left row is
+    # provably closed once l_ts + 30min (its join bound) is behind the
+    # final committed watermark
+    import datetime as dt
+
+    wm = dt.datetime.fromisoformat(
+        q.lastProgress["eventTime"]["watermark"].replace("Z", "")
+    )
+    horizon = wm - dt.timedelta(minutes=30)
+    overdue = {eid for eid, lts in want_null.items() if lts < horizon}
+    assert overdue and overdue <= got_null_left

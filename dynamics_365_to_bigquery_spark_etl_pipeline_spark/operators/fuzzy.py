@@ -65,22 +65,55 @@ def deletion_variants_sql(expr: str) -> str:
     )
 
 
-def fuzzy_join_d1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
-    """All pairs (id_a < id_b) whose ``str_col`` values are within
-    Levenshtein distance 1. Returns (id_a, id_b, dist).
+def deletion_neighborhood(s: Column, d: int) -> Column:
+    """Distinct strings reachable from ``s`` by deleting UP TO ``d``
+    characters (includes ``s`` itself). Size grows O(L^d / d!), so this
+    is practical for d <= 2; beyond that, PassJoin-style segment
+    blocking is the public alternative (see module docstring).
 
-    Plan: explode distinct deletion variants (O(L) rows per input row),
-    self-equi-join on the variant — Catalyst plans a shuffled hash join
-    on uniform keys, NO cartesian — dedupe candidate pairs, then verify
-    with exact JVM ``levenshtein``. NULL strings cannot match anything
-    and are dropped up front."""
+    Built by composing depth-1 expansions: the inner ``transform``
+    lambda only touches its element variable, so nesting stays
+    per-element work, not a recompute of the whole outer subtree."""
+    out = F.array_distinct(deletion_variants(s))
+    for _ in range(d - 1):
+        out = F.array_distinct(
+            F.flatten(F.transform(out, lambda v: deletion_variants(v)))
+        )
+    return out
+
+
+def fuzzy_join(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose ``str_col`` values are within
+    Levenshtein distance ``max_dist``. Returns (id_a, id_b, dist).
+
+    The symmetric-deletion guarantee generalizes: lev(s, t) <= d
+    implies the depth-d deletion neighborhoods of s and t intersect
+    (delete from each side the characters the optimal alignment
+    inserts/substitutes), so the variant equi-join keeps full recall at
+    any d; sharing a variant only bounds the distance by 2d, so exact
+    ``levenshtein`` verifies every candidate.
+
+    Plan: explode the distinct neighborhood (O(L^d) rows per input
+    row), self-equi-join on the variant — Catalyst plans a shuffled
+    hash join on uniform keys, NO cartesian — dedupe candidate pairs,
+    then verify with exact JVM ``levenshtein``. NULL strings cannot
+    match anything and are dropped up front. d is capped at 2: key
+    volume beyond that loses to the verification it saves."""
+    if not 1 <= max_dist <= 2:
+        raise ValueError(
+            f"max_dist={max_dist}: symmetric-deletion blocking is "
+            "practical for 1 <= d <= 2 (keys grow O(L^d)); use exact "
+            "dedup for d=0, PassJoin segment blocking beyond"
+        )
     base = df.select(
         F.col(id_col).alias("_fid"), F.col(str_col).alias("_fs")
     ).where(F.col(str_col).isNotNull())
     exploded = base.select(
         "_fid",
         "_fs",
-        F.explode(F.array_distinct(deletion_variants(F.col("_fs")))).alias("_v"),
+        F.explode(deletion_neighborhood(F.col("_fs"), max_dist)).alias("_v"),
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -97,6 +130,11 @@ def fuzzy_join_d1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     )
     dist = F.levenshtein("s_a", "s_b")
     return (
-        cands.where(dist <= 1)
+        cands.where(dist <= max_dist)
         .select("id_a", "id_b", dist.alias("dist"))
     )
+
+
+def fuzzy_join_d1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """Depth-1 convenience wrapper (see ``fuzzy_join``)."""
+    return fuzzy_join(df, id_col, str_col, max_dist=1)

@@ -587,3 +587,23 @@ FROM supplier a
 JOIN supplier b ON a.s_suppkey < b.s_suppkey
 WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
+
+
+def q_fuzzy_join_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 sibling of q_fuzzy_join_d1: pairs within Levenshtein
+    distance 2 via depth-2 deletion neighborhoods (O(L^2/2) keys/row —
+    the documented ceiling of the symmetric-deletion scheme)."""
+    from ..operators.fuzzy import fuzzy_join
+
+    sup = load_table(spark, sf_dir, "supplier")
+    return fuzzy_join(sup, "s_suppkey", "s_name", max_dist=2)
+
+
+EXTRA_QUERIES["q_fuzzy_join_d2"] = q_fuzzy_join_d2
+EXTRA_ORACLES["q_fuzzy_join_d2"] = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+FROM supplier a
+JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""

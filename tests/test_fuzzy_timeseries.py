@@ -134,3 +134,88 @@ def test_fuzzy_join_property_equals_brute_force(spark, names):
         if _levenshtein(a, b) <= 1
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzzy_join_d2_property_equals_brute_force(spark, names):
+    """Depth-2 recall/precision property: neighborhood intersection at
+    d=2 must find exactly the lev<=2 pairs (shared variants bound the
+    distance only by 4, so precision rides on the verify step)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.fuzzy import (
+        fuzzy_join,
+    )
+
+    df = spark.createDataFrame(
+        [Row(rid=i, name=n) for i, n in enumerate(names)]
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_join(df, "rid", "name", max_dist=2).collect()
+    }
+    want = {
+        (i, j, _levenshtein(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if _levenshtein(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_fuzzy_join_rejects_unsupported_depth(spark):
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.fuzzy import (
+        fuzzy_join,
+    )
+
+    df = spark.createDataFrame([Row(rid=0, name="x")])
+    for bad in (0, 3):
+        try:
+            fuzzy_join(df, "rid", "name", max_dist=bad)
+            raise AssertionError(f"max_dist={bad} must raise")
+        except ValueError:
+            pass
+
+
+SF_DIR_PLANS = "/root/testdata/sf0.001"
+
+
+def test_new_operator_plan_shapes(spark):
+    """Physical-plan gates for the round-6 additions: the fuzzy join
+    must never plan a cartesian product; the window-bearing series ops
+    must never collapse to a SinglePartition sort; the collocation
+    scoring joins must stay broadcast (no sort-merge shuffle of the
+    vocabulary)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
+        analytics_queries as AQ,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
+        dedup_queries as DQ,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
+        text_queries as TQ,
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_of(DQ.q_fuzzy_join_d1(spark, SF_DIR_PLANS))
+    assert "CartesianProduct" not in p
+
+    p = plan_of(AQ.q_resample_ffill(spark, SF_DIR_PLANS))
+    assert "SinglePartition" not in p
+
+    p = plan_of(AQ.q_events_rolling_zscore(spark, SF_DIR_PLANS))
+    assert "SinglePartition" not in p
+
+    p = plan_of(TQ.q_text_collocations(spark, SF_DIR_PLANS))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

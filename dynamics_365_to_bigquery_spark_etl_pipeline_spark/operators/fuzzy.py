@@ -34,7 +34,7 @@ master-data typo case and keeps the join a pure equality bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -138,3 +138,42 @@ def fuzzy_join(
 def fuzzy_join_d1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     """Depth-1 convenience wrapper (see ``fuzzy_join``)."""
     return fuzzy_join(df, id_col, str_col, max_dist=1)
+
+
+def resolve_entities(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """Entity resolution over a master-data table: fuzzy-match names
+    within ``max_dist`` edits (``fuzzy_join``), connect matches into
+    clusters (``dedup.connected_components`` min-label propagation),
+    and map EVERY row — singletons included — to its cluster's
+    canonical id (the smallest member id, the same survivor rule as the
+    dedup family). Returns (id, canonical_id, n_members).
+
+    This is the composition the reference's domain actually needs
+    downstream of exact-key dedup (``helper_functions.py:183``):
+    customer/supplier rows that differ by a typo collapse to one
+    golden record. Every stage is bucketed or key-partitioned — fuzzy
+    candidates by deletion variant, components by pair keys, sizes by
+    canonical id; nothing is all-pairs.
+
+    NOTE on the synthetic fixtures: sequentially-numbered names (e.g.
+    ``Supplier#0000000NN``) are ALL within one edit of a neighbor, so
+    the d<=1 graph over them is one giant component — real master data
+    is sparse. The semantics are therefore pinned by planted-name unit
+    tests rather than a fixture-scale oracle query."""
+    from .dedup import connected_components
+
+    pairs = fuzzy_join(df, id_col, str_col, max_dist).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    resolved = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select(
+            "id", F.coalesce("group_id", F.col("id")).alias("canonical_id")
+        )
+    )
+    w = Window.partitionBy("canonical_id")
+    return resolved.select(
+        "id", "canonical_id", F.count("*").over(w).alias("n_members")
+    )

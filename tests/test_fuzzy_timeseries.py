@@ -219,3 +219,35 @@ def test_new_operator_plan_shapes(spark):
     p = plan_of(TQ.q_text_collocations(spark, SF_DIR_PLANS))
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_resolve_entities_planted_clusters(spark):
+    """Entity resolution on planted messy master data: typo variants
+    collapse transitively to one golden record, distinct entities stay
+    apart, singletons map to themselves."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.fuzzy import (
+        resolve_entities,
+    )
+
+    rows = [
+        # cluster A: chained typos (0-1 direct, 1-2 direct, 0-2 is d=2
+        # -> transitive closure must still unify all three)
+        Row(rid=0, name="acme corp"),
+        Row(rid=1, name="acme corp."),
+        Row(rid=2, name="acme corpx."),
+        # cluster B: exact duplicate pair
+        Row(rid=3, name="widget llc"),
+        Row(rid=4, name="widget llc"),
+        # singletons, far from everything
+        Row(rid=5, name="zeta industries"),
+        Row(rid=6, name="omega holdings"),
+    ]
+    out = resolve_entities(
+        spark.createDataFrame(rows), "rid", "name", max_dist=1
+    )
+    got = {(r.id, r.canonical_id, r.n_members) for r in out.collect()}
+    assert got == {
+        (0, 0, 3), (1, 0, 3), (2, 0, 3),
+        (3, 3, 2), (4, 3, 2),
+        (5, 5, 1), (6, 6, 1),
+    }

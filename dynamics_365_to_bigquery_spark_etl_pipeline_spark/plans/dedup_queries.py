@@ -579,8 +579,11 @@ def q_fuzzy_join_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_d1(sup, "s_suppkey", "s_name")
 
 
-EXTRA_QUERIES["q_fuzzy_join_d1"] = q_fuzzy_join_d1
-EXTRA_ORACLES["q_fuzzy_join_d1"] = """
+# registered driver row (r6 second batch: took the slot of the
+# near-twin q_scalar_datetime — the fuzzy join is a flagship, the
+# datetime family stays driver-covered via the changelog queries)
+QUERIES["q_fuzzy_join_d1"] = q_fuzzy_join_d1
+ORACLES["q_fuzzy_join_d1"] = """
 SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
        CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
 FROM supplier a

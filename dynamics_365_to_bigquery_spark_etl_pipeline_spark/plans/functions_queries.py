@@ -159,15 +159,16 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q_scalar_datetime": q_scalar_datetime,
     "q_token_explode": q_token_explode,
 }
 
 EXTRA_QUERIES = {
-    # scalar-function near-twins of registered q_scalar_datetime (same
-    # §2.5 family, same per-row JVM shape) — demoted r6 to free driver
-    # slots for the LLM-pipeline flagships; full oracles below, still
-    # harness-checked in pytest
+    # scalar-function family (§2.5, per-row JVM shape) — fully demoted
+    # r6 to free driver slots for the LLM-pipeline flagships (the
+    # date/ts canonicalization pass P9/P10 is still driver-covered by
+    # every changelog query); full oracles below, harness-checked in
+    # pytest
+    "q_scalar_datetime": q_scalar_datetime,
     "q_scalar_part_funcs": q_scalar_part_funcs,
     "q_null_map_funcs": q_null_map_funcs,
     # grouped-sets family: registered sibling q_cube_orders (CUBE);
@@ -258,5 +259,5 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 }
 
 # demoted-to-extra entries keep their full oracles (same harness)
-for _name in ("q_scalar_part_funcs", "q_null_map_funcs"):
+for _name in ("q_scalar_datetime", "q_scalar_part_funcs", "q_null_map_funcs"):
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)

@@ -100,25 +100,28 @@ def main() -> None:
     # Machine calibration: absolute timings drift between rounds because
     # the sandbox host changes (measured: a CPU-bound headline query at
     # 0.6 s one round, 1.6 s the next, zero code change). Two fixed
-    # micro-workloads — a single-thread numpy matmul and a 32-thread JVM
-    # codegen sum — give the reader a host-speed yardstick to normalize
-    # cross-round comparisons by. Medians of 5, ~1 s total.
-    import numpy as _np
-
-    a = _np.arange(512 * 512, dtype=_np.float64).reshape(512, 512) / 1e6
-    calib_np = []
+    # micro-workloads give the reader a host-speed yardstick to
+    # normalize cross-round comparisons by: a pure-Python loop (single-
+    # threaded BY CONSTRUCTION — a numpy matmul would silently use an
+    # unpinned BLAS thread pool and scale with core count) and a JVM
+    # codegen sum whose actual parallelism is recorded beside it.
+    # Medians of 5, ~1 s total.
+    calib_py = []
     for _ in range(5):
         t0 = time.perf_counter()
-        (a @ a).sum()
-        calib_np.append(time.perf_counter() - t0)
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        calib_py.append(time.perf_counter() - t0)
     calib_jvm = []
     for _ in range(5):
         t0 = time.perf_counter()
         spark.range(20_000_000).selectExpr("sum(id * 2 + 7)").collect()
         calib_jvm.append(time.perf_counter() - t0)
     calib = {
-        "numpy_matmul_512": round(statistics.median(calib_np), 4),
+        "python_loop_2m": round(statistics.median(calib_py), 4),
         "jvm_range_sum_20m": round(statistics.median(calib_jvm), 4),
+        "jvm_parallelism": spark.sparkContext.defaultParallelism,
     }
 
     timings: dict[str, float] = {}

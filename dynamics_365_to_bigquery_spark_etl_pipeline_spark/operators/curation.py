@@ -31,6 +31,16 @@ def word_ngrams(text: Column, n: int) -> Column:
     would otherwise split into a phantom empty token (caught by the
     seeded-random property test)."""
     toks = F.split(F.regexp_replace(text, r"^\s+|\s+$", ""), r"\s+")
+    return ngrams_from_tokens(toks, n)
+
+
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Array-based n-gram core shared by ``word_ngrams`` (whitespace
+    tokens) and the collocation family (``dedup.normalized_tokens``) —
+    one owner for the zip_with reshape. ``toks`` must be a cheap
+    expression (storage or projected column): it appears n+1 times as
+    HOF *arguments* (fine, evaluated once per row), never inside a
+    lambda."""
     n_pos = F.size(toks) - F.lit(n - 1)
     length = F.greatest(n_pos, F.lit(0))
     grams = F.slice(toks, 1, length)
@@ -44,16 +54,21 @@ def word_ngrams(text: Column, n: int) -> Column:
 
 
 def word_ngrams_sql(expr: str, n: int) -> str:
-    """DuckDB mirror of ``word_ngrams`` (1-indexed inclusive slices;
-    ``range(a, b)`` is empty when b <= a, so no guard needed; same
-    regexp whitespace-trim — DuckDB TRIM is also space-only)."""
+    """DuckDB mirror of ``word_ngrams`` (same regexp whitespace-trim —
+    DuckDB TRIM is also space-only)."""
     toks = (
         f"regexp_split_to_array(regexp_replace({expr}, '^\\s+|\\s+$', '', 'g'),"
         f" '\\s+')"
     )
+    return ngrams_from_tokens_sql(toks, n)
+
+
+def ngrams_from_tokens_sql(arr: str, n: int) -> str:
+    """DuckDB mirror of ``ngrams_from_tokens`` (1-indexed inclusive
+    slices; ``range(a, b)`` is empty when b <= a, so no guard needed)."""
     return (
-        f"list_transform(range(1, LEN({toks}) - {n} + 2), "
-        f"i -> array_to_string({toks}[i:i + {n - 1}], ' '))"
+        f"list_transform(range(1, LEN({arr}) - {n} + 2), "
+        f"i -> array_to_string({arr}[i:i + {n - 1}], ' '))"
     )
 
 

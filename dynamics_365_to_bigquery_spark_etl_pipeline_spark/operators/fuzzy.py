@@ -57,14 +57,6 @@ def deletion_variants(s: Column) -> Column:
     )
 
 
-def deletion_variants_sql(expr: str) -> str:
-    """DuckDB mirror (1-indexed ``substr``; ``range(a,b)`` end-exclusive)."""
-    return (
-        f"list_prepend({expr}, list_transform(range(1, LEN({expr}) + 1), "
-        f"i -> substr({expr}, 1, i - 1) || substr({expr}, i + 1)))"
-    )
-
-
 def deletion_neighborhood(s: Column, d: int) -> Column:
     """Distinct strings reachable from ``s`` by deleting UP TO ``d``
     characters (includes ``s`` itself). Size grows O(L^d / d!), so this

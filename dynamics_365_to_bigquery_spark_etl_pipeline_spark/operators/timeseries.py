@@ -25,25 +25,45 @@ from pyspark.sql import functions as F
 from ..functions.portable import davg
 
 
+_UNIT_STEP = {
+    "minute": "1 minute",
+    "hour": "1 hour",
+    "day": "1 day",
+    "week": "1 week",
+    "month": "1 month",
+}
+
+
 def resample_ffill(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     val_col: str,
-    step: str = "1 hour",
-    trunc_unit: str = "hour",
+    unit: str = "hour",
 ) -> DataFrame:
-    """Per ``key_col``, one row per ``step`` bucket spanning
+    """Per ``key_col``, one row per ``unit`` bucket spanning
     [trunc(min ts), trunc(max ts)]; buckets with no events get
     ``n_events = 0`` and the most recent preceding bucket's average
     value (forward fill). Returns (key, bucket_start, n_events,
     avg_value_ffill).
+
+    The spine step is DERIVED from the truncation unit (one ``unit``
+    per bucket) rather than accepted separately: a free-form step that
+    disagrees with the truncation (e.g. '2 hours' against hour-trunc)
+    would make odd buckets unreachable by the join and silently drop
+    their events.
 
     The first bucket of every key holds that key's earliest event, so
     the fill never reads an all-NULL prefix. The per-bucket average is
     an exact decimal-sum average (functions/portable.py) so the carried
     value is engine- and partitioning-deterministic.
     """
+    if unit not in _UNIT_STEP:
+        raise ValueError(
+            f"unit={unit!r}: must be one of {sorted(_UNIT_STEP)} so the "
+            "spine step matches the bucket truncation exactly"
+        )
+    trunc_unit, step = unit, _UNIT_STEP[unit]
     bucket = F.date_trunc(trunc_unit, F.col(ts_col))
     hourly = df.groupBy(
         F.col(key_col).alias("key"), bucket.alias("bucket_start")

@@ -501,7 +501,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import resample_ffill
 
     ev = load_table(spark, sf_dir, "events")
-    out = resample_ffill(ev, "user_id", "ts", "value", "1 hour", "hour")
+    out = resample_ffill(ev, "user_id", "ts", "value", "hour")
     return out.withColumnRenamed("key", "user_id").withColumnRenamed(
         "bucket_start", "hour_start"
     )

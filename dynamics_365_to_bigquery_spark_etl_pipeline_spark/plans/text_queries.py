@@ -481,16 +481,20 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, tiny next to the corpus) and broadcast one-row totals. At
     100 TB the only corpus-sized shuffles are the two count
     aggregations; the scoring join moves vocabulary-sized data only."""
-    docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    normed = docs.select(norm.alias("norm"))
+    from ..operators.dedup import normalized_tokens
 
-    toks = normed.select(F.explode(F.split(F.col("norm"), " ")).alias("tok"))
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE tokenizer owns both the unigram and bigram streams: the
+    # canonical dedup.normalized_tokens, projected once so the HOF
+    # n-gram args read a cheap column, not the regexp subtree
+    normed = docs.select(normalized_tokens(F.col("text")).alias("toks"))
+
+    toks = normed.select(F.explode("toks").alias("tok"))
     uni = toks.groupBy("tok").agg(F.count("*").alias("n"))
     tot = toks.agg(F.count("*").alias("t_total"))
 
     bg = normed.select(
-        F.explode(C.word_ngrams(F.col("norm"), 2)).alias("bigram")
+        F.explode(C.ngrams_from_tokens(F.col("toks"), 2)).alias("bigram")
     )
     bgc = (
         bg.groupBy("bigram")
@@ -524,14 +528,13 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COLLOC_NORM = "TRIM(regexp_replace(LOWER(text), '[^a-z0-9]+', ' ', 'g'))"
 EXTRA_QUERIES["q_text_collocations"] = q_text_collocations
 EXTRA_ORACLES["q_text_collocations"] = f"""
-WITH norm AS (SELECT {_COLLOC_NORM} AS norm FROM documents),
-toks AS (SELECT unnest(string_split(norm, ' ')) AS tok FROM norm),
+WITH norm AS (SELECT {_NT_SQL('text')} AS toks FROM documents),
+toks AS (SELECT unnest(toks) AS tok FROM norm),
 uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
 tot AS (SELECT COUNT(*) AS t_total FROM toks),
-bg AS (SELECT unnest({C.word_ngrams_sql('norm', 2)}) AS bigram FROM norm),
+bg AS (SELECT unnest({C.ngrams_from_tokens_sql('toks', 2)}) AS bigram FROM norm),
 btot AS (SELECT COUNT(*) AS b_total FROM bg),
 bgc AS (
   SELECT bigram, COUNT(*) AS n_ab FROM bg GROUP BY bigram
@@ -552,4 +555,90 @@ JOIN uni ua ON ua.tok = sp.w1
 JOIN uni ub ON ub.tok = sp.w2
 CROSS JOIN tot t
 CROSS JOIN btot bt
+"""
+
+
+VOCAB_N = 30   # top-N tokens by corpus frequency form the vocabulary
+UNK_ID = -1    # out-of-vocabulary marker
+
+
+def q_text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding — the tokenize step of a training pipeline:
+    build a corpus-frequency vocabulary (top VOCAB_N tokens, rank order
+    count desc / token asc, ids 0..N-1), then encode every document as
+    its position-ordered token-id array with UNK_ID for OOV tokens.
+    Returns (doc_id, token_ids, n_tokens, n_unk).
+
+    Shapes: one explode -> token-keyed count for the vocab (bounded
+    output), ONE global row_number over the vocab — a SinglePartition
+    window over VOCAB-sized rows, which is bounded and scale-free by
+    construction, never corpus-sized — then a broadcast join against
+    the exploded corpus and a doc_id-keyed re-assembly (array_sort of
+    (pos, id) structs, so no within-group sort shuffle beyond the one
+    hash aggregate)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import normalized_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(normalized_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "token_id",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            )
+            - 1,
+        )
+        .where(F.col("token_id") < VOCAB_N)
+        .select("tok", "token_id")
+    )
+    encoded = toks.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(UNK_ID)).alias("tid"),
+    )
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x.tid,
+            ).alias("token_ids"),
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("tid") == UNK_ID).cast("long")).alias("n_unk"),
+        )
+    )
+
+
+EXTRA_QUERIES["q_text_token_ids"] = q_text_token_ids
+EXTRA_ORACLES["q_text_token_ids"] = f"""
+WITH arr AS (
+  SELECT doc_id, {_NT_SQL('text')} AS a FROM documents
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, a[i] AS tok
+  FROM arr, LATERAL (SELECT unnest(range(1, LEN(a) + 1)) AS i)
+),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) - 1
+           AS token_id
+  FROM toks GROUP BY tok
+  QUALIFY token_id < {VOCAB_N}
+),
+encoded AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.token_id, {UNK_ID}) AS tid
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+)
+SELECT doc_id,
+       CAST(list(tid ORDER BY pos) AS INT[]) AS token_ids,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN tid = {UNK_ID} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unk
+FROM encoded GROUP BY doc_id
 """

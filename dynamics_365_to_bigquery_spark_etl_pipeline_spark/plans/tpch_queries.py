@@ -596,7 +596,9 @@ EXTRA_QUERIES = {
     "q_semi_join": q_semi_join,
     # left_anti: registered siblings q22 (NOT EXISTS), cdc_soft_delete_filter
     "q_anti_join": q_anti_join,
-    # scalar surface: registered siblings q_scalar_datetime/q_scalar_part_funcs
+    # scalar surface: siblings q_scalar_datetime/q_scalar_part_funcs (all
+    # extras since r6 — the datetime canonicalization pass stays driver-
+    # covered via every registered changelog query)
     "q_scalar_functions": q_scalar_functions,
     # self-aliased dim join: registered sibling q5 (single-alias star)
     "q7_volume_shipping": q7_volume_shipping,

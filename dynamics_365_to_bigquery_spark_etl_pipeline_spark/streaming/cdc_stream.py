@@ -185,6 +185,36 @@ def stream_dedup_index(
     )
 
 
+def _stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    max_delay: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
+    """Shared body of the inner/left-outer watermarked stream-stream
+    joins — ONE place owns the projections, watermarks, and the
+    time-bound condition so the two variants cannot drift apart."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
+        how,
+    ).select(key, "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
@@ -202,23 +232,7 @@ def stream_stream_join(
     watermark passes the bound). An unbounded-condition stream-stream
     join buffers forever: the at-scale failure mode this operator
     exists to avoid."""
-    l = left.withWatermark("ts", watermark).select(
-        F.col(key),
-        F.col("event_id").alias("l_event_id"),
-        F.col("ts").alias("l_ts"),
-    )
-    r = right.withWatermark("ts", watermark).select(
-        F.col(key).alias("r_key"),
-        F.col("event_id").alias("r_event_id"),
-        F.col("ts").alias("r_ts"),
-    )
-    return l.join(
-        r,
-        (F.col(key) == F.col("r_key"))
-        & (F.col("r_ts") >= F.col("l_ts"))
-        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
-        "inner",
-    ).select(key, "l_event_id", "l_ts", "r_event_id", "r_ts")
+    return _stream_stream_join(left, right, key, max_delay, watermark, "inner")
 
 
 def stream_stream_join_outer(
@@ -241,23 +255,9 @@ def stream_stream_join_outer(
     advances the watermark past its bound — a drained/idle stream holds
     those rows in state rather than guessing
     (``test_stream_stream_outer_join_semantics`` pins exactly this)."""
-    l = left.withWatermark("ts", watermark).select(
-        F.col(key),
-        F.col("event_id").alias("l_event_id"),
-        F.col("ts").alias("l_ts"),
+    return _stream_stream_join(
+        left, right, key, max_delay, watermark, "left_outer"
     )
-    r = right.withWatermark("ts", watermark).select(
-        F.col(key).alias("r_key"),
-        F.col("event_id").alias("r_event_id"),
-        F.col("ts").alias("r_ts"),
-    )
-    return l.join(
-        r,
-        (F.col(key) == F.col("r_key"))
-        & (F.col("r_ts") >= F.col("l_ts"))
-        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
-        "left_outer",
-    ).select(key, "l_event_id", "l_ts", "r_event_id", "r_ts")
 
 
 def stream_session_counts(

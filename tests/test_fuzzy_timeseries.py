@@ -6,6 +6,7 @@ properties the fixtures cannot exercise."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 import itertools
 
 from pyspark.sql import Row
@@ -84,9 +85,7 @@ def test_resample_ffill_fills_gaps_and_keeps_keys_isolated(spark):
         # key "w": single event -> single-row series, no fill needed
         Row(k="w", ts=at(1), v=7.5),
     ]
-    out = resample_ffill(
-        spark.createDataFrame(rows), "k", "ts", "v", "1 hour", "hour"
-    )
+    out = resample_ffill(spark.createDataFrame(rows), "k", "ts", "v", "hour")
     got = {
         (r.key, r.bucket_start.hour, r.n_events, r.avg_value_ffill)
         for r in out.collect()
@@ -185,7 +184,7 @@ def test_fuzzy_join_rejects_unsupported_depth(spark):
             pass
 
 
-SF_DIR_PLANS = "/root/testdata/sf0.001"
+SF_DIR_PLANS = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 def test_new_operator_plan_shapes(spark):

@@ -605,3 +605,58 @@ SELECT event_id, user_id, n AS n_window,
             > {ZSCORE_Z * ZSCORE_Z} * (n * ssq - s * s)) AS is_anomaly
 FROM m
 """
+
+
+HIST_BINS = 20  # equi-width bins over the observed value range
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event type: bin edges
+    from the GLOBAL min/max (one broadcast one-row aggregate), bin
+    assignment as exact integer arithmetic on floor((v - lo) * B /
+    span) with the max value clamped into the last bin. Counts are the
+    only output — no floats cross the engine boundary except the
+    bin_lo/bin_hi edges, which are the same single IEEE expression on
+    identical doubles in both engines.
+
+    Shape: one scan for the range, one broadcast, one hash aggregate on
+    (event_type, bin) — bounded key domain, map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    # integral scaling via truncation (same posture as trend_stats'
+    # floor(value*1000)): the half-ulp perturbation at a bin border is
+    # the SAME double in both engines, so parity is exact even where
+    # the decimal-notation value sits on an edge
+    v = (F.col("value") * 100).cast("long")
+    lo = (F.col("lo") * 100).cast("long")
+    hi = (F.col("hi") * 100).cast("long")
+    raw_bin = ((v - lo) * HIST_BINS) / (hi - lo)
+    bin_id = F.least(
+        F.floor(raw_bin).cast("int"), F.lit(HIST_BINS - 1)
+    )
+    return (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("event_type", bin_id.alias("bin_id"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+EXTRA_QUERIES["q_events_histogram"] = q_events_histogram
+EXTRA_ORACLES["q_events_histogram"] = f"""
+WITH rng AS (
+  SELECT CAST(MIN(value) * 100 AS BIGINT) AS lo,
+         CAST(MAX(value) * 100 AS BIGINT) AS hi
+  FROM events
+)
+SELECT event_type,
+       LEAST(
+         CAST(FLOOR(
+           (CAST(value * 100 AS BIGINT) - lo) * {HIST_BINS}
+             / CAST(hi - lo AS DOUBLE)) AS INT),
+         {HIST_BINS - 1}) AS bin_id,
+       COUNT(*) AS n
+FROM events, rng
+GROUP BY 1, 2
+"""

@@ -91,34 +91,63 @@ def write_training_shards(
     id_col: str = "doc_id",
     seed: str = "seed42",
     n_shards: int = 8,
+    fmt: str = "parquet",
 ) -> dict:
-    """Export ``df`` as split/shard parquet files in deterministic
-    shuffle order and return (and persist) a manifest.
+    """Export ``df`` as split/shard files in deterministic shuffle
+    order and return (and persist) a manifest. ``fmt`` is ``parquet``
+    or ``jsonl`` (newline-delimited JSON — the interchange format most
+    LLM training loaders consume).
 
-    The manifest is built from the written parquet FOOTERS — a
-    driver-side metadata walk, not a second Spark pass over the data —
-    and records per-file row counts so a dataloader (or a resumed
-    export) can verify completeness without opening data pages."""
+    Manifest row counts: the parquet path reads them from the written
+    FOOTERS — a driver-side metadata walk, no second Spark pass. JSONL
+    has no footer, so that path pays ONE extra bounded aggregate
+    (per-(split, shard) counts — at most splits x shards rows on the
+    driver), never a per-line driver read. Either way a dataloader (or
+    a resumed export) can verify completeness without opening data."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt={fmt!r}: expected 'parquet' or 'jsonl'")
     keyed = assign_export_keys(df, id_col=id_col, seed=seed, n_shards=n_shards)
-    (
+    writer = (
         keyed.repartition("split", "shard_id")
         .sortWithinPartitions("split", "shard_id", "shuffle_key")
         .write.mode("overwrite")
         .partitionBy("split", "shard_id")
-        .parquet(out)
     )
+    if fmt == "parquet":
+        writer.parquet(out)
+    else:
+        writer.json(out)
+
+    jsonl_counts: dict[tuple[str, str], int] = {}
+    if fmt == "jsonl":
+        jsonl_counts = {
+            (r["split"], str(r["shard_id"])): r["n"]
+            for r in keyed.groupBy("split", "shard_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    suffix = ".parquet" if fmt == "parquet" else ".json"
     files = []
     for root, _dirs, names in sorted(os.walk(out)):
         for name in sorted(names):
-            if not name.endswith(".parquet"):
+            if not name.endswith(suffix):
                 continue
             rel = os.path.relpath(os.path.join(root, name), out)
-            md = pq.read_metadata(os.path.join(root, name))
-            files.append({"path": rel, "n_rows": md.num_rows})
+            if fmt == "parquet":
+                md = pq.read_metadata(os.path.join(root, name))
+                n_rows = md.num_rows
+            else:
+                parts = dict(
+                    p.split("=", 1) for p in rel.split(os.sep)[:-1] if "=" in p
+                )
+                n_rows = jsonl_counts[(parts["split"], parts["shard_id"])]
+            files.append({"path": rel, "n_rows": n_rows})
     manifest = {
         "seed": seed,
         "n_shards": n_shards,
         "id_col": id_col,
+        "fmt": fmt,
         "n_rows": sum(f["n_rows"] for f in files),
         "files": files,
     }

@@ -67,3 +67,34 @@ def test_read_split_prunes_partitions(spark, tmp_path):
     full = spark.read.parquet(out).collect()
     want = {r.doc_id for r in full if r.split == "val"}
     assert {r.doc_id for r in val.collect()} == want and len(want) > 0
+
+
+def test_write_training_shards_jsonl_matches_parquet(spark, tmp_path):
+    """The jsonl export: same split/shard layout and manifest contract
+    as parquet (counts from the bounded aggregate instead of footers),
+    and the data round-trips through spark.read.json losslessly on the
+    id set."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    pq_out, js_out = str(tmp_path / "pq"), str(tmp_path / "js")
+    m_pq = write_training_shards(docs, pq_out)
+    m_js = write_training_shards(docs, js_out, fmt="jsonl")
+
+    assert m_js["fmt"] == "jsonl" and m_pq["fmt"] == "parquet"
+    assert m_js["n_rows"] == m_pq["n_rows"] == docs.count()
+    # identical (split, shard) -> count layout, format-independent
+    def by_dir(man):
+        return {
+            tuple(p for p in f["path"].split("/") if "=" in p): f["n_rows"]
+            for f in man["files"]
+        }
+    assert by_dir(m_js) == by_dir(m_pq)
+
+    back = spark.read.json(js_out)
+    assert back.count() == docs.count()
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "bad"), fmt="csv")

@@ -402,3 +402,46 @@ def test_stream_stream_outer_join_semantics(spark, tmp_path):
     horizon = wm - dt.timedelta(minutes=30)
     overdue = {eid for eid, lts in want_null.items() if lts < horizon}
     assert overdue and overdue <= got_null_left
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static join (the remaining §2.6 join shape): a streaming
+    fact leg enriched by a STATIC broadcast dimension needs no
+    watermark and no join state — each micro-batch joins against the
+    static side directly. Drained result must equal the batch join, and
+    the static side must plan as a broadcast, not a shuffle."""
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+
+    # static dim: per-user segment derived once (stands in for the
+    # reference's master-data lookup)
+    dim = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n_total"))
+        .withColumn("segment", (F.col("n_total") % 3).cast("int"))
+        .select("user_id", "segment")
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "user_id").select(
+            "event_id", "user_id", "segment"
+        )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        enrich(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sse_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sse_out").collect()}
+    want = {tuple(r) for r in enrich(events).collect()}
+    assert got == want and len(got) == events.count()
+
+    plan = enrich(events)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -92,3 +92,50 @@ def range_join_buckets(
         lb.join(shifted, on=[key, "__b"], how="inner")
     )
     return candidates.filter(predicate(F.col("__v"), F.col("__w"))).drop("__v", "__w", "__b")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lo_a: str,
+    hi_a: str,
+    lo_b: str,
+    hi_b: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval x interval OVERLAP join (distinct from the point-in-
+    range join above): all same-``key`` pairs with
+    ``lo_a <= hi_b AND lo_b <= hi_a``, without a nested-loop join.
+
+    Each interval explodes into every ``bucket_width`` bucket it
+    covers; overlapping intervals necessarily share a covered bucket,
+    so an equi-join on (key, bucket) has full recall and the exact
+    predicate filters the candidates. Candidate volume is
+    sum(interval_length / width) per side — size ``bucket_width`` near
+    the typical interval length so most intervals explode into O(1)
+    buckets; a pathologically long interval degrades that one row, not
+    the join shape. Pairs spanning several shared buckets are deduped
+    with one distinct on the joined row (bucket column dropped first)."""
+    la = left.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_a) / F.lit(bucket_width)),
+                F.floor(F.col(hi_a) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_b) / F.lit(bucket_width)),
+                F.floor(F.col(hi_b) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    cands = la.join(rb, [key, "__b"]).drop("__b").distinct()
+    return cands.filter(
+        (F.col(lo_a) <= F.col(hi_b)) & (F.col(lo_b) <= F.col(hi_a))
+    )

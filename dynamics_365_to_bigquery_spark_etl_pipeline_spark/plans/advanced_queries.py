@@ -380,3 +380,104 @@ from .cdc_queries import ORACLES as _CDC_ORACLES  # noqa: E402
 ORACLES["cdc_merge_delta_only"] = _CDC_ORACLES["cdc_snapshot"]
 
 EXTRA_ORACLES = {name: ORACLES.pop(name) for name in list(EXTRA_QUERIES)}
+
+
+INCIDENT_HALF_US = 15 * 60 * 1_000_000   # error incident window: ts +/- 15 min
+OVERLAP_BUCKET_US = 30 * 60 * 1_000_000  # bucket width ~ typical interval size
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (operators/asof.py
+    interval_overlap_join — the missing temporal-join shape next to
+    as-of and point-in-range): user sessions (gap-based intervals, the
+    q_events_sessionize construction) overlapped against error-incident
+    windows (error ts +/- 15 min) of the SAME user. Output one row per
+    overlapping (session, incident) pair with the exact overlap length
+    in micros — pure integer math end to end."""
+    from ..operators.asof import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    micros = F.unix_micros(F.col("ts"))
+    gap_us = micros - F.lag(micros).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        micros.alias("us"),
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sessions = (
+        flagged.select(
+            "user_id",
+            "us",
+            F.sum("new_s")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("lo_a"), F.max("us").alias("hi_a"))
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        (F.unix_micros(F.col("ts")) - INCIDENT_HALF_US).alias("lo_b"),
+        (F.unix_micros(F.col("ts")) + INCIDENT_HALF_US).alias("hi_b"),
+    )
+    pairs = interval_overlap_join(
+        sessions, incidents, "user_id",
+        "lo_a", "hi_a", "lo_b", "hi_b", OVERLAP_BUCKET_US,
+    )
+    return pairs.select(
+        "user_id",
+        "session_id",
+        "incident_id",
+        (
+            F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")
+        ).alias("overlap_us"),
+    )
+
+
+EXTRA_QUERIES["q_interval_overlap_join"] = q_interval_overlap_join
+EXTRA_ORACLES["q_interval_overlap_join"] = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {30 * 60 * 1000000}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id,
+    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS session_id,
+    us
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_id, MIN(us) AS lo_a, MAX(us) AS hi_a
+  FROM sessions GROUP BY user_id, session_id
+),
+incidents AS (
+  SELECT user_id, event_id AS incident_id,
+         epoch_us(ts) - {INCIDENT_HALF_US} AS lo_b,
+         epoch_us(ts) + {INCIDENT_HALF_US} AS hi_b
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_id, i.incident_id,
+       LEAST(s.hi_a, i.hi_b) - GREATEST(s.lo_a, i.lo_b) AS overlap_us
+FROM sess s
+JOIN incidents i
+  ON s.user_id = i.user_id
+ AND s.lo_a <= i.hi_b AND i.lo_b <= s.hi_a
+"""

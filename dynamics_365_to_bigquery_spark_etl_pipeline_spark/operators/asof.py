@@ -115,8 +115,14 @@ def interval_overlap_join(
     sum(interval_length / width) per side — size ``bucket_width`` near
     the typical interval length so most intervals explode into O(1)
     buckets; a pathologically long interval degrades that one row, not
-    the join shape. Pairs spanning several shared buckets are deduped
-    with one distinct on the joined row (bucket column dropped first)."""
+    the join shape.
+
+    A pair whose intervals share SEVERAL buckets is kept only where
+    ``bucket == floor(max(lo_a, lo_b) / width)`` — the first bucket of
+    the overlap region, covered by both sides by definition — so each
+    pair emits from exactly ONE bucket. That replaces a distinct():
+    no extra shuffle, and duplicate input ROWS keep their multiplicity
+    (a distinct over the joined row would silently collapse them)."""
     la = left.withColumn(
         "__b",
         F.explode(
@@ -135,7 +141,15 @@ def interval_overlap_join(
             )
         ),
     )
-    cands = la.join(rb, [key, "__b"]).drop("__b").distinct()
-    return cands.filter(
-        (F.col(lo_a) <= F.col(hi_b)) & (F.col(lo_b) <= F.col(hi_a))
+    first_shared = F.floor(
+        F.greatest(F.col(lo_a), F.col(lo_b)) / F.lit(bucket_width)
+    )
+    return (
+        la.join(rb, [key, "__b"])
+        .filter(
+            (F.col("__b") == first_shared)
+            & (F.col(lo_a) <= F.col(hi_b))
+            & (F.col(lo_b) <= F.col(hi_a))
+        )
+        .drop("__b")
     )

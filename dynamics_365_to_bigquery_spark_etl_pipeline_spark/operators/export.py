@@ -129,6 +129,7 @@ def write_training_shards(
 
     suffix = ".parquet" if fmt == "parquet" else ".json"
     files = []
+    seen_dirs: set[str] = set()
     for root, _dirs, names in sorted(os.walk(out)):
         for name in sorted(names):
             if not name.endswith(suffix):
@@ -138,6 +139,21 @@ def write_training_shards(
                 md = pq.read_metadata(os.path.join(root, name))
                 n_rows = md.num_rows
             else:
+                # the group count stands in for the (footer-less) file
+                # count ONLY under the one-file-per-(split, shard)
+                # invariant the repartition above establishes — if a
+                # writer option (e.g. maxRecordsPerFile) ever splits a
+                # dir, fail loudly instead of double-counting. The
+                # counts also come from a second evaluation of `keyed`,
+                # which is deterministic by construction (seeded md5
+                # keys, no rand()).
+                if root in seen_dirs:
+                    raise RuntimeError(
+                        f"jsonl export wrote multiple data files under "
+                        f"{root}; per-file manifest counts require one "
+                        "file per (split, shard) dir"
+                    )
+                seen_dirs.add(root)
                 parts = dict(
                     p.split("=", 1) for p in rel.split(os.sep)[:-1] if "=" in p
                 )

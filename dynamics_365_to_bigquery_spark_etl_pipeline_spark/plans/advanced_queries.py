@@ -395,34 +395,11 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping (session, incident) pair with the exact overlap length
     in micros — pure integer math end to end."""
     from ..operators.asof import interval_overlap_join
+    from .analytics_queries import sessionized
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    micros = F.unix_micros(F.col("ts"))
-    gap_us = micros - F.lag(micros).over(w)
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        micros.alias("us"),
-        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
-        .otherwise(0)
-        .alias("new_s"),
-    )
     sessions = (
-        flagged.select(
-            "user_id",
-            "us",
-            F.sum("new_s")
-            .over(
-                Window.partitionBy("user_id")
-                .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            .alias("session_id"),
-        )
+        sessionized(ev)
         .groupBy("user_id", "session_id")
         .agg(F.min("us").alias("lo_a"), F.max("us").alias("hi_a"))
     )
@@ -447,11 +424,13 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_interval_overlap_join"] = q_interval_overlap_join
+from .analytics_queries import SESSION_GAP_MIN as _GAP_MIN  # noqa: E402
+
 EXTRA_ORACLES["q_interval_overlap_join"] = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id, epoch_us(ts) AS us,
     CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
-           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {30 * 60 * 1000000}
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_GAP_MIN * 60 * 1000000}
          THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

@@ -90,32 +90,47 @@ def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: a new session starts when a user is idle
-    > 30 min (lag + cumulative sum — the batch twin of session_window)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+def sessionized(ev: DataFrame) -> DataFrame:
+    """Gap-based session assignment (new session after > SESSION_GAP_MIN
+    idle): (user_id, ts, event_id, us, session_id). ONE owner for the
+    lag/flag/cumsum construction, shared by ``q_events_sessionize`` and
+    the interval-overlap query so the session definitions cannot
+    drift."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
     micros = F.unix_micros(F.col("ts"))
     gap_us = micros - F.lag(micros).over(w)
-    with_flag = ev.select(
+    flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
+        micros.alias("us"),
         F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1)
         .otherwise(0)
         .alias("new_s"),
     )
-    with_sid = with_flag.select(
+    return flagged.select(
         "user_id",
         "ts",
-        F.sum("new_s").over(
+        "event_id",
+        "us",
+        F.sum("new_s")
+        .over(
             Window.partitionBy("user_id")
-            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("session_id"),
+        )
+        .alias("session_id"),
     )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    > 30 min (lag + cumulative sum — the batch twin of session_window)."""
+    ev = load_table(spark, sf_dir, "events")
     return (
-        with_sid.groupBy("user_id", "session_id")
+        sessionized(ev)
+        .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -625,13 +640,15 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = ev.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
-    # integral scaling via truncation (same posture as trend_stats'
-    # floor(value*1000)): the half-ulp perturbation at a bin border is
-    # the SAME double in both engines, so parity is exact even where
-    # the decimal-notation value sits on an edge
-    v = (F.col("value") * 100).cast("long")
-    lo = (F.col("lo") * 100).cast("long")
-    hi = (F.col("hi") * 100).cast("long")
+    # integral scaling via FLOOR on BOTH engines (same posture as
+    # trend_stats): a bare Spark .cast('long') TRUNCATES toward zero
+    # while DuckDB's CAST(... AS BIGINT) ROUNDS to nearest — 55k rows
+    # per 1M differ on the fixtures, and parity would hold only until
+    # a perturbed value landed beside a bin border. floor/FLOOR are
+    # semantically identical everywhere.
+    v = F.floor(F.col("value") * 100).cast("long")
+    lo = F.floor(F.col("lo") * 100).cast("long")
+    hi = F.floor(F.col("hi") * 100).cast("long")
     raw_bin = ((v - lo) * HIST_BINS) / (hi - lo)
     bin_id = F.least(
         F.floor(raw_bin).cast("int"), F.lit(HIST_BINS - 1)
@@ -646,14 +663,14 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["q_events_histogram"] = q_events_histogram
 EXTRA_ORACLES["q_events_histogram"] = f"""
 WITH rng AS (
-  SELECT CAST(MIN(value) * 100 AS BIGINT) AS lo,
-         CAST(MAX(value) * 100 AS BIGINT) AS hi
+  SELECT CAST(FLOOR(MIN(value) * 100) AS BIGINT) AS lo,
+         CAST(FLOOR(MAX(value) * 100) AS BIGINT) AS hi
   FROM events
 )
 SELECT event_type,
        LEAST(
          CAST(FLOOR(
-           (CAST(value * 100 AS BIGINT) - lo) * {HIST_BINS}
+           (CAST(FLOOR(value * 100) AS BIGINT) - lo) * {HIST_BINS}
              / CAST(hi - lo AS DOUBLE)) AS INT),
          {HIST_BINS - 1}) AS bin_id,
        COUNT(*) AS n

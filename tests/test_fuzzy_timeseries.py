@@ -255,8 +255,9 @@ def test_resolve_entities_planted_clusters(spark):
 def test_interval_overlap_join_edges(spark):
     """Planted interval edges for the overlap join: exact-touch
     boundaries count as overlap (closed intervals), nested intervals
-    match, multi-bucket spans dedupe to ONE pair row, same-bucket
-    disjoint intervals are filtered, and keys never cross."""
+    match, pairs sharing SEVERAL buckets emit exactly one row,
+    duplicate input rows keep their multiplicity, same-bucket disjoint
+    intervals are filtered, and keys never cross."""
     from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.asof import (
         interval_overlap_join,
     )
@@ -276,23 +277,32 @@ def test_interval_overlap_join_edges(spark):
             ("k1", 10, 30, 60),  # overlaps 1 ([30,35]) AND 2 ([50,54])
             ("k1", 11, 35, 36),  # touches 1 exactly at 35 -> overlap
             ("k1", 12, 36, 40),  # disjoint from 1 (starts after hi)
-            ("k1", 13, 10, 12),  # nested inside 1; shares 2 buckets w/ 10? no
+            ("k1", 13, 10, 12),  # nested inside 1
+            ("k1", 15, 10, 25),  # nested in 1, SHARES BUCKETS {1, 2}
             ("k2", 14, 100, 101),
         ],
         "key string, id_b int, lo_b long, hi_b long",
     )
-    got = {
-        (r.id_a, r.id_b)
-        for r in interval_overlap_join(
-            left, right, "key", "lo_a", "hi_a", "lo_b", "hi_b", W
-        ).collect()
-    }
-    assert got == {(1, 10), (1, 11), (1, 13), (2, 10)}
-    # multi-bucket co-coverage (1 and 10 share buckets 3,4? 1 covers
-    # 0..3, 10 covers 3..6 -> bucket 3 shared once after distinct):
     out = interval_overlap_join(
         left, right, "key", "lo_a", "hi_a", "lo_b", "hi_b", W
     )
-    assert out.count() == 4  # one row per pair, no bucket duplicates
+    rows = [(r.id_a, r.id_b) for r in out.collect()]
+    # (1,15) shares buckets {1,2} with left interval 1 — must emit once
+    assert sorted(rows) == [(1, 10), (1, 11), (1, 13), (1, 15), (2, 10)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+    # duplicate input ROWS are legitimate data and keep multiplicity
+    # (a distinct-based dedup would collapse them)
+    dup_left = spark.createDataFrame(
+        [("k", 0, 10), ("k", 0, 10)], "key string, lo_a long, hi_a long"
+    )
+    one_right = spark.createDataFrame(
+        [("k", 5, 15)], "key string, lo_b long, hi_b long"
+    )
+    assert (
+        interval_overlap_join(
+            dup_left, one_right, "key", "lo_a", "hi_a", "lo_b", "hi_b", W
+        ).count()
+        == 2
+    )

@@ -437,11 +437,14 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain within 120 s"
 
     got = {tuple(r) for r in spark.sql("SELECT * FROM sse_out").collect()}
     want = {tuple(r) for r in enrich(events).collect()}
     assert got == want and len(got) == events.count()
 
-    plan = enrich(events)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # assert the broadcast on the STREAMING execution itself (the last
+    # micro-batch's executed plan), not merely on the batch twin
+    stream_plan = q._jsq.explainInternal(False)
+    assert "BroadcastHashJoin" in stream_plan
+    assert "SortMergeJoin" not in stream_plan

@@ -261,3 +261,40 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 # demoted-to-extra entries keep their full oracles (same harness)
 for _name in ("q_scalar_datetime", "q_scalar_part_funcs", "q_null_map_funcs"):
     EXTRA_ORACLES[_name] = ORACLES.pop(_name)
+
+
+def q_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users ANSWERED FROM PRE-AGGREGATED
+    SKETCHES: build one HLL sketch per (hour, event_type) — the only
+    pass over raw events — then answer every 4-hour sliding window by
+    UNIONING its 4 hourly sketches (`hll_union_agg`). This is the
+    at-scale shape for overlapping-window distincts: raw data is read
+    once into #hours sketches, each sliding window is an O(window/step)
+    sketch merge, and a 100 TB backfill becomes a rollup over stored
+    sketch rows instead of window-count rescans. The exact per-window
+    distinct (computed the expensive way for the test only) rides
+    along; pytest asserts the estimate tracks it within HLL error."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    # each hourly sketch feeds the 4 sliding windows that contain it
+    expanded = hourly.select(
+        F.explode(
+            F.sequence(
+                F.col("hour_start") - F.expr("INTERVAL 3 HOURS"),
+                F.col("hour_start"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("win_start"),
+        "event_type",
+        "sk",
+    )
+    merged = expanded.groupBy("win_start", "event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.count("*").alias("n_hours_merged"),
+    )
+    return merged
+
+
+EXTRA_QUERIES["q_hll_sliding_distinct"] = q_hll_sliding_distinct

@@ -391,3 +391,52 @@ def test_hll_sketches_exact_and_mergeable(spark):
         .est
     )
     assert merged == whole
+
+
+def test_hll_sliding_from_merged_hourly_sketches(spark):
+    """The sketch-rollup answering path: every 4-hour sliding window's
+    distinct-user estimate, computed by UNIONING pre-aggregated hourly
+    sketches, must (a) merge the right number of hourly sketches and
+    (b) track the exact sliding distinct within HLL(lgK=14) error —
+    proving overlapping windows never need to rescan raw events."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.functions_queries import (
+        q_hll_sliding_distinct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+
+    est = {
+        (r.win_start, r.event_type): (r.est_users, r.n_hours_merged)
+        for r in q_hll_sliding_distinct(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    hourly = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+        "user_id",
+    )
+    expanded = hourly.select(
+        F.explode(
+            F.sequence(
+                F.col("hour_start") - F.expr("INTERVAL 3 HOURS"),
+                F.col("hour_start"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("win_start"),
+        "event_type",
+        "user_id",
+    )
+    exact = {
+        (r.win_start, r.event_type): r.n
+        for r in expanded.groupBy("win_start", "event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact) and len(est) > 0
+    for key, (e, n_hours) in est.items():
+        assert 1 <= n_hours <= 4
+        # lgK=14 keeps these cardinalities essentially exact; allow 2%
+        assert abs(e - exact[key]) <= max(1, 0.02 * exact[key]), (
+            key, e, exact[key],
+        )

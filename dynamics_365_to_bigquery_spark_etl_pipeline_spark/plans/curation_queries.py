@@ -371,3 +371,78 @@ SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
          / CAST(n_sources * n_tokens AS DOUBLE) AS mix_weight
 FROM per_src, tot
 """
+
+
+MIX_BASE_PERMILLE = 500  # target keep-rate for a perfectly balanced source
+MIX_SALT = "mix42"
+
+
+def q_sample_to_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture weights APPLIED: each source is Bernoulli-downsampled
+    at ``least(1000, floor(MIX_BASE_PERMILLE * mix_weight))`` permille —
+    over-represented sources keep fewer rows, under-represented ones up
+    to all — using the deterministic salted-hash sampler
+    (``sample_permille``), so the resample is stable under retries and
+    AQE like every sampling path here. Returns per-source kept counts
+    with the applied rate.
+
+    Composition shape: the per-source weight table (bounded) broadcasts
+    onto the corpus scan; the keep decision is per-row JVM math; one
+    bounded-key aggregate reports. floor() on identical doubles keeps
+    the rate engine-identical (never bare casts — see the histogram
+    note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text"))).alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    weight = F.col("total_tokens").cast("double") / (
+        F.col("n_sources") * F.col("n_tokens")
+    ).cast("double")
+    rates = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(1000),
+                F.floor(F.lit(MIX_BASE_PERMILLE) * weight).cast("long"),
+            ).alias("keep_permille"),
+        )
+    )
+    kept = docs.join(F.broadcast(rates), "source").where(
+        C.sample_permille(
+            F.concat(F.col("doc_id").cast("string"), F.lit(MIX_SALT)),
+            F.col("keep_permille"),
+        )
+    )
+    return kept.groupBy("source", "keep_permille").agg(
+        F.count("*").alias("n_kept")
+    )
+
+
+EXTRA_QUERIES["q_sample_to_mixture"] = q_sample_to_mixture
+EXTRA_ORACLES["q_sample_to_mixture"] = f"""
+WITH per_src AS (
+  SELECT source, SUM({X.token_count_sql('text')}) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_sources FROM per_src
+),
+rates AS (
+  SELECT source,
+    LEAST(1000, CAST(FLOOR({MIX_BASE_PERMILLE} *
+      (CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE))
+    ) AS BIGINT)) AS keep_permille
+  FROM per_src, tot
+)
+SELECT d.source, r.keep_permille, COUNT(*) AS n_kept
+FROM documents d
+JOIN rates r ON r.source = d.source
+WHERE {C.sample_permille_sql(
+    "(CAST(d.doc_id AS VARCHAR) || '" + MIX_SALT + "')", "r.keep_permille")}
+GROUP BY d.source, r.keep_permille
+"""

@@ -144,6 +144,18 @@ class EntityPipeline:
         cur = sinks.current_version_path(path)
         if cur is None:
             return None
+        # Bucketed sinks rewrite only delta-touched buckets, so after
+        # schema drift the directory holds MIXED parquet schemas; which
+        # footer spark.read samples is unspecified, so a plain read can
+        # silently drop a drifted column (and the next merge would then
+        # erase it permanently). The canonical merged schema is commit
+        # metadata (written atomically by _write_bucketed); passing it
+        # explicitly makes files lacking a column yield NULLs — the
+        # drift-union semantics — deterministically. Pointer-sink
+        # versions are full self-consistent rewrites and need no schema.
+        schema = sinks.read_table_schema(cur)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(cur)
         return self.spark.read.parquet(cur)
 
     def run_entity(self, entity: str) -> dict:
@@ -243,6 +255,17 @@ class EntityPipeline:
             )
         result = cdc.add_audit(result).withColumn("__bucket", self._bucket_col())
         result.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+        # The merged schema becomes the sink's canonical schema (commit
+        # metadata — see read_snapshot). It only ever WIDENS: drift-union
+        # keeps every snapshot column at the snapshot's type, so writing
+        # it before the bucket swap is forward-compatible (a crash
+        # between the two leaves old buckets readable under the wider
+        # schema with NULLs for the not-yet-landed column, and the
+        # uncommitted watermark re-applies the delta on retry).
+        if buckets is None:
+            sinks.write_table_schema(tmp, result.schema)  # rides the rename
+        else:
+            sinks.write_table_schema(out, result.schema)
         if buckets is None:
             # Switching an existing pointer-layout sink to bucketed.
             # The old pointer + versions are RENAMED aside (atomic,
@@ -263,25 +286,71 @@ class EntityPipeline:
             os.replace(tmp, out)
             shutil.rmtree(aside, ignore_errors=True)
         else:
-            written = {d for d in os.listdir(tmp) if d.startswith("__bucket=")}
-            aside = os.path.join(tmp, "__replaced")
-            os.makedirs(aside, exist_ok=True)
-            # Two-phase bucket swap: each replaced bucket is moved ASIDE
-            # (into staging) before its replacement is renamed in, and
-            # nothing is deleted until every bucket is swapped — a crash
-            # mid-swap leaves the prior data recoverable (see
-            # _recover_staging) instead of silently losing the bucket's
-            # untouched keys on the watermark-uncommitted retry. Moving
-            # aside also clears a stale partition when a touched bucket
-            # emptied out (all its keys deleted).
-            for b in buckets:
-                name = f"__bucket={b}"
-                dst = os.path.join(out, name)
-                if os.path.lexists(dst):
-                    os.replace(dst, os.path.join(aside, name))
-                if name in written:
-                    os.replace(os.path.join(tmp, name), dst)
-            shutil.rmtree(tmp, ignore_errors=True)
+            self._swap_buckets(out, tmp, [f"__bucket={b}" for b in buckets])
+
+    def _swap_buckets(self, out: str, tmp: str, names: list[str]) -> None:
+        """Two-phase bucket swap: each replaced bucket is moved ASIDE
+        (into staging) before its replacement is renamed in, and
+        nothing is deleted until every bucket is swapped — a crash
+        mid-swap leaves the prior data recoverable (see
+        _recover_staging) instead of silently losing the bucket's
+        untouched keys on the watermark-uncommitted retry. Moving
+        aside also clears a stale partition when a touched bucket
+        emptied out (all its keys deleted)."""
+        written = {d for d in os.listdir(tmp) if d.startswith("__bucket=")}
+        aside = os.path.join(tmp, "__replaced")
+        os.makedirs(aside, exist_ok=True)
+        for name in names:
+            dst = os.path.join(out, name)
+            if os.path.lexists(dst):
+                os.replace(dst, os.path.join(aside, name))
+            if name in written:
+                os.replace(os.path.join(tmp, name), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def compact_buckets(self, entity: str, min_files: int = 2) -> int:
+        """Per-bucket small-file compaction for the bucketed sink (the
+        bucketed twin of ``sinks.compact``, which refuses bucketed dirs
+        because a whole-table coalesce would destroy the layout).
+
+        Each merge run appends task-parallel files into its touched
+        buckets, so long-lived buckets fragment. This rewrites ONLY the
+        buckets holding >= ``min_files`` parquet files — O(fragmented),
+        not O(table) — in one shuffled write (hash-repartition on
+        ``__bucket`` gives each task whole buckets → one file per
+        bucket), then swaps them through the same crash-safe two-phase
+        rename as the merge path. The read goes through
+        ``read_snapshot``'s explicit canonical schema, so post-drift
+        mixed-schema buckets compact WITHOUT losing drifted columns
+        (files lacking a column yield NULLs; the rewrite then
+        materializes the full schema into every compacted bucket).
+        Returns the number of buckets rewritten."""
+        from pyspark.sql import functions as F
+
+        out = self._sink_path(entity)
+        tmp = out + "__staging"
+        self._recover_staging(out, tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        fragmented = []
+        for d in sorted(os.listdir(out)):
+            if not d.startswith("__bucket="):
+                continue
+            n = sum(
+                f.endswith(".parquet") for f in os.listdir(os.path.join(out, d))
+            )
+            if n >= min_files:
+                fragmented.append(int(d.split("=", 1)[1]))
+        if not fragmented:
+            return 0
+        snap = self.read_snapshot(entity).filter(F.col("__bucket").isin(fragmented))
+        (
+            snap.repartition(len(fragmented), F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(tmp)
+        )
+        self._swap_buckets(out, tmp, [f"__bucket={b}" for b in fragmented])
+        return len(fragmented)
 
     def _rollup_path(self, entity: str) -> str:
         return self._sink_path(entity) + "_rollup"

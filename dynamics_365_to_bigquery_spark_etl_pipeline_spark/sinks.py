@@ -42,6 +42,7 @@ import shutil
 VERSIONS_SUFFIX = "__versions"
 SWAP_SUFFIX = "__swap"
 POINTER_SUFFIX = "__pointer.json"
+SCHEMA_NAME = "_schema.json"
 
 
 def pointer_backend() -> str:
@@ -67,6 +68,53 @@ def _atomic_put(path: str, payload: dict) -> None:
 
 def _versions_root(out: str) -> str:
     return out + VERSIONS_SUFFIX
+
+
+def write_table_schema(data_dir: str, schema) -> None:
+    """Record the canonical table schema inside ``data_dir`` (atomic
+    single-object PUT; the underscore prefix hides it from Spark's
+    parquet reader).
+
+    Why this exists: a bucketed sink rewrites ONLY delta-touched
+    buckets, so after schema drift the directory holds parquet files
+    with DIFFERENT schemas. ``spark.read.parquet`` samples ONE footer
+    (``mergeSchema`` defaults false) — whether the drifted column
+    appears is a coin flip on which footer gets sampled, and a
+    subsequent merge reading the truncated snapshot would erase the
+    column from data that had it. Like Delta/Iceberg, the schema is
+    therefore COMMIT METADATA, not something re-derived from footers:
+    writers record the merged schema here and readers pass it to
+    ``spark.read.schema(...)`` (files lacking a column yield NULLs for
+    it, which is exactly the drift-union semantics)."""
+    payload = schema.jsonValue() if hasattr(schema, "jsonValue") else schema
+    _atomic_put(os.path.join(data_dir, SCHEMA_NAME), payload)
+
+
+def read_table_schema(data_dir: str):
+    """Canonical schema recorded in ``data_dir``, as a ``StructType``
+    (None when absent — e.g. a pre-schema-metadata bucketed sink, whose
+    next merge records one)."""
+    from pyspark.sql import types as T
+
+    try:
+        with open(os.path.join(data_dir, SCHEMA_NAME)) as f:
+            return T.StructType.fromJson(json.load(f))
+    except FileNotFoundError:
+        return None
+
+
+def is_bucketed_dir(out: str) -> bool:
+    """True when ``out`` is a bucketed-sink data directory (real dir
+    holding ``__bucket=`` partitions / schema metadata) rather than a
+    pointer. Maintenance ops that rewrite a whole current version
+    (compact/recluster) and the legacy-layout migration must refuse
+    these: a whole-dir rewrite would both read mixed post-drift schemas
+    by footer sampling and destroy the bucket layout."""
+    if not os.path.isdir(out) or os.path.islink(out):
+        return False
+    if os.path.exists(os.path.join(out, SCHEMA_NAME)):
+        return True
+    return any(d.startswith("__bucket=") for d in os.listdir(out))
 
 
 def list_versions(out: str) -> list[str]:
@@ -115,6 +163,12 @@ def _migrate_legacy_dir(out: str) -> None:
         return
     if pointer_backend() == "manifest" and os.path.exists(_manifest_path(out)):
         return  # manifest-published sink; the real dir is bucketed data
+    if is_bucketed_dir(out):
+        raise ValueError(
+            f"{out} is a bucketed sink directory; it cannot be migrated "
+            "into the versioned-pointer layout (run its maintenance "
+            "through EntityPipeline, not the pointer-sink ops)"
+        )
     vroot = _versions_root(out)
     os.makedirs(vroot, exist_ok=True)
     existing = list_versions(out)
@@ -219,6 +273,11 @@ def compact(spark, out: str, target_bytes: int = 128 * 1024 * 1024, keep: int = 
     output task concatenates input splits."""
     import math
 
+    if is_bucketed_dir(out):
+        raise ValueError(
+            f"{out} is a bucketed sink; whole-table compaction would "
+            "destroy the bucket layout — use EntityPipeline.compact_buckets"
+        )
     cur = current_version_path(out)
     if cur is None:
         raise FileNotFoundError(f"nothing published at {out}")
@@ -261,6 +320,11 @@ def recluster(
     kind of maintenance as bin-packing."""
     import math
 
+    if is_bucketed_dir(out):
+        raise ValueError(
+            f"{out} is a bucketed sink; whole-table reclustering would "
+            "destroy the bucket layout — use EntityPipeline.compact_buckets"
+        )
     cur = current_version_path(out)
     if cur is None:
         raise FileNotFoundError(f"nothing published at {out}")

@@ -132,6 +132,67 @@ def fuzzy_join_d1(df: DataFrame, id_col: str, str_col: str) -> DataFrame:
     return fuzzy_join(df, id_col, str_col, max_dist=1)
 
 
+def fuzzy_join_deduped(
+    df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
+) -> DataFrame:
+    """``fuzzy_join`` routed through exact dedup first — the composition
+    the d=2 docstring prescribes for clone-heavy corpora, now a real
+    operator. Pair-set IDENTICAL to ``fuzzy_join`` (tested), built as:
+
+    1. collapse rows to DISTINCT strings, representative = min id;
+    2. run the deletion-variant fuzzy join over representatives only —
+       the O(L^d) key explosion and the candidate verification now pay
+       |distinct strings|, not |rows|;
+    3. fan results back out: every (rep_a, rep_b, dist>=1) pair expands
+       to all member cross pairs via two equi-joins (output-linear),
+       and exact-duplicate groups contribute their intra-group dist-0
+       pairs via one string-keyed self-join (also output-linear).
+
+    Where it wins: replication-heavy data (CDC landing zones, cloned
+    benchmark corpora). The sf1 fixture clones every supplier name 10x
+    (10,000 rows, 1,000 distinct names), so step 2 runs on 10% of the
+    rows and the d=2 variant keys shrink 10x — measured 292.9 s ->
+    48.3 s (6.1x) at sf1 d=2, identical 14,269,500-pair set by count +
+    hashsum (SCALING.md round-7 section). Where it doesn't: all-unique
+    strings
+    (reps == rows; the detour adds two cheap equi-joins). The dist-0
+    convention matches ``fuzzy_join``: equal strings ARE emitted as
+    pairs with dist 0."""
+    base = df.select(
+        F.col(id_col).alias("_fid"), F.col(str_col).alias("_fs")
+    ).where(F.col(str_col).isNotNull())
+    reps = base.groupBy("_fs").agg(F.min("_fid").alias("_rid"))
+    # members with their group's representative id (equi-join on the
+    # string — the same key the groupBy shuffled on, so AQE/exchange
+    # reuse keeps this cheap)
+    mem = base.join(reps, "_fs")
+
+    rep_pairs = fuzzy_join(reps, "_rid", "_fs", max_dist)  # dist >= 1 only
+
+    ma = mem.select(F.col("_rid").alias("id_a"), F.col("_fid").alias("_ma"))
+    mb = mem.select(F.col("_rid").alias("id_b"), F.col("_fid").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "dist",
+        )
+    )
+    x, y = base.alias("x"), base.alias("y")
+    intra = (
+        x.join(y, "_fs")
+        .where(F.col("x._fid") < F.col("y._fid"))
+        .select(
+            F.col("x._fid").alias("id_a"),
+            F.col("y._fid").alias("id_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def resolve_entities(
     df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
 ) -> DataFrame:

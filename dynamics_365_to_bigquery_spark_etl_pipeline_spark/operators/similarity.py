@@ -366,27 +366,37 @@ def grid_near_dup_pairs(
     )
 
 
-def _local_topk_with_ties(sims, k: int):
-    """Row/column index pairs of each column's top-k scores INCLUDING
-    every boundary tie: everything >= the k-th largest value is kept.
-    A plain ``argpartition[:k]`` breaks boundary ties arbitrarily,
-    which is wrong for a partial top-k feeding a deterministic global
-    merge (sim desc, id asc): the batch holding the LOWER-id member of
-    a tie could drop it while another batch emits the higher-id clone
-    — exactly what duplicated corpora produce (caught at sf1, where
-    every vector has replicas: recall vs the exact scan was 98.7%
-    instead of 100%). Emitting ties costs O(tie multiplicity) extra
-    rows and restores 'union of local top-k ⊇ global top-k' under the
-    total order."""
-    import numpy as np
+def _make_local_topk_with_ties():
+    # Factory indirection so the name below binds a CLOSURE, which
+    # cloudpickle ships BY VALUE inside worker functions; a plain
+    # module-level def pickles by reference and breaks bare sessions
+    # driven from a non-repo cwd (workers can't import this package).
+    def _local_topk_with_ties(sims, k: int):
+        """Row/column index pairs of each column's top-k scores INCLUDING
+        every boundary tie: everything >= the k-th largest value is kept.
+        A plain ``argpartition[:k]`` breaks boundary ties arbitrarily,
+        which is wrong for a partial top-k feeding a deterministic global
+        merge (sim desc, id asc): the batch holding the LOWER-id member of
+        a tie could drop it while another batch emits the higher-id clone
+        — exactly what duplicated corpora produce (caught at sf1, where
+        every vector has replicas: recall vs the exact scan was 98.7%
+        instead of 100%). Emitting ties costs O(tie multiplicity) extra
+        rows and restores 'union of local top-k ⊇ global top-k' under the
+        total order."""
+        import numpy as np
 
-    take = min(k, sims.shape[0])
-    part = np.argpartition(-sims, take - 1, axis=0)
-    cols = np.arange(sims.shape[1])
-    thresh = sims[part[take - 1], cols]  # k-th largest per column
-    keep = sims >= thresh[None, :]
-    ci, qi = np.nonzero(keep)
-    return ci, qi
+        take = min(k, sims.shape[0])
+        part = np.argpartition(-sims, take - 1, axis=0)
+        cols = np.arange(sims.shape[1])
+        thresh = sims[part[take - 1], cols]  # k-th largest per column
+        keep = sims >= thresh[None, :]
+        ci, qi = np.nonzero(keep)
+        return ci, qi
+
+    return _local_topk_with_ties
+
+
+_local_topk_with_ties = _make_local_topk_with_ties()
 
 
 def assign_ivf_buckets_matmul(

@@ -63,9 +63,38 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN shape that SURVIVES at scale (registered as the driver
+    ANN row per the round-6 sf10 measurements): centroids trained
+    decimal-exact (oracle replays them bit-for-bit), the corpus
+    assigned to buckets by the argmax BLAS kernel and PERSISTED
+    ``partitionBy(bucket_id)`` (``build_ivf_layout``), then probed with
+    matmul-shaped scoring over only the partition-pruned probe buckets
+    (``matmul_topk_from_layout``). sf10 A/B (scripts/ab_ivf_layout.py):
+    build 53 s once, probe 3.8 s vs 27.3 s exact scan, recall 1.0 —
+    the per-pair-row probe variant (now an extra) LOSES to a full exact
+    scan at that scale and is kept only as the all-JVM twin.
+
+    The layout goes to a throwaway temp dir here because the driver
+    contract is (spark, sf_dir) -> DataFrame; production callers build
+    once via ``build_ivf_layout`` and amortize (break-even ~2 query
+    batches, measured)."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    trained = S.refine_centroids(emb, seeds)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    layout = tempfile.mkdtemp(prefix="spark_graft_ivf_layout_")
+    S.build_ivf_layout(emb, trained, layout, scorer="matmul")
+    return S.matmul_topk_from_layout(
+        spark, layout, trained, queries, k=TOP_K, nprobe=N_PROBE
+    )
+
+
 QUERIES = {
     "q_sim_bruteforce_topk": q_sim_bruteforce_topk,
-    "q_sim_ivf_topk": q_sim_ivf_topk,
+    "q_sim_ivf_layout_topk": q_sim_ivf_layout_topk,
 }
 
 def q_sim_ivf_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,7 +160,11 @@ EXTRA_QUERIES = {
     # are eigen-based and not SQL-expressible — invariant-tested in
     # tests/test_embed_prep.py)
     "q_embed_l2_normalize": q_embed_l2_normalize,
-    # Arrow-scored IVF twin of registered q_sim_ivf_topk (same oracle)
+    # all-JVM IVF twins of registered q_sim_ivf_layout_topk (same
+    # oracle): the in-query pair-join probe (proven non-viable at sf10
+    # vs an exact scan — scripts/ab_ivf_layout.py) and its Arrow-scored
+    # variant, kept as the decimal/JVM cross-checks of the family
+    "q_sim_ivf_topk": q_sim_ivf_topk,
     "q_sim_ivf_topk_arrow": q_sim_ivf_topk_arrow,
 }
 
@@ -235,9 +268,10 @@ GROUP BY label
 }
 
 # matmul twin shares the brute-force oracle verbatim (same exact
-# semantics, different physical shape); arrow-scored IVF shares the
-# IVF oracle likewise
+# semantics, different physical shape); the IVF variants (registered
+# layout probe + the JVM/Arrow in-query twins) all share one oracle
 ORACLES["q_sim_topk_matmul"] = ORACLES["q_sim_bruteforce_topk"]
+ORACLES["q_sim_ivf_layout_topk"] = ORACLES["q_sim_ivf_topk"]
 ORACLES["q_sim_ivf_topk_arrow"] = ORACLES["q_sim_ivf_topk"]
 
 from ..operators.embed_prep import l2_normalize_sql as _l2_sql  # noqa: E402

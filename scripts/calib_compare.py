@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Calib-normalized cross-round bench comparison (round-7 verdict #4).
+
+Absolute timings drift between rounds because the sandbox host changes
+(measured 2x on identical code). ``bench.py`` emits a ``calib`` block —
+fixed micro-workloads measuring host speed — so cross-round deltas can
+be DIVIDED by host speed instead of hand-waved.
+
+Usage:
+    python scripts/calib_compare.py BENCH_r06.json BENCH_r07.json
+
+Accepts either the driver's wrapper format ({"parsed": {...}}) or
+bench.py's raw one-line JSON. Normalization: each new-round timing is
+divided by the host factor h = calib_new/calib_ref of the yardstick
+matching the query's bound resource (the JVM codegen sum for everything
+except the Python/Arrow-kernel queries, which use the pure-Python
+loop). A NORMALIZED ratio > FLAG_RATIO is a real regression — the host
+excuse is retired by arithmetic; raw ratios are printed beside it so
+environment swings stay visible.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+FLAG_RATIO = 1.3
+# queries whose hot loop is Python/numpy (Arrow batches), not JVM codegen
+PYTHON_BOUND = {"q_sim_topk_matmul", "q_sim_ivf_layout_topk", "q_multimodal_features"}
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        doc = json.load(f)
+    return doc.get("parsed", doc)
+
+
+def compare(ref: dict, new: dict) -> dict:
+    cal_ref, cal_new = ref.get("calib"), new.get("calib")
+    if not cal_ref or not cal_new:
+        raise SystemExit(
+            "calib block missing in one input (pre-r6 rounds have none) — "
+            "normalized comparison needs both; raw ratios only would "
+            "re-open the host-drift caveat this tool exists to close"
+        )
+    h_jvm = cal_new["jvm_range_sum_20m"] / cal_ref["jvm_range_sum_20m"]
+    h_py = cal_new["python_loop_2m"] / cal_ref["python_loop_2m"]
+    rows = []
+    for name, t_ref in ref["queries"].items():
+        t_new = new["queries"].get(name)
+        if t_new is None:
+            continue
+        h = h_py if name in PYTHON_BOUND else h_jvm
+        raw = t_new / t_ref
+        norm = (t_new / h) / t_ref
+        rows.append(
+            {
+                "query": name,
+                "t_ref": t_ref,
+                "t_new": t_new,
+                "raw_ratio": round(raw, 2),
+                "norm_ratio": round(norm, 2),
+                "flag": norm > FLAG_RATIO,
+            }
+        )
+    total_ref = sum(r["t_ref"] for r in rows)
+    total_new = sum(r["t_new"] for r in rows)
+    return {
+        "host_factor_jvm": round(h_jvm, 3),
+        "host_factor_python": round(h_py, 3),
+        "rows": rows,
+        "total_ref": round(total_ref, 3),
+        "total_new": round(total_new, 3),
+        "total_raw_ratio": round(total_new / total_ref, 2),
+        "total_norm_ratio": round(total_new / h_jvm / total_ref, 2),
+        "flagged": [r["query"] for r in rows if r["flag"]],
+    }
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    out = compare(load(sys.argv[1]), load(sys.argv[2]))
+    print(
+        f"host speed factor (new/ref): jvm {out['host_factor_jvm']}x, "
+        f"python {out['host_factor_python']}x"
+    )
+    print(f"{'query':<28}{'t_ref':>8}{'t_new':>8}{'raw':>7}{'norm':>7}  flag")
+    for r in out["rows"]:
+        print(
+            f"{r['query']:<28}{r['t_ref']:>8.3f}{r['t_new']:>8.3f}"
+            f"{r['raw_ratio']:>7.2f}{r['norm_ratio']:>7.2f}  "
+            f"{'REGRESSION' if r['flag'] else ''}"
+        )
+    print(
+        f"{'TOTAL':<28}{out['total_ref']:>8.3f}{out['total_new']:>8.3f}"
+        f"{out['total_raw_ratio']:>7.2f}{out['total_norm_ratio']:>7.2f}"
+    )
+    print("flagged:", out["flagged"] or "none (normalized ratios all <= 1.3)")
+
+
+if __name__ == "__main__":
+    main()

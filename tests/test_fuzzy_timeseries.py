@@ -170,6 +170,44 @@ def test_fuzzy_join_d2_property_equals_brute_force(spark, names):
     assert got == want
 
 
+@given(
+    st.lists(
+        st.sampled_from(["", "a", "ab", "abc", "abb", "bbc", "cab", "abcd"]),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([1, 2]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzzy_join_deduped_pair_set_equals_raw(spark, names, d):
+    """Routing equivalence (round-7 verdict #5): exact-dedup ->
+    representatives -> fuzzy -> fan-out must produce the IDENTICAL
+    (id_a, id_b, dist) set as the raw join, on clone-heavy inputs
+    (sampled_from forces duplicate strings, the case the routing
+    exists for) at both supported depths — including the intra-group
+    dist-0 pairs and the cross-product fan-out of duplicated matches."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.fuzzy import (
+        fuzzy_join,
+        fuzzy_join_deduped,
+    )
+
+    df = spark.createDataFrame([Row(rid=i, name=n) for i, n in enumerate(names)])
+    raw = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_join(df, "rid", "name", max_dist=d).collect()
+    }
+    routed = [
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_join_deduped(df, "rid", "name", max_dist=d).collect()
+    ]
+    assert len(routed) == len(set(routed))  # no duplicate pairs
+    assert set(routed) == raw
+
+
 def test_fuzzy_join_rejects_unsupported_depth(spark):
     from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.fuzzy import (
         fuzzy_join,

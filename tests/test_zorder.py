@@ -107,7 +107,7 @@ def test_zorder_layout_preserves_data(spark, tmp_path):
     assert have == want
 
 
-def test_recluster_publishes_stats_bounded_version(spark, tmp_path):
+def test_recluster_publishes_stats_bounded_version(spark, tmp_path, sink_backend):
     """OPTIMIZE-style maintenance through the versioned sink: an
     unsorted (micro-batch-accreted) table is rewritten Z-ordered as a
     NEW version via the same atomic commit — data identical, footer
@@ -124,7 +124,7 @@ def test_recluster_publishes_stats_bounded_version(spark, tmp_path):
     spans_y = _file_spans(cur, "y")
     if len(spans_y) > 4:
         assert _files_hit(spans_y, 0, K // 16 - 1) <= len(spans_y) // 2
-    got = sorted(r.payload for r in spark.read.parquet(out).collect())
+    got = sorted(r.payload for r in spark.read.parquet(cur).collect())
     assert got == list(range(N))
     prev = spark.read.parquet(sinks.version_path(out, -2))
     assert prev.count() == N

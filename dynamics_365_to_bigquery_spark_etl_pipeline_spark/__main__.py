@@ -74,6 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
         "several: Z-order) so parquet min/max stats prune scans; "
         "bin-packs files too, so it supersedes --compact-target-mb",
     )
+    p.add_argument(
+        "--compact-buckets",
+        type=int,
+        default=None,
+        metavar="MIN_FILES",
+        help="(bucketed sinks) after a successful run, rewrite each "
+        "bucket holding >= MIN_FILES parquet files down to one file "
+        "(crash-safe two-phase swap; O(fragmented buckets), not "
+        "O(table)) — the bucketed twin of --compact-target-mb",
+    )
     return p
 
 
@@ -111,7 +121,18 @@ def main(argv: list[str] | None = None) -> int:
                 {
                     "status": "error",
                     "error": "--compact-target-mb applies to pointer sinks; "
-                    "bucketed sinks compact per touched bucket",
+                    "use --compact-buckets for bucketed sinks",
+                }
+            )
+        )
+        return 1
+    if args.compact_buckets and not args.bucket_partitions:
+        print(
+            json.dumps(
+                {
+                    "status": "error",
+                    "error": "--compact-buckets requires --bucket-partitions; "
+                    "pointer sinks compact with --compact-target-mb",
                 }
             )
         )
@@ -147,6 +168,13 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             n = sinks.recluster(spark, pipe._sink_path(r["entity"]), cols)
             r["reclustered_files"] = n
+    if args.compact_buckets:
+        for r in results:
+            if r["status"] != "ok":
+                continue
+            r["compacted_buckets"] = pipe.compact_buckets(
+                r["entity"], min_files=args.compact_buckets
+            )
     for r in results:
         print(json.dumps(r))
     return 1 if any(r["status"] == "error" for r in results) else 0

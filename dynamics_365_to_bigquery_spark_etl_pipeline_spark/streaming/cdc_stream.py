@@ -40,6 +40,8 @@ def stream_cdc_merge(
     order_col: str = cdc.MODIFIED_AT,
     tie_breakers: tuple[str, ...] = (),
     fmt: str = "parquet",
+    compact_every: int = 0,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ) -> StreamingQuery:
     """File-source stream -> foreachBatch CDC merge into the same
     versioned-pointer sink the batch pipeline publishes to.
@@ -52,7 +54,17 @@ def stream_cdc_merge(
     shuffle cost per micro-batch is O(|batch|), not O(|table|).
     Restart/recovery is the file-source checkpoint plus the idempotent
     merge (replaying a batch re-resolves the same keys to the same
-    rows)."""
+    rows).
+
+    ``compact_every`` > 0 folds sink maintenance into the stream: every
+    N committed micro-batches the current version is bin-packed to
+    ~``compact_target_bytes`` files via ``sinks.compact`` (published as
+    one more atomic version — readers never see a mix). Why in-stream:
+    each merge's output parallelism leaves a file per task, so a
+    long-running ingest accretes small files that tax the scan; the
+    batch CLI has ``--compact-target-mb`` for this, the stream gets the
+    same lever here. Replay-safe: a replayed epoch at worst re-compacts
+    an already-compacted version (idempotent rewrite)."""
     reader = spark.readStream.schema(schema)
     stream = reader.parquet(source_dir) if fmt == "parquet" else reader.options(
         header=True, multiLine=True, quote='"'
@@ -72,6 +84,10 @@ def stream_cdc_merge(
         vdir = sinks.next_version_dir(sink_dir)
         merged.write.mode("overwrite").parquet(vdir)
         sinks.publish_version(sink_dir, vdir)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            sinks.compact(
+                batch_df.sparkSession, sink_dir, target_bytes=compact_target_bytes
+            )
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

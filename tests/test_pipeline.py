@@ -387,3 +387,40 @@ def test_duplicate_normalized_columns_dropped(spark, zone):
     snap = spark.read.parquet(str(sink / "items"))
     assert "no" not in snap.columns
     assert {r.qty for r in snap.collect()} == {30}
+
+
+def test_cli_compact_buckets_flag(spark, zone, capsys):
+    """--compact-buckets MIN_FILES runs the per-bucket bin-pack after a
+    bucketed run and reports the rewritten-bucket count; using it
+    without --bucket-partitions is rejected (pointer sinks bin-pack
+    with --compact-target-mb)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.__main__ import main
+
+    landing, sink, state = zone
+    t0 = time.time() - 100
+    _write_csv(
+        str(landing / "Sales Invoice" / "b1.csv"),
+        [_live_row(f"k{i}", "2024-01-01 10:00:00", i) for i in range(20)],
+        t0,
+    )
+    rc = main([
+        str(landing), str(sink), str(state),
+        "--tie-breakers", "amount",
+        "--bucket-partitions", "2",
+        "--compact-buckets", "1",
+    ])
+    assert rc == 0
+    [res] = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert res["status"] == "ok" and res["compacted_buckets"] == 2
+    table = sink / "salesinvoice"
+    for d in table.iterdir():
+        if d.name.startswith("__bucket="):
+            assert sum(f.suffix == ".parquet" for f in d.iterdir()) == 1
+    snap = spark.read.parquet(str(table))
+    assert {(r.systemid, r.amount) for r in snap.collect()} == {
+        (f"k{i}", float(i)) for i in range(20)
+    }
+
+    rc = main([str(landing), str(sink), str(state), "--compact-buckets", "2"])
+    assert rc == 1

@@ -274,3 +274,37 @@ def test_streaming_merge_after_batch_drift_keeps_column(spark, tmp_path):
     assert "newcol" in cur.columns
     got = {r["systemid"]: (r["amount"], r["newcol"]) for r in cur.collect()}
     assert got == {"a": (1.0, "hello"), "b": (20.0, None), "c": (3.0, None)}
+
+
+def test_compact_buckets_crash_mid_swap_recovers(spark, tmp_path):
+    """compact_buckets shares the merge path's two-phase bucket swap;
+    simulate its worst crash window (bucket moved aside, replacement
+    never renamed in) and verify the next pipeline run restores the
+    bucket — no rows lost, drifted values intact."""
+    import shutil
+
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    pipe = EntityPipeline(spark, landing, sink, state, bucket_partitions=4)
+    keys = _run_drift_history(pipe, landing, t0)
+    table = f"{sink}/items"
+
+    # crash simulation: one bucket moved aside into staging, as the
+    # swap loop does, with no replacement landed
+    victim = next(d for d in sorted(os.listdir(table)) if d.startswith("__bucket="))
+    aside = os.path.join(table + "__staging", "__replaced")
+    os.makedirs(aside)
+    shutil.move(os.path.join(table, victim), os.path.join(aside, victim))
+
+    # any next run recovers staging before reading the snapshot
+    _write_csv(
+        f"{landing}/Items/b3.csv",
+        BASE_COLS,
+        [_live("k3", "2024-01-03 10:00:00", 333)],
+        t0 + 100,
+    )
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    got = _snapshot_map(pipe.read_snapshot("Items"))
+    assert len(got) == len(keys)
+    assert got["k0"] == (999.0, "hello") and got["k1"] == (998.0, "world")
+    assert got["k3"] == (333.0, None)

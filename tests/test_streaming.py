@@ -448,3 +448,54 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
     stream_plan = q._jsq.explainInternal(False)
     assert "BroadcastHashJoin" in stream_plan
     assert "SortMergeJoin" not in stream_plan
+
+
+def test_stream_cdc_merge_auto_compaction_bounds_files(spark, tmp_path, changelog):
+    """compact_every folds sink bin-packing into the stream: after the
+    drain the CURRENT version is one bin-packed file (vs one file per
+    merge task without it), the data is identical, and the compaction
+    rides the same atomic versioned commit (previous version intact)."""
+    import os
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark import sinks
+
+    source = tmp_path / "source"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    split = "2024-01-16 00:00:00"
+    changelog.filter(F.col("systemmodifiedat") < split).repartition(6).write.parquet(
+        str(source), mode="append"
+    )
+    q = stream_cdc_merge(
+        spark,
+        str(source),
+        changelog.schema,
+        sink,
+        ckpt,
+        tie_breakers=("event_id",),
+        compact_every=1,
+    )
+    q.awaitTermination(120)
+
+    cur = sinks.current_version_path(sink)
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(cur))
+    assert n_files == 1  # tiny fixture bin-packs to a single file
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(cur).select("systemid", "event_id", "value").collect()
+    }
+    want = {
+        tuple(r)
+        for r in cdc.resolve_snapshot(
+            changelog.filter(F.col("systemmodifiedat") < split),
+            tie_breakers=("event_id",),
+        )
+        .select("systemid", "event_id", "value")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # pre-compaction version retained (time travel) with identical data
+    prev = spark.read.parquet(sinks.version_path(sink, -2))
+    assert {
+        tuple(r) for r in prev.select("systemid", "event_id", "value").collect()
+    } == want

@@ -610,3 +610,24 @@ FROM supplier a
 JOIN supplier b ON a.s_suppkey < b.s_suppkey
 WHERE levenshtein(a.s_name, b.s_name) <= 2
 """
+
+
+def q_fuzzy_join_dedup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup-first ROUTING of the d=2 fuzzy join
+    (``fuzzy.fuzzy_join_deduped``): distinct-name representatives ->
+    deletion-variant join -> output-linear fan-out. Pair-set identical
+    to ``q_fuzzy_join_d2`` by construction (hypothesis-tested), so it
+    shares that all-pairs oracle verbatim; measured 6.1x on the sf1
+    d=2 adversarial ceiling (SCALING.md round 7). ``dist`` cast to int
+    to match the oracle's type exactly."""
+    from pyspark.sql import functions as F
+
+    from ..operators.fuzzy import fuzzy_join_deduped
+
+    sup = load_table(spark, sf_dir, "supplier")
+    out = fuzzy_join_deduped(sup, "s_suppkey", "s_name", max_dist=2)
+    return out.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+EXTRA_QUERIES["q_fuzzy_join_dedup_routed"] = q_fuzzy_join_dedup_routed
+EXTRA_ORACLES["q_fuzzy_join_dedup_routed"] = EXTRA_ORACLES["q_fuzzy_join_d2"]

@@ -308,3 +308,38 @@ def test_compact_buckets_crash_mid_swap_recovers(spark, tmp_path):
     assert len(got) == len(keys)
     assert got["k0"] == (999.0, "hello") and got["k1"] == (998.0, "world")
     assert got["k3"] == (333.0, None)
+
+
+def test_bucketed_sink_type_drift_casts_to_snapshot_type(spark, tmp_path):
+    """P8 drift through the bucketed sink: a delta whose existing column
+    arrives with a DIFFERENT inferred type (CSV int vs the snapshot's
+    double) must cast to the snapshot's type — and the canonical schema
+    metadata must keep the snapshot type stable across runs, so readers
+    never see the column's type flip with batch inference."""
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    pipe = EntityPipeline(spark, landing, sink, state, bucket_partitions=4)
+    # full load: decimal-looking amounts -> inferred double
+    _write_csv(
+        f"{landing}/Items/b1.csv",
+        BASE_COLS,
+        [_live(f"k{i}", "2024-01-01 10:00:00", f"{i}.5") for i in range(10)],
+        t0,
+    )
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    snap = pipe.read_snapshot("Items")
+    assert dict(snap.dtypes)["amount"] == "double"
+
+    # delta: integer-looking amounts -> inferred int/bigint; the merge
+    # must cast to the snapshot's double, not flip the column type
+    _write_csv(
+        f"{landing}/Items/b2.csv",
+        BASE_COLS,
+        [_live("k0", "2024-01-02 10:00:00", "7")],
+        t0 + 50,
+    )
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    snap = pipe.read_snapshot("Items")
+    assert dict(snap.dtypes)["amount"] == "double"
+    got = {r["systemid"]: r["amount"] for r in snap.collect()}
+    assert got["k0"] == 7.0 and got["k3"] == 3.5 and len(got) == 10

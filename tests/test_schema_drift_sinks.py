@@ -343,3 +343,29 @@ def test_bucketed_sink_type_drift_casts_to_snapshot_type(spark, tmp_path):
     assert dict(snap.dtypes)["amount"] == "double"
     got = {r["systemid"]: r["amount"] for r in snap.collect()}
     assert got["k0"] == 7.0 and got["k3"] == 3.5 and len(got) == 10
+
+
+def test_bucketed_schema_read_still_partition_prunes(spark, tmp_path):
+    """The O(delta) merge claim rests on the pruned snapshot scan
+    (filter on __bucket prunes partitions). The r7 fix reads with an
+    EXPLICIT schema — partition pruning must survive that: the filter
+    lands in PartitionFilters and the scan opens only the touched
+    bucket's files."""
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    pipe = EntityPipeline(spark, landing, sink, state, bucket_partitions=8)
+    _run_drift_history(pipe, landing, t0)
+    table = f"{sink}/items"
+
+    snap = pipe.read_snapshot("Items")
+    b = snap.filter(F.col("systemid") == "k0").select("__bucket").collect()[0][0]
+    pruned = snap.filter(F.col("__bucket") == b)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "__bucket" in pf
+    files = [
+        r.f
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all(f"__bucket={b}/" in f for f in files)

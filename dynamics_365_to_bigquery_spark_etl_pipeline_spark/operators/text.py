@@ -121,3 +121,86 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5(TRIM(regexp_replace(LOWER({expr}), '[^a-z0-9]+', ' ', 'g')))"
+
+
+def chunk_documents(
+    df,
+    chunk: int,
+    overlap: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split documents into overlapping token-window chunks — the
+    context-window prep step every RAG / training pipeline runs before
+    embedding or packing (distinct from ``export.pack_sequences``, which
+    BIN-PACKS whole short docs; this SPLITS long ones).
+
+    Semantics (engine-exact, mirrored by ``chunk_documents_sql``):
+    whitespace tokens (same regexp-trim + split as ``token_count``),
+    chunk starts at 0, stride, 2*stride, ... with stride = chunk -
+    overlap, continuing while start <= max(n_tokens - overlap - 1, 0) —
+    so every tail chunk carries at least overlap+1 tokens of which at
+    least one is new, no chunk is fully contained in its predecessor,
+    and a doc with n <= chunk tokens yields exactly one chunk. Blank
+    docs yield none. Returns (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text).
+
+    Scale: pure JVM expressions (split + sequence + posexplode + slice)
+    inside whole-stage codegen; output rows ~ n_tokens/stride per doc,
+    no shuffle at all — chunking is map-side, so it composes with any
+    downstream partitioning for free."""
+    if not 0 <= overlap < chunk:
+        raise ValueError(
+            f"need 0 <= overlap < chunk, got chunk={chunk} overlap={overlap}"
+            " (stride = chunk - overlap must be positive)"
+        )
+    stride = chunk - overlap
+    trimmed = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    base = df.where(F.length(trimmed) > 0).select(
+        F.col(id_col).alias("doc_id"), F.split(trimmed, r"\s+").alias("__toks")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__toks") - (overlap + 1), F.lit(0)),
+        F.lit(stride),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(chunk))
+    return (
+        base.select(
+            "doc_id", "__toks", F.posexplode(starts).alias("chunk_id", "__start")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(piece).cast("int").alias("n_chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    chunk: int, overlap: int, table: str = "documents"
+) -> str:
+    """DuckDB mirror of ``chunk_documents`` (identical start rule and
+    tokenization; chunk_id = start // stride, which equals posexplode's
+    ordinal because starts are the exact stride multiples)."""
+    stride = chunk - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+  FROM {table}
+  WHERE LENGTH(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) > 0
+)
+SELECT doc_id,
+       CAST(g.i // {stride} AS INT) AS chunk_id,
+       CAST(LEN(list_slice(t, CAST(g.i AS INT) + 1,
+                           CAST(g.i AS INT) + {chunk})) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(t, CAST(g.i AS INT) + 1,
+                                  CAST(g.i AS INT) + {chunk}), ' ')
+         AS chunk_text
+FROM toks, unnest(range(0, GREATEST(LEN(t) - {overlap + 1}, 0) + 1, {stride}))
+     AS g(i)
+"""

@@ -642,3 +642,26 @@ SELECT doc_id,
          AS n_unk
 FROM encoded GROUP BY doc_id
 """
+
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 4
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py
+    chunk_documents): the context-window prep step before embedding /
+    packing — whitespace tokens, stride = chunk - overlap, tail chunks
+    always add new tokens, blank docs drop. Pure map-side codegen
+    (split + sequence + posexplode + slice), zero shuffles."""
+    from ..operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk=CHUNK_TOKENS, overlap=CHUNK_OVERLAP)
+
+
+EXTRA_QUERIES["q_doc_chunking"] = q_doc_chunking
+
+from ..operators.text import chunk_documents_sql as _chunk_sql  # noqa: E402
+
+EXTRA_ORACLES["q_doc_chunking"] = _chunk_sql(CHUNK_TOKENS, CHUNK_OVERLAP)

@@ -254,3 +254,51 @@ def test_merge_cdc_delta_only_small_delta_still_broadcasts(spark):
     merged.collect()  # materialize so AQE finalizes the plan
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_edge_rules(spark):
+    """Chunking rule pinned: n<=chunk -> one chunk; boundary-aligned and
+    ragged tails both emit >= overlap+1 tokens with at least one new;
+    blank docs emit nothing; invalid overlap rejected."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),  # 10 tokens, aligned: 3 chunks
+            (2, "a b c d e f g h i j k"),  # 11 tokens: ragged tail chunk
+            (3, "x y"),  # n < chunk
+            (4, "p q r s"),  # n == chunk
+            (5, "   "),  # blank: dropped
+            (6, "solo"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs, chunk=4, overlap=1).collect()
+    }
+    assert got == {
+        (1, 0): (4, "a b c d"),
+        (1, 1): (4, "d e f g"),
+        (1, 2): (4, "g h i j"),
+        (2, 0): (4, "a b c d"),
+        (2, 1): (4, "d e f g"),
+        (2, 2): (4, "g h i j"),
+        (2, 3): (2, "j k"),
+        (3, 0): (2, "x y"),
+        (4, 0): (4, "p q r s"),
+        (6, 0): (1, "solo"),
+    }
+    # every non-first chunk shares exactly `overlap` leading tokens with
+    # its predecessor's tail and contributes at least one new token
+    for (doc, cid), (n, _txt) in got.items():
+        if cid > 0:
+            assert n >= 2  # overlap(1) + at least one new token
+
+    import pytest as _pytest
+
+    for bad in [(4, 4), (4, 5), (0, 0)]:
+        with _pytest.raises(ValueError):
+            chunk_documents(docs, chunk=bad[0], overlap=bad[1])

@@ -16,8 +16,15 @@ Fixes over the reference:
 - watermark commits PER ENTITY and only AFTER the sink write succeeds
   (the reference advances all watermarks even for failed entities —
   ``incremental_etl_v1.py:193-202`` — silently dropping their files).
-- explicit schema reuse: the snapshot's schema drives delta casting, and
-  CSV reads get an explicit schema after first load.
+- schema policy: the snapshot's schema drives delta casting
+  (``coerce.align_for_union`` — existing columns keep the snapshot's
+  types), while delta CSV reads stay inference-based ON PURPOSE: a
+  frozen explicit schema would silently drop exactly the drifted
+  columns this pipeline exists to carry (P6-P8), and the double scan
+  inference costs is over the DELTA files only, never the table.
+  Callers with a fixed contract can still pass an explicit schema via
+  ``csv_entity.read_entity(..., schema=...)`` (+ ``capture_corrupt``
+  quarantine).
 - single-select projections keep the plan O(1) in column count.
 """
 

@@ -369,3 +369,33 @@ def test_bucketed_schema_read_still_partition_prunes(spark, tmp_path):
         for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
     ]
     assert files and all(f"__bucket={b}/" in f for f in files)
+
+
+def test_unbucketed_pipeline_on_bucketed_sink_fails_loudly(spark, tmp_path):
+    """Config mismatch: a pipeline WITHOUT bucket_partitions pointed at
+    an existing bucketed sink must error per-entity (isolated, watermark
+    not advanced) — before the r7 guard, the legacy-dir migration would
+    have silently swallowed the bucketed layout into the pointer
+    versions root. The reverse switch (pointer -> bucketed) is the
+    supported one-way migration."""
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    pipe = EntityPipeline(spark, landing, sink, state, bucket_partitions=4)
+    _run_drift_history(pipe, landing, t0)
+
+    _write_csv(
+        f"{landing}/Items/b3.csv",
+        BASE_COLS,
+        [_live("k2", "2024-01-03 10:00:00", 22)],
+        t0 + 100,
+    )
+    flat = EntityPipeline(spark, landing, sink, state)  # no bucket_partitions
+    [res] = flat.run()
+    assert res["status"] == "error" and "bucketed" in res["error"]
+    # the bucketed sink is untouched and the file was not consumed
+    got = _snapshot_map(pipe.read_snapshot("Items"))
+    assert got["k0"] == (999.0, "hello") and got["k2"] == (2.0, None)
+    # the correctly-configured pipeline picks the delta up afterwards
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    got = _snapshot_map(pipe.read_snapshot("Items"))
+    assert got["k2"] == (22.0, None)

@@ -46,6 +46,13 @@ HEADLINE = [
     # tracked per-round so regressions in the non-pair-join shape are
     # visible. Totals across rounds shift by its ~0.5 s accordingly.
     "q_sim_topk_matmul",
+    # added r7: the dedup flagship in its PRODUCTION shape (xxhash64
+    # minhash, banded postings equi-join, staged intermediates) — the
+    # family had no per-round perf row; the md5 oracle twin costs the
+    # same shape + 3.5 s of string hashing, so tracking the fast path
+    # tracks the structure. Totals shift by its ~2.5 s; calib_compare
+    # diffs per-query.
+    "q_dedup_minhash_fast",
 ]
 
 

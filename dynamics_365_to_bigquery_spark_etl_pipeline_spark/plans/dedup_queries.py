@@ -81,14 +81,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
+    # STAGE the two multiply-consumed intermediates (r7, measured at
+    # sf0.1): `sh` feeds banding once and the Jaccard verify twice, and
+    # `banded` is self-joined — without materialization Spark recomputes
+    # the shingle/signature subtrees per consumer (ReuseExchange does
+    # NOT fire across this self-join: the two sides shuffle on different
+    # key sets). localCheckpoint cuts md5 10.4 -> 5.3 s and xxhash64
+    # 4.2 -> 2.4 s, identical pairs. At 100 TB the same staging writes
+    # the shingle set / banded postings to scratch parquet instead
+    # (localCheckpoint blocks are executor-local, not fault-tolerant) —
+    # which is exactly what the incremental dedup INDEX already persists.
     sh = corpus.select(
         "doc_id", D.shingles(F.col("text")).alias("sh")
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).localCheckpoint()
     sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
     sig = sh.select("doc_id", sig_fn(F.col("sh")).alias("sig"))
     banded = sig.select(
         "doc_id", F.posexplode(D.band_keys(F.col("sig"))).alias("band_id", "band_hash")
-    )
+    ).localCheckpoint()
     pairs = (
         banded.alias("a")
         .join(

@@ -212,26 +212,48 @@ def simhash64_blocks(h_lo: Column, h_hi: Column) -> Column:
     hamming <= 3 across 4 disjoint blocks guarantees >= 1 equal block,
     so recall at the threshold is exact."""
 
-    def bit_test(mask_val: int):
-        # one-arg lambda via factory: a two-arg lambda (h, m=mask) would
-        # be treated as the (element, index) signature and bind the
-        # array INDEX to m, silently breaking the mask
-        mask = F.lit(mask_val)
-        return lambda h: h.bitwiseAND(mask) != 0
+    # ONE aggregate pass per hash array accumulating all 32 bit
+    # counters, instead of 32 size(filter(...)) passes (r7; the filter
+    # form allocated a filtered ARRAY per bit term — 64 traversals +
+    # 64 allocations per row — and measured 7x slower end-to-end at
+    # sf0.1: 60.6 s -> 8.5 s for the full simhash query, identical
+    # pairs). `masks` appears only as a HOF *argument* (the r6
+    # outer-column rule): the inner zip_with lambda touches just its
+    # element variables, so per-element work stays 32 cheap int ops.
+    masks = F.array(*[F.lit(1 << j) for j in range(2 * SIMHASH_BLOCK_BITS)])
 
-    def block(hashes: Column, offset: int) -> Column:
-        terms = []
-        for j in range(SIMHASH_BLOCK_BITS):
-            hits = F.size(F.filter(hashes, bit_test(1 << (offset + j))))
-            terms.append(
-                F.when(hits * 2 > F.size(hashes), F.lit(1 << j)).otherwise(F.lit(0))
-            )
+    def bit_counts(hashes: Column) -> Column:
+        return F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0), 2 * SIMHASH_BLOCK_BITS),
+            lambda acc, x: F.zip_with(
+                acc,
+                masks,
+                lambda a, m: a
+                + F.when(x.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(0)),
+            ),
+        )
+
+    def block(counts: Column, n: Column, offset: int) -> Column:
+        terms = [
+            F.when(
+                F.element_at(counts, offset + j + 1) * 2 > n, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            for j in range(SIMHASH_BLOCK_BITS)
+        ]
         out = terms[0]
         for t in terms[1:]:
             out = out + t
         return out.cast("long")
 
-    return F.array(block(h_lo, 0), block(h_lo, 16), block(h_hi, 0), block(h_hi, 16))
+    n = F.size(h_lo)
+    lo_counts, hi_counts = bit_counts(h_lo), bit_counts(h_hi)
+    return F.array(
+        block(lo_counts, n, 0),
+        block(lo_counts, n, SIMHASH_BLOCK_BITS),
+        block(hi_counts, n, 0),
+        block(hi_counts, n, SIMHASH_BLOCK_BITS),
+    )
 
 
 def simhash64(text: Column) -> Column:

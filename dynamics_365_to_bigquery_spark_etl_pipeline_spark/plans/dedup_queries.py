@@ -156,9 +156,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = hashed.select(
         "doc_id", D.simhash64_blocks(F.col("h0"), F.col("h1")).alias("blocks")
     )
+    # staged like the minhash postings (r7): the self-join otherwise
+    # computes the signature subtree once per side
     exploded = sigs.select(
         "doc_id", "blocks", F.posexplode("blocks").alias("block_id", "block_val")
-    )
+    ).localCheckpoint()
     pairs = (
         exploded.alias("a")
         .join(

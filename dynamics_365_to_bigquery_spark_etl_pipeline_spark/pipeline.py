@@ -445,6 +445,19 @@ class EntityPipeline:
             old_state = self.spark.read.parquet(sinks.current_version_path(out))
             kcol = cdc.KEY
             touched = prepared.select(F.col(kcol).alias("__tk")).distinct()
+            if self.bucket_partitions and "__bucket" in snapshot.columns:
+                # Bucketed snapshot (r7): restrict to the delta-touched
+                # buckets BEFORE the key semi-join — the `isin` on the
+                # partition column prunes at the file index, so the fold
+                # reads O(touched buckets), not the table. Touched
+                # buckets are a superset of the touched keys' rows (the
+                # semi-join then narrows to exact keys), so retraction
+                # math is unchanged; NULL keys hash to the same bucket
+                # on both sides (same expression as the write path).
+                tb = prepared.select(self._bucket_col().alias("__tb")).distinct().collect()
+                snapshot = snapshot.filter(
+                    F.col("__bucket").isin([r["__tb"] for r in tb])
+                )
             old_rows = snapshot.join(
                 touched, F.col(kcol).eqNullSafe(F.col("__tk")), "left_semi"
             )

@@ -163,6 +163,17 @@ class EntityPipeline:
         schema = sinks.read_table_schema(cur)
         if schema is not None:
             return self.spark.read.schema(schema).parquet(cur)
+        if sinks.is_bucketed_dir(cur):
+            # Pre-r7 bucketed sink: no schema metadata yet, and after
+            # drift the dir holds MIXED footers — footer sampling here
+            # is the original r6 data-loss bug (the next merge would
+            # record the truncated schema as canonical and erase the
+            # column). One-time upgrade: derive the union schema via a
+            # mergeSchema read (footer union of every file) and record
+            # it, so this and every future read is schema-pinned.
+            merged = self.spark.read.option("mergeSchema", "true").parquet(cur)
+            sinks.write_table_schema(cur, merged.schema)
+            return merged
         return self.spark.read.parquet(cur)
 
     def run_entity(self, entity: str) -> dict:
@@ -188,6 +199,31 @@ class EntityPipeline:
         snapshot = self.read_snapshot(entity) if state else None
         prepared = prepare_entity_frame(delta)
 
+        # Touched buckets computed ONCE per run (the rollup fold and the
+        # bucketed write both need them; each used to run its own
+        # distinct+collect over the inference-read delta). The delta key
+        # is hashed AT THE SNAPSHOT'S KEY TYPE: the stored __bucket
+        # values were hashed at that type, and CSV inference can type
+        # the same key differently per batch (an all-numeric delta of a
+        # string-keyed entity infers bigint; hash(5L) != hash('5')) —
+        # hashing the raw inferred key would prune/swap the WRONG
+        # buckets, destroying data. The cast mirrors exactly what
+        # merge_cdc's drift-union does to the delta key before the
+        # merged rows are re-bucketed.
+        touched_buckets: list[int] | None = None
+        if self.bucket_partitions and snapshot is not None:
+            from pyspark.sql import functions as F
+
+            ktype = snapshot.schema[cdc.KEY].dataType
+            touched_buckets = [
+                r["__b"]
+                for r in prepared.select(
+                    self._bucket_col(F.col(cdc.KEY).cast(ktype)).alias("__b")
+                )
+                .distinct()
+                .collect()
+            ]
+
         # Rollup maintenance runs BEFORE the snapshot publish: after a
         # crash between the two, the retry skips the (recorded) rollup
         # batch and re-merges the snapshot idempotently. The other order
@@ -195,13 +231,15 @@ class EntityPipeline:
         # snapshot — a zero update, silently losing the batch.
         batch_files = sorted(f.path for f in pending)
         rollup_needs_recompute = (
-            self._maintain_rollup(entity, snapshot, prepared, batch_files)
+            self._maintain_rollup(
+                entity, snapshot, prepared, batch_files, touched_buckets
+            )
             if self.rollup
             else False
         )
 
         if self.bucket_partitions:
-            self._write_bucketed(entity, prepared, snapshot)
+            self._write_bucketed(entity, prepared, snapshot, touched_buckets)
         else:
             if snapshot is None:
                 result = cdc.resolve_snapshot(prepared, tie_breakers=self.tie_breakers)
@@ -224,12 +262,23 @@ class EntityPipeline:
         self.store.commit(entity, newest.path, newest.mtime)
         return {"entity": entity, "status": "ok", "files": len(pending)}
 
-    def _bucket_col(self):
+    def _bucket_col(self, key=None):
+        """Bucket id of ``key`` (default: the CDC key column). Callers
+        hashing DELTA keys must pass the key cast to the snapshot's key
+        type — see the type note in run_entity."""
         from pyspark.sql import functions as F
 
-        return F.pmod(F.hash(F.col(cdc.KEY)), F.lit(self.bucket_partitions)).cast("int")
+        if key is None:
+            key = F.col(cdc.KEY)
+        return F.pmod(F.hash(key), F.lit(self.bucket_partitions)).cast("int")
 
-    def _write_bucketed(self, entity: str, prepared: DataFrame, snapshot: DataFrame | None) -> None:
+    def _write_bucketed(
+        self,
+        entity: str,
+        prepared: DataFrame,
+        snapshot: DataFrame | None,
+        touched_buckets: list[int] | None = None,
+    ) -> None:
         """Bucketed sink path: full load writes every bucket; the
         incremental merge reads ONLY the delta-touched buckets
         (partition pruning on the snapshot scan) and replaces only those
@@ -248,12 +297,19 @@ class EntityPipeline:
             result = cdc.resolve_snapshot(prepared, tie_breakers=self.tie_breakers)
             buckets = None
         else:
-            touched = (
-                prepared.select(self._bucket_col().alias("__bucket")).distinct().collect()
-            )
-            # NB: r["__bucket"] not r.__bucket — double-underscore
-            # attribute access inside a class body gets name-mangled.
-            buckets = [r["__bucket"] for r in touched]
+            # precomputed in run_entity (snapshot-key-typed hash — see
+            # the type note there); the fallback covers direct callers
+            if touched_buckets is None:
+                ktype = snapshot.schema[cdc.KEY].dataType
+                touched_buckets = [
+                    r["__b"]
+                    for r in prepared.select(
+                        self._bucket_col(F.col(cdc.KEY).cast(ktype)).alias("__b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+            buckets = touched_buckets
             pruned_snapshot = snapshot.filter(F.col("__bucket").isin(buckets)).drop(
                 "__bucket"
             )
@@ -335,9 +391,19 @@ class EntityPipeline:
         from pyspark.sql import functions as F
 
         out = self._sink_path(entity)
+        if not sinks.is_bucketed_dir(out):
+            raise ValueError(
+                f"{out} is not a bucketed sink directory; pointer sinks "
+                "compact with sinks.compact (the CLI guards this — direct "
+                "API callers get the same loud mismatch instead of a "
+                "silent 0-buckets no-op)"
+            )
         tmp = out + "__staging"
         self._recover_staging(out, tmp)
         shutil.rmtree(tmp, ignore_errors=True)
+        # NB: legacy (pre-schema-metadata) sinks are safe here —
+        # read_snapshot bootstraps the canonical schema via a one-time
+        # mergeSchema read before any footer-sampled rewrite can happen.
         fragmented = []
         for d in sorted(os.listdir(out)):
             if not d.startswith("__bucket="):
@@ -385,6 +451,7 @@ class EntityPipeline:
         snapshot: DataFrame | None,
         prepared: DataFrame,
         batch_files: list[str],
+        touched_buckets: list[int] | None = None,
     ) -> bool:
         """Fold this batch into the rollup with retraction math over the
         delta-touched keys only. Returns True when a full recompute from
@@ -444,20 +511,27 @@ class EntityPipeline:
                 return True
             old_state = self.spark.read.parquet(sinks.current_version_path(out))
             kcol = cdc.KEY
-            touched = prepared.select(F.col(kcol).alias("__tk")).distinct()
-            if self.bucket_partitions and "__bucket" in snapshot.columns:
+            # delta key CAST to the snapshot's key type before the
+            # semi-join (same rule as the touched-bucket hash): CSV
+            # inference can type the key differently per batch, and a
+            # string-vs-bigint eqNullSafe would implicitly cast the
+            # SNAPSHOT side (ANSI error on 'k3'; silent null-mismatch
+            # pre-ANSI). merge_cdc's drift-union applies this exact
+            # cast to the delta rows themselves.
+            ktype = snapshot.schema[kcol].dataType
+            touched = prepared.select(
+                F.col(kcol).cast(ktype).alias("__tk")
+            ).distinct()
+            if touched_buckets is not None and "__bucket" in snapshot.columns:
                 # Bucketed snapshot (r7): restrict to the delta-touched
                 # buckets BEFORE the key semi-join — the `isin` on the
                 # partition column prunes at the file index, so the fold
                 # reads O(touched buckets), not the table. Touched
                 # buckets are a superset of the touched keys' rows (the
                 # semi-join then narrows to exact keys), so retraction
-                # math is unchanged; NULL keys hash to the same bucket
-                # on both sides (same expression as the write path).
-                tb = prepared.select(self._bucket_col().alias("__tb")).distinct().collect()
-                snapshot = snapshot.filter(
-                    F.col("__bucket").isin([r["__tb"] for r in tb])
-                )
+                # math is unchanged. The list arrives precomputed from
+                # run_entity, hashed at the snapshot's key type.
+                snapshot = snapshot.filter(F.col("__bucket").isin(touched_buckets))
             old_rows = snapshot.join(
                 touched, F.col(kcol).eqNullSafe(F.col("__tk")), "left_semi"
             )

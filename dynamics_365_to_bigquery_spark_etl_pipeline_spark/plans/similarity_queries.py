@@ -75,21 +75,41 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-pair-row probe variant (now an extra) LOSES to a full exact
     scan at that scale and is kept only as the all-JVM twin.
 
-    The layout goes to a throwaway temp dir here because the driver
-    contract is (spark, sf_dir) -> DataFrame; production callers build
+    The layout goes to a per-process temp dir CACHED BY sf_dir (the
+    driver contract is (spark, sf_dir) -> DataFrame, so the build can't
+    live anywhere durable): repeat calls against the same data — the
+    correctness harness runs each query twice, sweeps run more — reuse
+    the built index instead of persisting a fresh full-corpus copy per
+    call, and an atexit hook removes the dirs so harness runs don't
+    accumulate corpus-sized garbage in /tmp. Production callers build
     once via ``build_ivf_layout`` and amortize (break-even ~2 query
     batches, measured)."""
+    import atexit
+    import shutil
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") < N_CENTROIDS)
     trained = S.refine_centroids(emb, seeds)
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    layout = tempfile.mkdtemp(prefix="spark_graft_ivf_layout_")
-    S.build_ivf_layout(emb, trained, layout, scorer="matmul")
+    layout = _LAYOUT_CACHE.get(sf_dir)
+    if layout is None:
+        layout = tempfile.mkdtemp(prefix="spark_graft_ivf_layout_")
+        if not _LAYOUT_CACHE:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(p, ignore_errors=True)
+                    for p in _LAYOUT_CACHE.values()
+                ]
+            )
+        S.build_ivf_layout(emb, trained, layout, scorer="matmul")
+        _LAYOUT_CACHE[sf_dir] = layout
     return S.matmul_topk_from_layout(
         spark, layout, trained, queries, k=TOP_K, nprobe=N_PROBE
     )
+
+
+_LAYOUT_CACHE: dict[str, str] = {}
 
 
 QUERIES = {

@@ -81,13 +81,17 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
     ENVIRONMENT GATE: Spark's transformWithState state protocol runs
     over protobuf (``pyspark.sql.streaming.proto.StateMessage_pb2``),
-    so the operator needs ``google.protobuf`` on the Python workers —
-    a Spark runtime dependency this container does not ship. The guard
-    below fails fast with a clear message instead of the opaque
-    "driver worker exited unexpectedly" a missing protobuf otherwise
-    produces mid-stream; the v1 twin above covers the semantics
-    everywhere (their outputs are asserted equal where protobuf is
-    available — the test skips itself otherwise).
+    so the operator needs ``google.protobuf`` in BOTH the driver's and
+    the executors' Python environments. The guard below probes only
+    the DRIVER env (cheap and synchronous — it catches the
+    whole-machine-missing case, like this container, with a clear
+    message instead of the opaque "driver worker exited unexpectedly"
+    mid-stream crash); a cluster whose executor images lack protobuf
+    while the driver has it will still fail at stream start — keep
+    driver and executor images in lockstep, as with any Python dep.
+    The v1 twin above covers the semantics everywhere (their outputs
+    are asserted equal where protobuf is available — the test skips
+    itself otherwise).
 
     The processor CLASS is defined inside this function on purpose: a
     module-level class ships by reference and breaks Python workers

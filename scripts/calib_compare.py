@@ -46,6 +46,7 @@ def compare(ref: dict, new: dict) -> dict:
     h_jvm = cal_new["jvm_range_sum_20m"] / cal_ref["jvm_range_sum_20m"]
     h_py = cal_new["python_loop_2m"] / cal_ref["python_loop_2m"]
     rows = []
+    total_norm_new = 0.0
     for name, t_ref in ref["queries"].items():
         t_new = new["queries"].get(name)
         if t_new is None:
@@ -53,6 +54,7 @@ def compare(ref: dict, new: dict) -> dict:
         h = h_py if name in PYTHON_BOUND else h_jvm
         raw = t_new / t_ref
         norm = (t_new / h) / t_ref
+        total_norm_new += t_new / h
         rows.append(
             {
                 "query": name,
@@ -72,7 +74,9 @@ def compare(ref: dict, new: dict) -> dict:
         "total_ref": round(total_ref, 3),
         "total_new": round(total_new, 3),
         "total_raw_ratio": round(total_new / total_ref, 2),
-        "total_norm_ratio": round(total_new / h_jvm / total_ref, 2),
+        # each query normalized by ITS OWN yardstick, then summed — a
+        # single-factor total would misnormalize the python-bound rows
+        "total_norm_ratio": round(total_norm_new / total_ref, 2),
         "flagged": [r["query"] for r in rows if r["flag"]],
     }
 

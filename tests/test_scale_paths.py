@@ -478,3 +478,43 @@ def test_semantic_dedup_kernel_equals_jvm_composition(spark):
     }
     found = {(a, b) for _, a, b in got}
     assert clones <= found
+
+
+def test_grid_deduped_routing_equals_raw(spark):
+    """r7 routing (exact vector dedup -> grid over representatives ->
+    fan-out) must produce the IDENTICAL pair set as the raw grid
+    operator on a clone-heavy corpus — including intra-clone-group
+    pairs, clone-of-near-dup cross pairs, and singletons."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        grid_near_dup_pairs,
+        grid_near_dup_pairs_deduped,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        copies = 3 if i % 3 == 0 else 1  # clone-heavy: every 3rd vector x3
+        for _ in range(copies):
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        if i % 5 == 0:  # a near-dup (not bit-identical) of every 5th
+            w = v.copy()
+            w[0] += 1e-4
+            rows.append((vid, [float(x) for x in w]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.999, k_dims=2, n_rows=len(rows), dim=16)
+    raw = {
+        (r.id_a, r.id_b) for r in grid_near_dup_pairs(df, **kw).collect()
+    }
+    routed = [
+        (r.id_a, r.id_b)
+        for r in grid_near_dup_pairs_deduped(df, **kw).collect()
+    ]
+    assert len(routed) == len(set(routed))  # no duplicate pairs
+    assert set(routed) == raw and len(raw) > 30

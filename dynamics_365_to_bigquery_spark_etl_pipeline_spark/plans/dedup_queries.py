@@ -80,18 +80,45 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
+    """Banded MinHash near-dup pairs, routed through EXACT text dedup
+    first (r7 — the document-family instance of the routing that cured
+    the fuzzy-join and embedding families on replicated corpora):
+
+    1. collapse identical texts, representative = min doc_id. The
+       signature/banding depend only on the text, so clones have
+       identical postings: a member pair band-collides iff its rep pair
+       does, and the routed pair set is IDENTICAL by construction
+       (pair-set equivalence tested; jacc values survive too — clones
+       share shingle arrays, and the intra-group jacc |sh|/|sh| is
+       exactly 1.0 in both engines).
+    2. shingle -> sign -> band -> self-join -> verify over reps only.
+       STAGING (measured sf0.1): `sh` feeds banding once and the
+       Jaccard verify twice, `banded` is self-joined, and ReuseExchange
+       does NOT fire across that self-join, so both are
+       localCheckpoint-ed — md5 10.4 -> 5.3 s, xxhash64 4.2 -> 2.4 s.
+       At 100 TB the staging becomes scratch parquet (checkpoint blocks
+       are executor-local, not fault-tolerant) — the layout the
+       incremental dedup INDEX already persists.
+    3. fan out rep pairs to member pairs (two equi-joins) and emit
+       intra-clone-group pairs at jacc 1.0 — both output-linear.
+       Documents with EMPTY shingle sets never enter the raw pipeline,
+       so their clone groups are excluded here too (the semi-join on
+       `sh`'s doc ids).
+
+    Measured sf1 (10x-cloned corpus, 391,751 result pairs): md5 path
+    66 -> 18 s, fast 29 -> 16 s — and the downstream consumers inherit
+    it: q_dedup_groups 56 -> 24 s, q_dedup_canonical 60 -> 24 s. The
+    DuckDB oracle (full-corpus signatures + banding, no routing)
+    hash-matches at sf0.01 AND sf0.1 — the strongest equivalence
+    evidence available. The residual ~16 s is the fan-out of the
+    391k-pair output plus the irreducible rep-level pipeline
+    (SCALING.md round 7)."""
     corpus = _corpus(spark, sf_dir)
-    # STAGE the two multiply-consumed intermediates (r7, measured at
-    # sf0.1): `sh` feeds banding once and the Jaccard verify twice, and
-    # `banded` is self-joined — without materialization Spark recomputes
-    # the shingle/signature subtrees per consumer (ReuseExchange does
-    # NOT fire across this self-join: the two sides shuffle on different
-    # key sets). localCheckpoint cuts md5 10.4 -> 5.3 s and xxhash64
-    # 4.2 -> 2.4 s, identical pairs. At 100 TB the same staging writes
-    # the shingle set / banded postings to scratch parquet instead
-    # (localCheckpoint blocks are executor-local, not fault-tolerant) —
-    # which is exactly what the incremental dedup INDEX already persists.
-    sh = corpus.select(
+    groups = corpus.groupBy("text").agg(F.min("doc_id").alias("_rid"))
+    mem = corpus.join(groups, "text").select("doc_id", "_rid")
+    reps = groups.select(F.col("_rid").alias("doc_id"), "text")
+
+    sh = reps.select(
         "doc_id", D.shingles(F.col("text")).alias("sh")
     ).filter(F.size("sh") > 0).localCheckpoint()
     sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
@@ -99,7 +126,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
     banded = sig.select(
         "doc_id", F.posexplode(D.band_keys(F.col("sig"))).alias("band_id", "band_hash")
     ).localCheckpoint()
-    pairs = (
+    cands = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -110,12 +137,39 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    return (
-        pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+    rep_pairs = (
+        cands.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .select("id_a", "id_b", D.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc"))
         .filter(F.col("jacc") >= JACCARD_MIN)
     )
+
+    # fan-out: only members whose group participates (non-empty shingles)
+    live = mem.join(
+        sh.select(F.col("doc_id").alias("_rid")), "_rid", "left_semi"
+    )
+    ma = live.select(F.col("_rid").alias("id_a"), F.col("doc_id").alias("_ma"))
+    mb = live.select(F.col("_rid").alias("id_b"), F.col("doc_id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "jacc",
+        )
+    )
+    x, y = live.alias("x"), live.alias("y")
+    intra = (
+        x.join(y, "_rid")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(1.0).alias("jacc"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -402,10 +402,16 @@ def grid_near_dup_pairs_deduped(
         F.col(vec_col).alias("_gv"),
         F.xxhash64(F.col(vec_col)).alias("_gh"),
     )
+    # STAGED (review finding): reps feeds the grid (which scans its
+    # corpus arg three times) and the member tagging; slim feeds four
+    # fan-out consumers. Without materialization each consumer re-runs
+    # the dedup groupBy/join subtree (ReuseExchange can't merge them —
+    # different downstream keys).
     reps = (
         mem.groupBy("_gh", "_gv")
         .agg(F.min("_gid").alias("_rid"))
         .select("_rid", "_gh", F.col("_gv").alias("_rv"))
+        .localCheckpoint()
     )
     # member -> its group's representative: equi-join on the hash,
     # verified by true array equality (collision-proof)
@@ -420,7 +426,7 @@ def grid_near_dup_pairs_deduped(
         n_rows=n_rows,
         dim=dim,
     )
-    slim = tagged.select("_rid", "_gid")  # vectors dropped before fan-out
+    slim = tagged.select("_rid", "_gid").localCheckpoint()  # two longs/row
     ma = slim.select(F.col("_rid").alias("id_a"), F.col("_gid").alias("_ma"))
     mb = slim.select(F.col("_rid").alias("id_b"), F.col("_gid").alias("_mb"))
     cross = (
@@ -431,10 +437,21 @@ def grid_near_dup_pairs_deduped(
             F.greatest("_ma", "_mb").alias("id_b"),
         )
     )
+    # Intra-clone pairs go through the SAME verification the raw
+    # operator applies to an identical-vector pair: cosine(v,v) is the
+    # exact expression raw evaluates for two equal arrays, so a
+    # zero-norm vector (0/0 -> NaN, raw drops the pair) or a
+    # threshold=1.0 corpus where fl(cosine(v,v)) rounds below 1.0
+    # behaves IDENTICALLY routed and raw — emitting unconditionally
+    # would silently widen the contract on degenerate inputs.
+    self_pass = reps.filter(
+        cosine(F.col("_rv"), F.col("_rv")) >= F.lit(threshold)
+    ).select("_rid")
     x, y = slim.alias("x"), slim.alias("y")
     intra = (
         x.join(y, "_rid")
         .where(F.col("x._gid") < F.col("y._gid"))
+        .join(self_pass, "_rid", "left_semi")
         .select(F.col("x._gid").alias("id_a"), F.col("y._gid").alias("id_b"))
     )
     return cross.unionByName(intra)

@@ -114,8 +114,27 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
     391k-pair output plus the irreducible rep-level pipeline
     (SCALING.md round 7)."""
     corpus = _corpus(spark, sf_dir)
-    groups = corpus.groupBy("text").agg(F.min("doc_id").alias("_rid"))
-    mem = corpus.join(groups, "text").select("doc_id", "_rid")
+    # Exact-dedup keys are TWO independent 64-bit text hashes, not the
+    # raw text: the member join then moves 16 bytes per row instead of
+    # whole document bodies (at 100 TB the text shuffle would dominate
+    # the "O(n) exact dedup" step). A 128-bit collision would be needed
+    # to merge two distinct texts (~2^-64 per pair — far below any
+    # physical error rate); the groupBy still moves each text once,
+    # which is inherent (reps carry the text into shingling).
+    hashed = corpus.select(
+        "doc_id",
+        "text",
+        F.xxhash64("text").alias("_h1"),
+        F.xxhash64(F.lit(1), F.col("text")).alias("_h2"),
+    )
+    groups = hashed.groupBy("_h1", "_h2").agg(
+        F.min("doc_id").alias("_rid"), F.first("text").alias("text")
+    )
+    mem = (
+        hashed.drop("text")
+        .join(groups.select("_h1", "_h2", "_rid"), ["_h1", "_h2"])
+        .select("doc_id", "_rid")
+    )
     reps = groups.select(F.col("_rid").alias("doc_id"), "text")
 
     sh = reps.select(
@@ -144,10 +163,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
         .filter(F.col("jacc") >= JACCARD_MIN)
     )
 
-    # fan-out: only members whose group participates (non-empty shingles)
+    # fan-out: only members whose group participates (non-empty
+    # shingles). STAGED — four consumers (ma, mb, intra x/y) would each
+    # re-run the corpus scan + dedup groupBy/join otherwise; the
+    # checkpoint is two longs per row.
     live = mem.join(
         sh.select(F.col("doc_id").alias("_rid")), "_rid", "left_semi"
-    )
+    ).localCheckpoint()
     ma = live.select(F.col("_rid").alias("id_a"), F.col("doc_id").alias("_ma"))
     mb = live.select(F.col("_rid").alias("id_b"), F.col("doc_id").alias("_mb"))
     cross = (
@@ -282,7 +304,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read, no Spark job) so k_dims sizing costs zero extra table
     # passes: base rows + the injected 1/EXACT_MOD + 1/NEAR_MOD copies.
     base = table_num_rows(sf_dir, "embeddings")
-    n_rows = base + base // EXACT_MOD + base // NEAR_MOD
+    # sizing hint = DISTINCT vectors (the grid runs over representatives
+    # after the exact-dedup routing): the verbatim EXACT_MOD copies
+    # collapse, the nudged NEAR_MOD copies stay distinct. Oversizing k
+    # from the pre-dedup count would pay a larger 3^k probe explode for
+    # nothing on exactly the replicated corpora the routing targets.
+    n_rows = base + base // NEAR_MOD
     return grid_near_dup_pairs_deduped(
         corpus, threshold=COSINE_DUP_MIN, n_rows=n_rows, dim=EMBED_DIM
     )

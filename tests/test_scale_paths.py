@@ -518,3 +518,122 @@ def test_grid_deduped_routing_equals_raw(spark):
     ]
     assert len(routed) == len(set(routed))  # no duplicate pairs
     assert set(routed) == raw and len(raw) > 30
+
+
+def test_grid_deduped_routing_degenerate_vectors_match_raw(spark):
+    """Review finding: intra-clone pairs must follow the SAME
+    verification as the raw operator. Under ANSI, a zero-norm vector
+    makes BOTH paths raise loudly at the normalization divide (never a
+    silent wrong answer, never a divergence); at threshold=1.0 ordinary
+    clone pairs follow raw's fl(cosine(v,v)) decision in both paths."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        grid_near_dup_pairs,
+        grid_near_dup_pairs_deduped,
+    )
+
+    zero = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [0.0] * 8), (2, [1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    kw0 = dict(threshold=0.999, k_dims=2, n_rows=3, dim=8)
+    # AQE may wrap the ANSI error (multiFailuresInStageMaterialization),
+    # so match the SQLSTATE text rather than a specific exception class
+    for fn in (grid_near_dup_pairs, grid_near_dup_pairs_deduped):
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            fn(zero, **kw0).collect()
+
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]),
+        (1, [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]),  # ordinary clones
+        (2, [5.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (3, [0.1, 0.2, 0.7, 0.4, 0.5, 0.6, 0.7, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for thr in (0.999, 1.0):
+        kw = dict(threshold=thr, k_dims=2, n_rows=len(rows), dim=8)
+        raw = {(r.id_a, r.id_b) for r in grid_near_dup_pairs(df, **kw).collect()}
+        routed = {
+            (r.id_a, r.id_b)
+            for r in grid_near_dup_pairs_deduped(df, **kw).collect()
+        }
+        assert routed == raw, (thr, routed, raw)
+
+
+def test_minhash_routed_equals_unrouted_pipeline(spark):
+    """Review finding: the routed _minhash_pairs needs an UNROUTED
+    comparison on a clone-heavy corpus (groups of >= 3, 2x2 cross
+    fan-out) — the md5-vs-fast twin test compares two routed paths and
+    cancels fan-out bugs. Builds the raw full-corpus pipeline from the
+    same primitives and compares (id_a, id_b, jacc) sets exactly."""
+    from pyspark.sql import Row, functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import dedup as D
+
+    base = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",  # near-dup of 0
+        "completely different text about spark and parquet files",
+        "completely different text about spark and parquet stores",  # near-dup of 2
+        "an unrelated singleton document with its own words here",
+    ]
+    rows, did = [], 0
+    for i, t in enumerate(base):
+        copies = 3 if i in (0, 2) else (2 if i == 1 else 1)
+        for _ in range(copies):
+            rows.append(Row(doc_id=did, text=t))
+            did += 1
+    corpus = spark.createDataFrame(rows)
+
+    def raw_pairs(c):
+        sh = c.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
+            F.size("sh") > 0
+        )
+        sig = sh.select("doc_id", D.minhash_signature(F.col("sh")).alias("sig"))
+        banded = sig.select(
+            "doc_id",
+            F.posexplode(D.band_keys(F.col("sig"))).alias("band_id", "band_hash"),
+        )
+        cands = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        return (
+            cands.join(
+                sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+            .select(
+                "id_a", "id_b", D.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc")
+            )
+            .filter(F.col("jacc") >= 0.5)
+        )
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import dedup_queries as DQ
+
+    want = {(r.id_a, r.id_b, round(r.jacc, 9)) for r in raw_pairs(corpus).collect()}
+
+    # routed pipeline over the same corpus: monkey-route through the
+    # plan module's private helper by substituting its corpus loader
+    import unittest.mock as mock
+
+    with mock.patch.object(DQ, "_corpus", lambda spark_, sf_: corpus):
+        got_list = [
+            (r.id_a, r.id_b, round(r.jacc, 9))
+            for r in DQ._minhash_pairs(spark, "ignored", fast=False).collect()
+        ]
+    assert len(got_list) == len(set(got_list))  # no duplicate pairs
+    assert set(got_list) == want and len(want) > 10

@@ -655,10 +655,30 @@ def semantic_dedup_pairs(
     CHUNKED (``chunk`` rows at a time against the cluster) so the sims
     buffer is bounded regardless of cluster size. Returns
     (cluster_id, id_a, id_b, sim) with id_a < id_b."""
+    assigned = assign_ivf_buckets_matmul(corpus, centroids, id_col, vec_col)
+    return _pairs_within_clusters(assigned, threshold, id_col, vec_col, chunk)
+
+
+def _pairs_within_clusters(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 4096,
+    include_self: bool = False,
+) -> DataFrame:
+    """Within-cluster pairwise kernel shared by ``semantic_dedup_pairs``
+    and its routed variant: ``assigned`` must carry (id_col, vec_col,
+    bucket_id); emits (cluster_id, id_a, id_b, sim) with id_a < id_b.
+
+    ``include_self=True`` additionally emits the DIAGONAL rows
+    (id_a == id_b, sim = the kernel's own fl(cos(v, v)), threshold
+    applied as usual) — the routed variant consumes these so intra-clone
+    pairs inherit the exact sim value and the exact degenerate-input
+    behavior (zero-norm -> NaN -> dropped) the raw kernel would have
+    produced for a pair of identical vectors."""
     import numpy as np
     import pandas as pd
-
-    assigned = assign_ivf_buckets_matmul(corpus, centroids, id_col, vec_col)
 
     def pairs_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -672,6 +692,8 @@ def semantic_dedup_pairs(
             ii, jj = np.nonzero(sims >= threshold)
             gi = ii + lo
             keep = ids[gi] < ids[jj]  # dedupe + drop self
+            if include_self:
+                keep = keep | (gi == jj)
             out_a.append(ids[gi[keep]])
             out_b.append(ids[jj[keep]])
             out_s.append(sims[ii[keep], jj[keep]])
@@ -692,6 +714,105 @@ def semantic_dedup_pairs(
     return assigned.groupBy("bucket_id").applyInPandas(
         pairs_in_cluster, "cluster_id long, id_a long, id_b long, sim double"
     )
+
+
+def semantic_dedup_pairs_deduped(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 4096,
+) -> DataFrame:
+    """``semantic_dedup_pairs`` routed through EXACT vector dedup first
+    — the SemDeDup member of the r7 routing family
+    (``grid_near_dup_pairs_deduped`` / ``fuzzy_join_deduped`` /
+    ``_minhash_pairs``), closing the last near-dup operator that paid
+    sum(|cluster|^2) on replicated corpora. Pair-set IDENTICAL to the
+    raw kernel (tested on a clone-heavy corpus):
+
+    1. collapse bit-identical vectors (64-bit vector hash, true
+       array-equality verify inside the group so a hash collision can
+       never merge distinct vectors), representative = min id;
+    2. assign REPRESENTATIVES to centroids (identical vectors get
+       identical argmax assignments, so every clone group lands
+       wholesale in its rep's cluster — the pair partition is preserved
+       by construction) and run the within-cluster pairwise kernel over
+       reps only, with ``include_self=True`` so each rep also reports
+       its own fl(cos(v, v)) under the SAME threshold filter the raw
+       kernel applies to a pair of identical vectors;
+    3. fan out, output-linearly: rep pairs expand to member cross pairs
+       via two equi-joins on the member map (two longs/row — vectors
+       never shuffle again), and clone groups expand to intra pairs
+       gated + valued by their rep's diagonal row from step 2.
+
+    Cost: the quadratic stage pays |distinct vectors| per cluster
+    instead of |members|; everything after is linear in the OUTPUT.
+    Clone-free corpora pass through with one extra hash-aggregate.
+    Raw-vs-routed sf1 measurements: SCALING.md (round 8)."""
+    mem = corpus.select(
+        F.col(id_col).alias("_gid"),
+        F.col(vec_col).alias("_gv"),
+        F.xxhash64(F.col(vec_col)).alias("_gh"),
+    )
+    # STAGED like grid_near_dup_pairs_deduped: reps feeds assignment
+    # (which collects nothing but is consumed by the kernel) and member
+    # tagging; slim feeds the three fan-out consumers; rep_all is an
+    # applyInPandas output consumed twice (cross + intra legs). Without
+    # materialization each consumer re-runs the dedup + assignment +
+    # kernel subtree. eager=False: build the plan lazily, materialize on
+    # first action (ADVICE r7 — plan construction must not run jobs).
+    reps = (
+        mem.groupBy("_gh", "_gv")
+        .agg(F.min("_gid").alias("_rid"))
+        .select("_rid", "_gh", F.col("_gv").alias("_rv"))
+        .localCheckpoint(eager=False)
+    )
+    tagged = mem.join(reps, "_gh").where(F.col("_gv") == F.col("_rv"))
+    slim = tagged.select("_rid", "_gid").localCheckpoint(eager=False)
+
+    assigned = assign_ivf_buckets_matmul(
+        reps.select(F.col("_rid").alias(id_col), F.col("_rv").alias(vec_col)),
+        centroids,
+        id_col,
+        vec_col,
+    )
+    rep_all = _pairs_within_clusters(
+        assigned, threshold, id_col, vec_col, chunk, include_self=True
+    ).localCheckpoint(eager=False)
+
+    rep_pairs = rep_all.where(F.col("id_a") < F.col("id_b"))
+    ma = slim.select(F.col("_rid").alias("id_a"), F.col("_gid").alias("_ma"))
+    mb = slim.select(F.col("_rid").alias("id_b"), F.col("_gid").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "cluster_id",
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "sim",
+        )
+    )
+    # intra-clone pairs: gated + valued by the rep's own diagonal row —
+    # the exact float the raw kernel computes for two identical members
+    # (and the exact NaN-drop on zero-norm vectors)
+    self_rows = rep_all.where(F.col("id_a") == F.col("id_b")).select(
+        F.col("id_a").alias("_rid"), "cluster_id", "sim"
+    )
+    x, y = slim.alias("x"), slim.alias("y")
+    intra = (
+        x.join(y, "_rid")
+        .where(F.col("x._gid") < F.col("y._gid"))
+        .join(self_rows, "_rid")
+        .select(
+            "cluster_id",
+            F.col("x._gid").alias("id_a"),
+            F.col("y._gid").alias("id_b"),
+            "sim",
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def build_ivf_layout(

@@ -335,18 +335,13 @@ def _embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(exact).unionByName(nudged)
 
 
-def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped near-dup pairs (arXiv:2303.09540: cluster the
-    embeddings, compare pairs WITHIN a cluster only): nearest-centroid
-    assignment + within-cluster cosine >= 0.999 self-join. Work is
-    sum(|cluster|^2), not n^2, at the documented cost of missing
-    cross-cluster pairs (the grid query is the full-recall twin;
-    injected exact clones can never split — identical vectors assign
-    identically). This registered form keeps every step in the
-    JVM-fold cosine the SQL oracle mirrors term-for-term; the
-    production kernel (`similarity.semantic_dedup_pairs`, argmax
-    assignment + chunked per-cluster BLAS) is pair-set-equivalence
-    tested against it in pytest."""
+def _semantic_jvm_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-r8 q_dedup_semantic plan, kept as the reference twin:
+    nearest-centroid assignment + within-cluster cosine self-join over
+    EVERY member. sum(|cluster|^2) pair rows — on the 10x-cloned sf1
+    corpus that was 189.6 s (the r7 sweep's worst row); the routed form
+    below replaces it with an identical pair set (equivalence-tested,
+    and A/B'd by scripts/ab_semantic_routing.py)."""
     from ..operators.similarity import assign_ivf_buckets, cosine
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -369,6 +364,119 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine(F.col("va"), F.col("vb")) >= COSINE_DUP_MIN)
         .select("cluster_id", "id_a", "id_b")
     )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped near-dup pairs (arXiv:2303.09540: cluster the
+    embeddings, compare pairs WITHIN a cluster only): nearest-centroid
+    assignment + within-cluster cosine >= 0.999 self-join. Work is
+    sum(|cluster|^2), not n^2, at the documented cost of missing
+    cross-cluster pairs (the grid query is the full-recall twin;
+    injected exact clones can never split — identical vectors assign
+    identically).
+
+    r8: ROUTED through exact vector dedup first, the last near-dup
+    family to join the r7 routing law — on replicated corpora the
+    within-cluster self-join pays the clone factor SQUARED in pair
+    rows (the r7 sf1 sweep measured the unrouted plan at 189.6 s).
+    Identical vectors assign identically, so a clone group lands
+    wholesale in its representative's cluster and the pair partition
+    is preserved by construction:
+
+    1. collapse bit-identical vectors (64-bit hash + true
+       array-equality verify; representative = min id);
+    2. assignment + within-cluster cosine self-join over
+       REPRESENTATIVES only — every step the JVM-fold cosine the SQL
+       oracle mirrors term-for-term;
+    3. output-linear fan-out: rep pairs -> member cross pairs via two
+       equi-joins on the (rep, member) map; clone groups -> intra
+       pairs gated by the SAME cosine(v,v) >= threshold predicate the
+       raw self-join applies to a pair of identical members.
+
+    The DuckDB oracle is the UNROUTED full composition, so it
+    independently verifies the routing loses nothing; the pre-r8 plan
+    stays as `_semantic_jvm_pairs_raw` (equivalence-tested in
+    tests/test_scale_paths.py; A/B in scripts/ab_semantic_routing.py);
+    the production BLAS kernel (`similarity.semantic_dedup_pairs`) and
+    its routed twin are pair-set-tested against both."""
+    from ..operators.similarity import assign_ivf_buckets, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = _embedding_corpus(spark, sf_dir)
+    seeds = emb.filter(F.col("vec_id") < SEM_CENTROIDS)
+
+    mem = corpus.select(
+        F.col("vec_id").alias("_gid"),
+        F.col("embedding").alias("_gv"),
+        F.xxhash64("embedding").alias("_gh"),
+    )
+    # staged (same shape as grid_near_dup_pairs_deduped): reps feeds the
+    # member tagging and the assignment; slim feeds three fan-out
+    # consumers; assigned feeds the self-join's two sides + the intra
+    # gate. eager=False — plan construction must not run jobs.
+    reps = (
+        mem.groupBy("_gh", "_gv")
+        .agg(F.min("_gid").alias("_rid"))
+        .select("_rid", "_gh", F.col("_gv").alias("_rv"))
+        .localCheckpoint(eager=False)
+    )
+    slim = (
+        mem.join(reps, "_gh")
+        .where(F.col("_gv") == F.col("_rv"))
+        .select("_rid", "_gid")
+        .localCheckpoint(eager=False)
+    )
+    assigned = assign_ivf_buckets(
+        reps.select(F.col("_rid").alias("vec_id"), F.col("_rv").alias("embedding")),
+        seeds,
+    ).localCheckpoint(eager=False)
+
+    a = assigned.select(
+        F.col("bucket_id").alias("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = assigned.select(
+        F.col("bucket_id").alias("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    rep_pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= COSINE_DUP_MIN)
+        .select("cluster_id", "id_a", "id_b")
+    )
+    ma = slim.select(F.col("_rid").alias("id_a"), F.col("_gid").alias("_ma"))
+    mb = slim.select(F.col("_rid").alias("id_b"), F.col("_gid").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            "cluster_id",
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+        )
+    )
+    # intra-clone pairs: the raw self-join evaluates cosine(va, vb) on
+    # two identical arrays — the same expression as cosine(v, v) on the
+    # rep, so degenerate inputs (zero-norm, threshold=1.0 rounding)
+    # behave identically routed and raw
+    self_pass = assigned.filter(
+        cosine(F.col("embedding"), F.col("embedding")) >= COSINE_DUP_MIN
+    ).select(F.col("vec_id").alias("_rid"), F.col("bucket_id").alias("cluster_id"))
+    x, y = slim.alias("x"), slim.alias("y")
+    intra = (
+        x.join(y, "_rid")
+        .where(F.col("x._gid") < F.col("y._gid"))
+        .join(self_pass, "_rid")
+        .select(
+            "cluster_id",
+            F.col("x._gid").alias("id_a"),
+            F.col("y._gid").alias("id_b"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

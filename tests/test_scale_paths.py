@@ -480,6 +480,94 @@ def test_semantic_dedup_kernel_equals_jvm_composition(spark):
     assert clones <= found
 
 
+def test_semantic_deduped_routing_equals_raw_synthetic(spark):
+    """r8 routing (exact vector dedup -> assign + within-cluster kernel
+    over representatives -> fan-out) must produce the IDENTICAL
+    (cluster_id, id_a, id_b) pair set as the raw SemDeDup kernel on a
+    clone-heavy corpus — intra-clone pairs, clone-of-near-dup cross
+    pairs, singleton clusters — and every pair's sim must carry the
+    kernel's own float value."""
+    import math
+
+    import numpy as np
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_deduped,
+    )
+
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        copies = 4 if i % 3 == 0 else 1  # clone-heavy: every 3rd vector x4
+        for _ in range(copies):
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        if i % 5 == 0:  # a near-dup (not bit-identical) of every 5th
+            w = v.copy()
+            w[0] += 1e-4
+            rows.append((vid, [float(x) for x in w]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") % 11 == 0)  # includes cloned seeds
+
+    raw = {
+        (r.cluster_id, r.id_a, r.id_b): r.sim
+        for r in semantic_dedup_pairs(df, cents, threshold=0.999, chunk=7).collect()
+    }
+    routed_rows = semantic_dedup_pairs_deduped(
+        df, cents, threshold=0.999, chunk=7
+    ).collect()
+    routed = {(r.cluster_id, r.id_a, r.id_b): r.sim for r in routed_rows}
+    assert len(routed_rows) == len(routed)  # no duplicate pairs
+    assert set(routed) == set(raw) and len(raw) > 40
+    for key, sim in routed.items():
+        assert math.isclose(sim, raw[key], rel_tol=0, abs_tol=1e-12), key
+
+
+def test_semantic_deduped_routing_equals_raw_fixture(spark):
+    """Four-way identity on the fixture-derived clone-heavy corpus the
+    oracled query runs on (injected verbatim + nudged copies): raw JVM
+    self-join (pre-r8, oracle-mirrored) == routed JVM (what
+    q_dedup_semantic now runs) == raw BLAS kernel == routed BLAS
+    kernel."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_deduped,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.dedup_queries import (
+        COSINE_DUP_MIN,
+        SEM_CENTROIDS,
+        _embedding_corpus,
+        _semantic_jvm_pairs_raw,
+        q_dedup_semantic,
+    )
+
+    corpus = _embedding_corpus(spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") < SEM_CENTROIDS)
+    legs = {
+        "jvm_raw": _semantic_jvm_pairs_raw(spark, SF_DIR),
+        "jvm_routed": q_dedup_semantic(spark, SF_DIR),
+        "kernel_raw": semantic_dedup_pairs(
+            corpus, seeds, threshold=COSINE_DUP_MIN
+        ),
+        "kernel_routed": semantic_dedup_pairs_deduped(
+            corpus, seeds, threshold=COSINE_DUP_MIN
+        ),
+    }
+    sets = {
+        name: {(r.cluster_id, r.id_a, r.id_b) for r in df.collect()}
+        for name, df in legs.items()
+    }
+    want = sets["jvm_raw"]
+    assert len(want) > 0
+    for name, got in sets.items():
+        assert got == want, name
+
+
 def test_grid_deduped_routing_equals_raw(spark):
     """r7 routing (exact vector dedup -> grid over representatives ->
     fan-out) must produce the IDENTICAL pair set as the raw grid

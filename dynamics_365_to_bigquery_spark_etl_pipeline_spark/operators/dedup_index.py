@@ -5,31 +5,50 @@ corpus cannot re-run all-corpus dedup per ingest batch — each batch must
 probe what is already indexed).
 
 State on disk (under ``path/``):
-- ``buckets/batch=<id>/``  — (band_id, band_hash, doc_id) LSH postings
+- ``buckets/batch=<id>/``  — (band_hash, doc_id) LSH postings, written
+  as a BUCKETED parquet table on ``band_hash`` (r8: the probe key; the
+  band id is folded into the hash so the key is ONE column Spark can
+  bucket on)
 - ``shingles/batch=<id>/`` — (doc_id, sh) shingle sets for exact verify
-- ``_index_meta.json``     — committed batch ids (replay guard)
+- ``_index_meta.json``     — committed batch ids (replay guard) + each
+  dir's bucket count (so a FRESH session can re-register the bucketed
+  table DDL and keep the co-located scan)
 
 Per ``add_batch``, the work is O(|delta| + collisions):
 - signatures/bands are computed for NEW docs only;
-- the probe is ONE equi-join of the new postings against the stored
-  postings on (band_id, band_hash) — uniform md5 keys, skew-free, never
-  a scan of old signatures that share no bucket with the batch (at
-  warehouse scale, storing postings bucketed-by band_hash makes the
-  probe a co-located join);
+- the probe joins the new postings against EACH stored postings dir on
+  ``band_hash`` — and because every dir is a bucketed table, the stored
+  side is scanned ALREADY hash-partitioned on the probe key: the only
+  exchange in each probe leg is the (delta-sized) new postings being
+  shuffled into the store's bucketing. The stored postings — the side
+  that grows with the corpus — are NEVER re-shuffled (plan-asserted in
+  tests/test_dedup_index.py). Uniform md5 keys keep the buckets
+  skew-free.
 - exact-Jaccard verification joins candidates back to shingle sets by
   doc_id — candidates only, never all pairs;
 - the index write APPENDS one ``batch=<id>`` directory per store — no
-  rewrite of prior postings.
+  rewrite of prior postings. ``compact()`` merges them into one
+  generation dir, re-bucketed and sized by data volume.
 
 Replay safety mirrors the CDC sink: a batch id is recorded in
 ``_index_meta.json`` only AFTER both stores' directories are fully
 written, and a replayed ``add_batch`` with a committed id returns the
 empty pair frame without touching the stores (pairs are derivable, state
-must not double).
+must not double). Table-catalog entries are a per-session CACHE of the
+on-disk state, never the source of truth: visibility is decided solely
+by the meta file, and a crash between ``saveAsTable`` and the meta
+commit leaves a catalog entry + dir that reads never touch and the
+retry drops and rewrites.
+
+Pre-r8 stores (postings as plain parquet with a separate ``band_id``
+column) stay readable: their dirs carry no bucket-count entry in the
+meta, so they take the legacy shuffled-probe leg with the two-column
+key folded at read time.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -43,17 +62,23 @@ META_NAME = "_index_meta.json"
 
 
 class LshDedupIndex:
+    # default bucket count for per-batch postings dirs; compact() sizes
+    # the generation store from data volume instead
+    BATCH_BUCKETS = 8
+
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         jaccard_min: float = 0.5,
         fast: bool = False,
+        batch_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.jaccard_min = jaccard_min
         self.sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
+        self.batch_buckets = batch_buckets or self.BATCH_BUCKETS
         os.makedirs(path, exist_ok=True)
 
     # -- state ------------------------------------------------------------
@@ -65,15 +90,23 @@ class LshDedupIndex:
         dirs to read (compaction shrinks this to one), and
         ``committed_ids`` = every batch id EVER ingested (the replay
         guard — compaction must not forget ids, or a replayed old batch
-        would double its postings). Older metas carry only ``batches``;
-        treat that as both."""
+        would double its postings). ``buckets_n`` maps a live batch id
+        to its postings dir's bucket count (absent = pre-r8 plain
+        parquet, read via the legacy leg). Older metas carry only
+        ``batches``; treat that as both."""
         try:
             with open(self._meta_path()) as fh:
                 meta = json.load(fh)
         except FileNotFoundError:
-            return {"batches": [], "committed_ids": [], "generation": 0}
+            return {
+                "batches": [],
+                "committed_ids": [],
+                "generation": 0,
+                "buckets_n": {},
+            }
         meta.setdefault("committed_ids", list(meta.get("batches", [])))
         meta.setdefault("generation", 0)
+        meta.setdefault("buckets_n", {})
         return meta
 
     def _write_meta(self, meta: dict) -> None:
@@ -91,27 +124,102 @@ class LshDedupIndex:
         survives compaction."""
         return self._read_meta()["committed_ids"]
 
-    def _commit(self, batch_id: str) -> None:
+    def _commit(self, batch_id: str, n_buckets: int) -> None:
         meta = self._read_meta()
         meta["batches"] = meta["batches"] + [batch_id]
         meta["committed_ids"] = meta["committed_ids"] + [batch_id]
+        meta["buckets_n"][batch_id] = n_buckets
         self._write_meta(meta)
 
     def _store(self, name: str, batch_id: str | None = None) -> str:
         base = os.path.join(self.path, name)
         return os.path.join(base, f"batch={batch_id}") if batch_id else base
 
-    def _read_committed(self, name: str, schema: str) -> DataFrame:
+    # -- bucketed-table plumbing ------------------------------------------
+    def _table_name(self, batch_id: str) -> str:
+        """Session-catalog name for a postings dir's bucketed table:
+        derived from the index path (so two indexes never collide) and
+        the batch id (unique per dir; compaction generations included)."""
+        digest = hashlib.md5(os.path.abspath(self.path).encode()).hexdigest()[:10]
+        safe = "".join(c if c.isalnum() else "_" for c in batch_id)
+        return f"lshidx_{digest}_{safe}"
+
+    def _drop_table(self, batch_id: str) -> None:
+        self.spark.sql(
+            f"DROP TABLE IF EXISTS {self._table_name(batch_id)}"
+        )
+
+    def _write_bucketed(self, df: DataFrame, batch_id: str, n: int) -> None:
+        """Write postings as a bucketed external table at the store dir:
+        ``repartition(n, band_hash)`` first so each task holds exactly
+        one bucket's rows and the store is one file per bucket;
+        ``sortBy`` so the bucketed scan also reports sorted output and a
+        sort-merge probe skips the sort on the stored side."""
+        out = self._store("buckets", batch_id)
+        if os.path.isdir(out):
+            shutil.rmtree(out)  # crashed earlier attempt
+        self._drop_table(batch_id)
+        (
+            df.repartition(n, "band_hash")
+            .write.format("parquet")
+            .bucketBy(n, "band_hash")
+            .sortBy("band_hash")
+            .option("path", out)
+            .saveAsTable(self._table_name(batch_id))
+        )
+
+    def _bucketed_postings(self, batch_id: str, n: int) -> DataFrame:
+        """Scan one postings dir THROUGH its bucketed-table entry so the
+        scan reports hashpartitioning(band_hash, n) and the probe join
+        needs no exchange on this side. A fresh session re-registers the
+        DDL from the meta's bucket count — bucketing survives restarts
+        because the files (written by the bucketed writer) carry their
+        bucket ids in their names."""
+        name = self._table_name(batch_id)
+        if not self.spark.catalog.tableExists(name):
+            loc = os.path.abspath(self._store("buckets", batch_id))
+            self.spark.sql(
+                f"CREATE TABLE {name} (band_hash STRING, doc_id BIGINT) "
+                f"USING PARQUET CLUSTERED BY (band_hash) INTO {n} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+        return self.spark.table(name).select("band_hash", "doc_id")
+
+    def _postings_legs(self) -> list[DataFrame]:
+        """One frame per live postings dir: bucketed dirs through their
+        table entry (co-located probe), pre-r8 plain dirs through a raw
+        read with the two-column key folded (legacy shuffled leg)."""
+        meta = self._read_meta()
+        legs: list[DataFrame] = []
+        for b in meta["batches"]:
+            if not os.path.isdir(self._store("buckets", b)):
+                continue
+            n = meta["buckets_n"].get(b)
+            if n:
+                legs.append(self._bucketed_postings(b, n))
+            else:
+                old = self.spark.read.parquet(self._store("buckets", b))
+                if "band_id" in old.columns:  # pre-r8 layout
+                    old = old.select(
+                        F.concat_ws(
+                            ":", F.col("band_id"), F.col("band_hash")
+                        ).alias("band_hash"),
+                        "doc_id",
+                    )
+                legs.append(old.select("band_hash", "doc_id"))
+        return legs
+
+    def _read_committed_shingles(self) -> DataFrame:
         """Read ONLY committed batch dirs — a crash between the store
         write and the meta commit leaves an orphan dir that must stay
         invisible (the retry rewrites it)."""
         dirs = [
-            self._store(name, b)
+            self._store("shingles", b)
             for b in self.committed_batches()
-            if os.path.isdir(self._store(name, b))
+            if os.path.isdir(self._store("shingles", b))
         ]
         if not dirs:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], "doc_id long, sh array<string>")
         return self.spark.read.parquet(*dirs)
 
     # -- the operator ------------------------------------------------------
@@ -162,40 +270,44 @@ class LshDedupIndex:
             # cut the plan once instead of recomputing shingles 3x
             .localCheckpoint()
         )
+        # ONE probe-key column: band id folded into the hash (a bucketed
+        # table can then hash-partition on exactly the join key)
         banded = sh.select(
             "doc_id",
             F.posexplode(D.band_keys(self.sig_fn(F.col("sh")))).alias(
-                "band_id", "band_hash"
+                "band_id", "_bh"
             ),
+        ).select(
+            "doc_id",
+            F.concat_ws(":", F.col("band_id"), F.col("_bh")).alias("band_hash"),
         ).localCheckpoint()
 
-        old_banded = self._read_committed(
-            "buckets", "band_id int, band_hash string, doc_id long"
-        )
-        old_sh = self._read_committed("shingles", "doc_id long, sh array<string>")
+        old_sh = self._read_committed_shingles()
 
-        probe = (
+        # one co-located probe leg per stored postings dir: the stored
+        # scan arrives pre-partitioned on band_hash, only the new batch's
+        # (delta-sized) postings get exchanged into its bucketing
+        probe_legs = [
             banded.alias("n")
-            .join(
-                old_banded.alias("o"),
-                (F.col("n.band_id") == F.col("o.band_id"))
-                & (F.col("n.band_hash") == F.col("o.band_hash")),
-            )
+            .join(old.alias("o"), "band_hash")
             .select(
                 F.col("o.doc_id").alias("id_a"), F.col("n.doc_id").alias("id_b")
             )
-        )
+            for old in self._postings_legs()
+        ]
         within = (
             banded.alias("a")
             .join(
                 banded.alias("b"),
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                (F.col("a.band_hash") == F.col("b.band_hash"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
             .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         )
-        cands = probe.unionByName(within).distinct()
+        cands = within
+        for leg in probe_legs:
+            cands = cands.unionByName(leg)
+        cands = cands.distinct()
 
         all_sh = old_sh.unionByName(sh)
         pairs = (
@@ -212,34 +324,45 @@ class LshDedupIndex:
         )
 
         def commit() -> None:
-            # append-only state: one new dir per store, then the meta
-            # commit makes both visible atomically (crash before commit
-            # -> orphan dirs are overwritten on retry, never read)
-            for name, df in (("buckets", banded), ("shingles", sh)):
-                out = self._store(name, batch_id)
-                if os.path.isdir(out):
-                    shutil.rmtree(out)  # crashed earlier attempt
-                df.write.parquet(out)
-            self._commit(batch_id)
+            # append-only state: one new dir per store (postings as a
+            # bucketed table), then the meta commit makes both visible
+            # atomically (crash before commit -> orphan dirs + catalog
+            # entries are overwritten on retry, never read)
+            self._write_bucketed(banded, batch_id, self.batch_buckets)
+            out = self._store("shingles", batch_id)
+            if os.path.isdir(out):
+                shutil.rmtree(out)  # crashed earlier attempt
+            sh.write.parquet(out)
+            self._commit(batch_id, self.batch_buckets)
 
         return pairs, commit
 
     # -- maintenance -------------------------------------------------------
     STORE_SCHEMAS = {
-        "buckets": "band_id int, band_hash string, doc_id long",
+        "buckets": "band_hash string, doc_id long",
         "shingles": "doc_id long, sh array<string>",
     }
 
     COMPACT_TARGET_BYTES = 64 * 1024 * 1024
 
+    def _store_bytes(self, name: str, live: list[str]) -> int:
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for b in live
+            if os.path.isdir(self._store(name, b))
+            for dp, _d, fs in os.walk(self._store(name, b))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
     def compact(self, target_files: int | None = None) -> bool:
         """Merge every live ``batch=<id>`` dir into ONE generation dir
         per store. Without this, probe fan-in and file counts grow
         O(#batches) — a 100 TB ingest running thousands of batches
-        would drown the probe join in tiny files. Postings are
-        repartitioned on ``band_hash`` (uniform md5 — skew-free) so the
-        compacted store is also better laid out for the probe join than
-        the per-batch dirs it replaces.
+        would drown the probe join in tiny files. The generation's
+        postings are written as ONE bucketed table on ``band_hash``
+        (uniform md5 — skew-free), bucket count sized by data volume,
+        so the post-compaction probe is a single co-located join leg.
 
         Crash-safe two-phase, same discipline as the sink family:
 
@@ -249,9 +372,9 @@ class LshDedupIndex:
         2. atomically swap the meta to ``batches=[gen<N>]``, KEEPING
            ``committed_ids`` (the replay guard must survive compaction
            or a replayed pre-compaction batch would double-ingest);
-        3. best-effort GC of the now-invisible old dirs (a crash here
-           leaves unreferenced dirs that reads never touch; the next
-           compact sweeps them).
+        3. best-effort GC of the now-invisible old dirs + their catalog
+           entries (a crash here leaves unreferenced dirs that reads
+           never touch; the next compact sweeps them).
 
         Returns True if a compaction ran, False if there was nothing to
         merge (0 or 1 live dir)."""
@@ -261,34 +384,37 @@ class LshDedupIndex:
             return False
         gen = meta["generation"] + 1
         gen_id = f"gen{gen}"
-        for name, schema in self.STORE_SCHEMAS.items():
-            out = self._store(name, gen_id)
-            if os.path.isdir(out):
-                shutil.rmtree(out)  # crashed earlier attempt
-            key = "band_hash" if name == "buckets" else "doc_id"
-            # size output files by DATA, not a constant: a store of N
-            # tiny batch files must compact DOWN (a fixed fan-out
-            # re-fragmented small stores — measured), a large store
-            # splits into ~64 MiB files
-            n_files = target_files or max(
-                1,
-                -(-sum(
-                    os.path.getsize(os.path.join(dp, f))
-                    for b in live
-                    if os.path.isdir(self._store(name, b))
-                    for dp, _d, fs in os.walk(self._store(name, b))
-                    for f in fs
-                    if f.endswith(".parquet")
-                ) // self.COMPACT_TARGET_BYTES),
-            )
-            self._read_committed(name, schema).repartition(
-                n_files, key
-            ).write.parquet(out)
+
+        # postings: union every live leg (bucketed or legacy) and
+        # rewrite as one bucketed generation table. Size output files by
+        # DATA, not a constant: a store of N tiny batch files must
+        # compact DOWN (a fixed fan-out re-fragmented small stores —
+        # measured), a large store splits into ~64 MiB buckets.
+        n_buckets = target_files or max(
+            1, -(-self._store_bytes("buckets", live) // self.COMPACT_TARGET_BYTES)
+        )
+        legs = self._postings_legs()
+        merged = legs[0]
+        for leg in legs[1:]:
+            merged = merged.unionByName(leg)
+        self._write_bucketed(merged, gen_id, n_buckets)
+
+        n_sh_files = target_files or max(
+            1, -(-self._store_bytes("shingles", live) // self.COMPACT_TARGET_BYTES)
+        )
+        out = self._store("shingles", gen_id)
+        if os.path.isdir(out):
+            shutil.rmtree(out)  # crashed earlier attempt
+        self._read_committed_shingles().repartition(
+            n_sh_files, "doc_id"
+        ).write.parquet(out)
+
         self._write_meta(
             {
                 "batches": [gen_id],
                 "committed_ids": meta["committed_ids"],
                 "generation": gen,
+                "buckets_n": {gen_id: n_buckets},
             }
         )
         # GC everything the new meta doesn't reference — the just-merged
@@ -299,4 +425,6 @@ class LshDedupIndex:
             for d in os.listdir(base) if os.path.isdir(base) else []:
                 if d.startswith("batch=") and d != f"batch={gen_id}":
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                    if name == "buckets":
+                        self._drop_table(d[len("batch=") :])
         return True

@@ -100,7 +100,7 @@ def test_crash_before_commit_leaves_orphan_invisible(spark, tmp_path):
 
     # simulate: b2's store dirs written, crash before the meta commit
     commit = idx._commit
-    idx._commit = lambda batch_id: None
+    idx._commit = lambda batch_id, n_buckets: None
     idx.add_batch(b2, "b2").collect()
     idx._commit = commit
     assert os.path.isdir(str(tmp_path / "idx" / "buckets" / "batch=b2"))
@@ -183,9 +183,7 @@ def test_crash_mid_compact_leaves_index_readable(spark, tmp_path):
 
     # old state still live and readable: probe result == fresh recompute
     assert sorted(idx.committed_batches()) == sorted(pre_batches + ["b2"])
-    assert (
-        idx._read_committed("buckets", idx.STORE_SCHEMAS["buckets"]).count() > 0
-    )
+    assert sum(leg.count() for leg in idx._postings_legs()) > 0
 
     # retry converges
     assert idx.compact() is True
@@ -315,3 +313,53 @@ def test_streaming_auto_compact_bounds_dirs_keeps_pairs_exact(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
     }
     assert _norm(got) == _norm(_full_pairs(spark, corpus))
+
+
+def test_probe_is_colocated_no_exchange_on_postings_side(spark, tmp_path):
+    """r8: the postings store is a BUCKETED table on the probe key, so
+    the probe join's stored side must arrive pre-partitioned — exactly
+    ONE Exchange in the probe plan (the delta side being shuffled into
+    the store's bucketing), zero above the postings scan. Also proves
+    the bucketing survives a fresh session: the catalog entry is
+    dropped (a new SparkSession has an empty in-memory catalog) and the
+    read path must re-register the DDL from the meta's bucket count."""
+    corpus = _corpus(spark)
+    b1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    b2 = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), jaccard_min=JMIN)
+    idx.add_batch(b1, "b1").collect()
+    idx.add_batch(b2, "b2").collect()
+    assert idx.compact() is True
+
+    # simulate a fresh session: the table entry is per-session cache
+    idx2 = LshDedupIndex(spark, str(tmp_path / "idx"), jaccard_min=JMIN)
+    idx2._drop_table("gen1")
+    legs = idx2._postings_legs()
+    assert len(legs) == 1
+
+    delta = spark.createDataFrame(
+        [("0:deadbeef", 10**6), ("1:cafe", 10**6 + 1)],
+        "band_hash string, doc_id long",
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = delta.alias("n").join(legs[0].alias("o"), "band_hash")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert plan.count("Exchange") == 1, plan
+    # the postings scan reads its bucketing (no exchange above it): the
+    # scan line itself says Bucketed, and the one exchange sits in the
+    # delta subtree, which the tree printer emits BEFORE the stored-side
+    # FileScan — so the Exchange's offset precedes the FileScan's
+    assert "Bucketed: true" in plan, plan
+    assert plan.index("Exchange") < plan.index("FileScan parquet"), plan
+
+    # end-to-end: probing after the simulated fresh session still works
+    b3 = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    got = {(r.id_a, r.id_b) for r in idx2.add_batch(b3, "b3").collect()}
+    assert len(got) > 0

@@ -20,6 +20,20 @@ import json
 import sys
 
 
+def positive_int(value: str) -> int:
+    """argparse type for flags where 0 must be an ERROR, not a silent
+    no-op (r7 advice: --compact-buckets 0 fell through a truthiness
+    check — a user expecting 'compact everything' got no compaction and
+    no message)."""
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(
+            f"must be >= 1 (got {n}); to compact every bucket pass 2 "
+            "(a 1-file bucket is already compact)"
+        )
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m dynamics_365_to_bigquery_spark_etl_pipeline_spark",
@@ -76,7 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--compact-buckets",
-        type=int,
+        type=positive_int,
         default=None,
         metavar="MIN_FILES",
         help="(bucketed sinks) after a successful run, rewrite each "

@@ -25,6 +25,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .stage import lazy_stage
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -411,7 +412,7 @@ def grid_near_dup_pairs_deduped(
         mem.groupBy("_gh", "_gv")
         .agg(F.min("_gid").alias("_rid"))
         .select("_rid", "_gh", F.col("_gv").alias("_rv"))
-        .localCheckpoint()
+        .transform(lazy_stage)
     )
     # member -> its group's representative: equi-join on the hash,
     # verified by true array equality (collision-proof)
@@ -426,7 +427,7 @@ def grid_near_dup_pairs_deduped(
         n_rows=n_rows,
         dim=dim,
     )
-    slim = tagged.select("_rid", "_gid").localCheckpoint()  # two longs/row
+    slim = tagged.select("_rid", "_gid").transform(lazy_stage)  # two longs/row
     ma = slim.select(F.col("_rid").alias("id_a"), F.col("_gid").alias("_ma"))
     mb = slim.select(F.col("_rid").alias("id_b"), F.col("_gid").alias("_mb"))
     cross = (
@@ -766,10 +767,10 @@ def semantic_dedup_pairs_deduped(
         mem.groupBy("_gh", "_gv")
         .agg(F.min("_gid").alias("_rid"))
         .select("_rid", "_gh", F.col("_gv").alias("_rv"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_stage)
     )
     tagged = mem.join(reps, "_gh").where(F.col("_gv") == F.col("_rv"))
-    slim = tagged.select("_rid", "_gid").localCheckpoint(eager=False)
+    slim = tagged.select("_rid", "_gid").transform(lazy_stage)
 
     assigned = assign_ivf_buckets_matmul(
         reps.select(F.col("_rid").alias(id_col), F.col("_rv").alias(vec_col)),
@@ -779,7 +780,7 @@ def semantic_dedup_pairs_deduped(
     )
     rep_all = _pairs_within_clusters(
         assigned, threshold, id_col, vec_col, chunk, include_self=True
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_stage)
 
     rep_pairs = rep_all.where(F.col("id_a") < F.col("id_b"))
     ma = slim.select(F.col("_rid").alias("id_a"), F.col("_gid").alias("_ma"))

@@ -170,9 +170,18 @@ class EntityPipeline:
             # record the truncated schema as canonical and erase the
             # column). One-time upgrade: derive the union schema via a
             # mergeSchema read (footer union of every file) and record
-            # it, so this and every future read is schema-pinned.
+            # it, so future reads are schema-pinned. The bootstrap write
+            # is BEST-EFFORT (r7 advice): this is a read path — on a
+            # read-only mount, or when two concurrent readers race the
+            # record, the reader must still get the correct mergeSchema
+            # frame (the race is benign: both writers derive the same
+            # union schema from the same files; the write path proper
+            # re-records canonically on the next merge).
             merged = self.spark.read.option("mergeSchema", "true").parquet(cur)
-            sinks.write_table_schema(cur, merged.schema)
+            try:
+                sinks.write_table_schema(cur, merged.schema)
+            except OSError:
+                pass  # read-only store: serve the frame, skip the cache
             return merged
         return self.spark.read.parquet(cur)
 

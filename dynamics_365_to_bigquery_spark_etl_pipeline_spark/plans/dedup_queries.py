@@ -14,6 +14,8 @@ exact-Jaccard verify.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,6 +23,7 @@ from ..catalog import load_table, table_num_rows
 from ..operators import dedup as D
 from ..operators import text as X
 from ..operators.similarity import cosine_sql
+from ..operators.stage import lazy_stage
 
 EXACT_MOD = 10
 NEAR_MOD = 20
@@ -79,7 +82,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, fast=False)
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, fast: bool, minband: bool = True
+) -> DataFrame:
     """Banded MinHash near-dup pairs, routed through EXACT text dedup
     first (r7 — the document-family instance of the routing that cured
     the fuzzy-join and embedding families on replicated corpora):
@@ -139,23 +144,73 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
 
     sh = reps.select(
         "doc_id", D.shingles(F.col("text")).alias("sh")
-    ).filter(F.size("sh") > 0).localCheckpoint()
+    ).filter(F.size("sh") > 0).transform(lazy_stage)
     sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
     sig = sh.select("doc_id", sig_fn(F.col("sh")).alias("sig"))
-    banded = sig.select(
-        "doc_id", F.posexplode(D.band_keys(F.col("sig"))).alias("band_id", "band_hash")
-    ).localCheckpoint()
-    cands = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if minband:
+        # MIN-BAND EMISSION (r8, replacing `.distinct()`): a pair
+        # band-colliding k times used to emit k rows into a
+        # full-candidate-multiset exchange (duplicates live in different
+        # partitions — one per colliding band key — so distinct's
+        # map-side partial never collapsed them). Each side carries its
+        # SIGNATURE (16 longs — far cheaper than the md5 band strings)
+        # so a join row can decide locally whether its band is the
+        # pair's FIRST colliding band and emit exactly once. Slice
+        # equality stands in for band-hash equality: md5 is
+        # deterministic, so they differ only where two DIFFERENT slices
+        # md5-collide (~2^-128/pair-band) — and even then the pair still
+        # emits exactly once, from its first slice-equal band; it could
+        # only be LOST if every colliding band were a pure md5 collision.
+        r = D.N_MINHASH // D.LSH_BANDS
+        banded = sig.select(
+            "doc_id",
+            "sig",
+            F.posexplode(D.band_keys(F.col("sig"))).alias("band_id", "band_hash"),
+        ).transform(lazy_stage)
+        def slice_eq(b: int):
+            terms = [
+                F.element_at(F.col("a.sig"), b * r + j + 1).eqNullSafe(
+                    F.element_at(F.col("b.sig"), b * r + j + 1)
+                )
+                for j in range(r)
+            ]
+            return functools.reduce(lambda x, y: x & y, terms)
+
+        band_eq = F.array(*[slice_eq(b) for b in range(D.LSH_BANDS)])
+        cands = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .where(
+                F.array_position(band_eq, F.lit(True))
+                == F.col("a.band_id") + 1
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    else:  # pre-r8 reference plan, kept for the A/B + equivalence tests
+        banded = sig.select(
+            "doc_id",
+            F.posexplode(D.band_keys(F.col("sig"))).alias("band_id", "band_hash"),
+        ).transform(lazy_stage)
+        cands = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .distinct()
+        )
     rep_pairs = (
         cands.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -169,7 +224,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str, fast: bool) -> DataFrame:
     # checkpoint is two longs per row.
     live = mem.join(
         sh.select(F.col("doc_id").alias("_rid")), "_rid", "left_semi"
-    ).localCheckpoint()
+    ).transform(lazy_stage)
     ma = live.select(F.col("_rid").alias("id_a"), F.col("doc_id").alias("_ma"))
     mb = live.select(F.col("_rid").alias("id_b"), F.col("doc_id").alias("_mb"))
     cross = (
@@ -201,7 +256,9 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, fast=True)
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_simhash(
+    spark: SparkSession, sf_dir: str, minblock: bool = True
+) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature (4 x 16-bit blocks) over
     3-token-shingle features, pigeonhole LSH on (block_id, block_val) —
     hamming ≤ 3 over 64 bits guarantees at least one of the 4 disjoint
@@ -236,23 +293,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes the signature subtree once per side
     exploded = sigs.select(
         "doc_id", "blocks", F.posexplode("blocks").alias("block_id", "block_val")
-    ).localCheckpoint()
-    pairs = (
-        exploded.alias("a")
-        .join(
-            exploded.alias("b"),
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.blocks").alias("blocks_a"),
-            F.col("b.blocks").alias("blocks_b"),
-        )
-        .distinct()
+    ).transform(lazy_stage)
+    # MIN-BLOCK EMISSION (r8, replacing `.distinct()`): a pair colliding
+    # in k blocks used to emit k rows into a full-candidate-multiset
+    # exchange (the duplicates live in DIFFERENT partitions — one per
+    # colliding block key — so distinct's map-side partial combine never
+    # collapsed them). Both sides already carry the full `blocks` array
+    # for the hamming step, so each join row can decide LOCALLY whether
+    # its block is the pair's FIRST colliding block and emit exactly
+    # once — the dedup exchange disappears for free.
+    first_collision = F.array_position(
+        F.zip_with(F.col("a.blocks"), F.col("b.blocks"), lambda x, y: x == y),
+        F.lit(True),
     )
+    joined = exploded.alias("a").join(
+        exploded.alias("b"),
+        (F.col("a.block_id") == F.col("b.block_id"))
+        & (F.col("a.block_val") == F.col("b.block_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    if minblock:
+        joined = joined.where(first_collision == F.col("a.block_id") + 1)
+    pairs = joined.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.blocks").alias("blocks_a"),
+        F.col("b.blocks").alias("blocks_b"),
+    )
+    if not minblock:  # pre-r8 reference plan for the A/B + equivalence
+        pairs = pairs.distinct()
     return pairs.select(
         "id_a",
         "id_b",
@@ -418,18 +487,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         mem.groupBy("_gh", "_gv")
         .agg(F.min("_gid").alias("_rid"))
         .select("_rid", "_gh", F.col("_gv").alias("_rv"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_stage)
     )
     slim = (
         mem.join(reps, "_gh")
         .where(F.col("_gv") == F.col("_rv"))
         .select("_rid", "_gid")
-        .localCheckpoint(eager=False)
+        .transform(lazy_stage)
     )
     assigned = assign_ivf_buckets(
         reps.select(F.col("_rid").alias("vec_id"), F.col("_rv").alias("embedding")),
         seeds,
-    ).localCheckpoint(eager=False)
+    ).transform(lazy_stage)
 
     a = assigned.select(
         F.col("bucket_id").alias("cluster_id"),

@@ -23,6 +23,7 @@ from ..operators.multimodal import (
     attach_binary,
     extract_features,
     extract_features_arrow,
+    make_wav_tools,
     sample_frames,
 )
 from .similarity_queries import QUERY_MOD, TOP_K
@@ -95,6 +96,61 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAV_SPF = 8     # samples per decoded frame window
+WAV_STRIDE = 2  # keep every 2nd frame
+
+
+def q_multimodal_wav_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through a REAL codec (r8 — the decoder slot run
+    end to end, not stubbed): every doc gets a planted PCM16 WAV
+    payload (channels/sample-rate/sample-count derived from doc_id,
+    sample values a deterministic arithmetic series), and
+    ``sample_frames`` decodes it with ``make_wav_tools``' RIFF parser —
+    header magics validated, fmt fields read little-endian, the data
+    chunk located by walking the chunk list — then windows the DECODED
+    stream into 8-sample block-aligned frames.
+
+    Because the plant is arithmetic, the DuckDB oracle reproduces the
+    expected frame table (offsets/sizes through the header layout the
+    parser must recover) with pure SQL — so a parser bug that misreads
+    block_align or the data offset hash-mismatches. ``frame_md5`` is
+    byte-level ground truth and not SQL-reproducible (DuckDB can't
+    build little-endian int16 blobs); it is pinned against hashlib in
+    tests/test_multimodal_wav.py instead, along with malformed-payload
+    fail-loud behavior."""
+    tools = make_wav_tools(samples_per_frame=WAV_SPF)
+    encode, frames = tools["encode"], tools["frames"]
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = [
+                    ((d * 31 + i * 7) % 65536) - 32768
+                    for i in range(50 + d % 40)
+                ]
+                rows.append(
+                    (
+                        d,
+                        encode(samples, 8000 + 1000 * (d % 3), 1 + d % 2),
+                        {"mime": "audio/wav"},
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    bin_df = docs.mapInPandas(
+        build, "doc_id long, payload binary, meta struct<mime:string>"
+    )
+    return sample_frames(
+        bin_df, frame_decoder=frames, stride=WAV_STRIDE
+    ).select("doc_id", "frame_id", "byte_offset", "n_bytes")
+
+
 def _cosine_batch_udf():
     # pandas_udf parses its return-type DDL eagerly, which needs an
     # active SparkSession — so build the UDF at call time, not import.
@@ -161,6 +217,9 @@ EXTRA_QUERIES = {
     "q_multimodal_features_arrow": q_multimodal_features_arrow,
     # Python UDTF escape hatch (lateral table function with running state)
     "q_udtf_token_spans": q_udtf_token_spans,
+    # r8: the decoder slot exercised by a REAL dependency-free codec
+    # (RIFF/PCM16 parser) over planted payloads, arithmetic SQL oracle
+    "q_multimodal_wav_framesample": q_multimodal_wav_framesample,
 }
 
 EXTRA_ORACLES = {
@@ -197,5 +256,21 @@ SELECT doc_id,
     AS frame_md5
 FROM ids
 WHERE frame_id % {FRAME_STRIDE} = 0
+""",
+    "q_multimodal_wav_framesample": f"""
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 40 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, ch, n,
+    unnest(range(0, CAST(ceil(n / {WAV_SPF}.0) AS BIGINT))) AS fid
+  FROM p
+)
+SELECT doc_id,
+  CAST(fid AS INT) AS frame_id,
+  CAST(fid * {WAV_SPF} * 2 * ch AS INT) AS byte_offset,
+  CAST(LEAST({WAV_SPF}, n - fid * {WAV_SPF}) * 2 * ch AS INT) AS n_bytes
+FROM f
+WHERE fid % {WAV_STRIDE} = 0
 """,
 }

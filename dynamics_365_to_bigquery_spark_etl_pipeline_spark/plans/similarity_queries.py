@@ -85,6 +85,8 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once via ``build_ivf_layout`` and amortize (break-even ~2 query
     batches, measured)."""
     import atexit
+    import glob
+    import os
     import shutil
     import tempfile
 
@@ -92,8 +94,32 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = emb.filter(F.col("vec_id") < N_CENTROIDS)
     trained = S.refine_centroids(emb, seeds)
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    layout = _LAYOUT_CACHE.get(sf_dir)
+    # cache key = sf_dir + a cheap data fingerprint (file list, sizes,
+    # mtimes — a driver-side listdir, no Spark job): if the fixture at
+    # this path is REGENERATED in-process (sweeps/harness reruns against
+    # rewritten data), the stale layout is dropped and rebuilt instead
+    # of silently serving results from the old index (r7 advice).
+    entries = sorted(glob.glob(os.path.join(sf_dir, "embeddings.parquet*")))
+    files = []
+    for e in entries:  # the table may be a single file OR a part-dir
+        if os.path.isdir(e):
+            files.extend(
+                sorted(
+                    os.path.join(dp, f)
+                    for dp, _d, fs in os.walk(e)
+                    for f in fs
+                )
+            )
+        else:
+            files.append(e)
+    stamp = tuple(
+        (f, os.path.getsize(f), os.path.getmtime(f)) for f in files
+    )
+    key = (sf_dir, stamp)
+    layout = _LAYOUT_CACHE.get(key)
     if layout is None:
+        for old_key in [k for k in _LAYOUT_CACHE if k[0] == sf_dir]:
+            shutil.rmtree(_LAYOUT_CACHE.pop(old_key), ignore_errors=True)
         layout = tempfile.mkdtemp(prefix="spark_graft_ivf_layout_")
         if not _LAYOUT_CACHE:
             atexit.register(
@@ -103,13 +129,13 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         S.build_ivf_layout(emb, trained, layout, scorer="matmul")
-        _LAYOUT_CACHE[sf_dir] = layout
+        _LAYOUT_CACHE[key] = layout
     return S.matmul_topk_from_layout(
         spark, layout, trained, queries, k=TOP_K, nprobe=N_PROBE
     )
 
 
-_LAYOUT_CACHE: dict[str, str] = {}
+_LAYOUT_CACHE: dict[tuple, str] = {}
 
 
 QUERIES = {

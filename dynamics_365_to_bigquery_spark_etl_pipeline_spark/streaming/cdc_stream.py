@@ -136,6 +136,7 @@ def stream_dedup_index(
     checkpoint_dir: str,
     jaccard_min: float = 0.5,
     compact_every: int = 0,
+    max_files_per_trigger: int = 1,
 ) -> StreamingQuery:
     """Near-dup detection AT INGEST: file-source stream of documents ->
     per-micro-batch probe of the incremental LSH index
@@ -166,12 +167,25 @@ def stream_dedup_index(
     after every N committed batches the per-batch store dirs are merged
     into one generation dir (``LshDedupIndex.compact`` — crash-safe,
     probe-identical), bounding probe fan-in at O(N) dirs instead of
-    O(#epochs) on a long-running ingest."""
+    O(#epochs) on a long-running ingest.
+
+    ``max_files_per_trigger`` sets the ingestion rate (source files per
+    micro-batch). It TRADES AGAINST ``compact_every``: a larger trigger
+    means fewer, bigger epochs — fewer index dirs per ingested file, so
+    compaction can run less often for the same fan-in bound (the store
+    grows one dir per EPOCH, not per file); a smaller trigger lowers
+    per-pair detection latency. The default 1 maximizes epoch count
+    (the worst case for fan-in, which is what the maintenance tests and
+    benches exercise); production ingests should size it to their
+    latency budget — measured throughput at triggers 1/4/16 in
+    SCALING.md (scripts/bench_stream_index.py --max-files)."""
     from ..operators.dedup_index import LshDedupIndex
 
     idx = LshDedupIndex(spark, index_path, jaccard_min=jaccard_min)
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
-        source_dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
     )
 
     def _query_id() -> str:

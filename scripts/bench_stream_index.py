@@ -14,7 +14,7 @@ plus the live-store-dir count and a final cold probe.
 Usage::
 
     python scripts/bench_stream_index.py [--sf-dir /root/testdata/sf0.1]
-                                         [--batches 24] [--compact-every 8]
+                                         [--batches 24] [--compact-every 8] [--max-files 1]
 
 Prints one JSON line per leg.
 """
@@ -51,6 +51,14 @@ def main() -> None:
     )
     ap.add_argument("--batches", type=int, default=24)
     ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument(
+        "--max-files",
+        type=int,
+        default=1,
+        help="maxFilesPerTrigger: source files per micro-batch (r8 — "
+        "trades epoch count against per-pair latency; fewer, bigger "
+        "epochs need less compaction for the same fan-in bound)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -84,6 +92,7 @@ def main() -> None:
             q = stream_dedup_index(
                 spark, source, schema, index, pairs, ckpt,
                 jaccard_min=0.5, compact_every=every,
+                max_files_per_trigger=args.max_files,
             )
             q.awaitTermination(3600)
             wall = time.perf_counter() - t0
@@ -105,6 +114,7 @@ def main() -> None:
                         "docs": n_docs,
                         "batches": args.batches,
                         "compact_every": every,
+                        "max_files_per_trigger": args.max_files,
                         "wall_sec": round(wall, 2),
                         "docs_per_sec": round(n_docs / wall, 1),
                         "epoch_latency_first4": lat[:4],

@@ -233,6 +233,56 @@ def test_streaming_dedup_index_accumulates_exact_pairs(spark, tmp_path):
     assert len(idx.committed_batches()) == 2
 
 
+def test_streaming_trigger_rate_parameter(spark, tmp_path):
+    """r8: ``max_files_per_trigger`` sets the ingestion rate. Four
+    source files at 2 files/trigger must drain in TWO epochs (two
+    committed index batches, two pairs epochs) with the pair union
+    still equal to the full recompute — the trigger size changes
+    batching, never results."""
+    import os as _os
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.dedup_index import (
+        LshDedupIndex,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_dedup_index,
+    )
+
+    corpus = _corpus(spark)
+    src = str(tmp_path / "src")
+    for m in range(4):
+        corpus.filter(F.col("doc_id") % 4 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = stream_dedup_index(
+        spark,
+        src,
+        corpus.schema,
+        index_path=str(tmp_path / "idx"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        jaccard_min=JMIN,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert _norm(got) == _norm(_full_pairs(spark, corpus))
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    assert len(idx.committed_batches()) == 2  # 4 files / 2 per trigger
+    epochs = [
+        d
+        for d in _os.listdir(str(tmp_path / "pairs"))
+        if d.startswith("epoch=")
+    ]
+    assert len(epochs) == 2
+
+
 def test_fresh_checkpoint_on_existing_index_does_not_skip_epochs(spark, tmp_path):
     """Epoch ids restart at 0 with a rebuilt checkpoint dir; because
     the index batch key is namespaced by the streaming query id, a NEW

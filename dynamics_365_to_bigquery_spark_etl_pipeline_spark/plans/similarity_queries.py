@@ -115,6 +115,23 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp = tuple(
         (f, os.path.getsize(f), os.path.getmtime(f)) for f in files
     )
+    # size guard (r7 verdict nit): the layout is a corpus-sized copy
+    # under /tmp forced by the (spark, sf_dir) driver contract — refuse
+    # loudly past a cap instead of silently filling the scratch disk;
+    # production callers build once via build_ivf_layout to a managed
+    # location and amortize.
+    total_bytes = sum(s for _f, s, _m in stamp)
+    cap_mb = int(os.environ.get("SPARK_GRAFT_IVF_LAYOUT_MAX_MB", "8192"))
+    if total_bytes > cap_mb * 1024 * 1024:
+        raise RuntimeError(
+            f"q_sim_ivf_layout_topk: embeddings at {sf_dir} are "
+            f"{total_bytes // (1024 * 1024)} MiB > "
+            f"SPARK_GRAFT_IVF_LAYOUT_MAX_MB={cap_mb}; "
+            "the per-process /tmp layout copy is a harness convenience — "
+            "at this scale build the layout once with "
+            "similarity.build_ivf_layout(out=<managed path>) and query "
+            "via matmul_topk_from_layout"
+        )
     key = (sf_dir, stamp)
     layout = _LAYOUT_CACHE.get(key)
     if layout is None:

@@ -186,3 +186,16 @@ def test_ivf_layout_cache_invalidated_on_fixture_rewrite(spark, tmp_path):
     # return them, the stale one would have
     assert all(n % 2 == 0 for _q, n in neighbors_second)
     assert neighbors_second != neighbors_first
+
+
+def test_ivf_layout_size_guard(spark, tmp_path, monkeypatch):
+    """Past the configurable cap, the per-process /tmp layout build
+    refuses loudly with a pointer at build_ivf_layout instead of
+    silently copying a huge corpus into scratch space."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
+        similarity_queries as SQ,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_IVF_LAYOUT_MAX_MB", "0")
+    with pytest.raises(RuntimeError, match="build_ivf_layout"):
+        SQ.q_sim_ivf_layout_topk(spark, SF_DIR)

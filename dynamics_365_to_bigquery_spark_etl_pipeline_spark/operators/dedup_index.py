@@ -78,6 +78,10 @@ class LshDedupIndex:
         self.path = path
         self.jaccard_min = jaccard_min
         self.sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
+        if batch_buckets is not None and batch_buckets < 1:
+            # same falsy-zero trap the CLI rejects: 0 must be an error,
+            # not a silent fallback to the default
+            raise ValueError(f"batch_buckets must be >= 1 (got {batch_buckets})")
         self.batch_buckets = batch_buckets or self.BATCH_BUCKETS
         os.makedirs(path, exist_ok=True)
 
@@ -139,10 +143,15 @@ class LshDedupIndex:
     def _table_name(self, batch_id: str) -> str:
         """Session-catalog name for a postings dir's bucketed table:
         derived from the index path (so two indexes never collide) and
-        the batch id (unique per dir; compaction generations included)."""
+        the batch id. The readable sanitized id is for humans; the
+        appended digest of the RAW id is what guarantees uniqueness —
+        sanitization alone maps distinct ids like 'b.1' and 'b-1' to
+        the same name, which would silently alias one batch's postings
+        to another's files (review finding, r8)."""
         digest = hashlib.md5(os.path.abspath(self.path).encode()).hexdigest()[:10]
-        safe = "".join(c if c.isalnum() else "_" for c in batch_id)
-        return f"lshidx_{digest}_{safe}"
+        bdigest = hashlib.md5(batch_id.encode()).hexdigest()[:8]
+        safe = "".join(c if c.isalnum() else "_" for c in batch_id)[:40]
+        return f"lshidx_{digest}_{safe}_{bdigest}"
 
     def _drop_table(self, batch_id: str) -> None:
         self.spark.sql(
@@ -178,10 +187,11 @@ class LshDedupIndex:
         name = self._table_name(batch_id)
         if not self.spark.catalog.tableExists(name):
             loc = os.path.abspath(self._store("buckets", batch_id))
+            loc_sql = loc.replace("'", "''")  # paths may contain quotes
             self.spark.sql(
                 f"CREATE TABLE {name} (band_hash STRING, doc_id BIGINT) "
                 f"USING PARQUET CLUSTERED BY (band_hash) INTO {n} BUCKETS "
-                f"LOCATION '{loc}'"
+                f"LOCATION '{loc_sql}'"
             )
         return self.spark.table(name).select("band_hash", "doc_id")
 

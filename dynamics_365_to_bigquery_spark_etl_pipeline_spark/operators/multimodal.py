@@ -110,6 +110,13 @@ def make_wav_tools(samples_per_frame: int = 32):
                     raise ValueError(
                         f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})"
                     )
+                if ch < 1 or sr < 1:
+                    # fail-loud contract: a zero here would surface as
+                    # ZeroDivisionError deep in frames()/meta() instead
+                    # of the promised ValueError (review finding, r8)
+                    raise ValueError(
+                        f"degenerate fmt chunk (channels={ch}, rate={sr})"
+                    )
                 fmt = (ch, sr, ba)
             elif cid == b"data":
                 if body + csize > len(payload):

@@ -367,6 +367,50 @@ def grid_near_dup_pairs(
     )
 
 
+def exact_vector_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The exact-dedup pre-pass shared by every routed vector operator
+    (grid, SemDeDup kernel, and the oracled SemDeDup query) — one
+    implementation so the collision-verification and staging discipline
+    can't drift across copies (review finding, r8).
+
+    Collapse bit-identical vectors: group on a 64-bit vector hash, then
+    verify TRUE array equality inside the group so a hash collision can
+    never merge distinct vectors; representative = min id. Returns
+    ``(reps, slim)``:
+
+    - ``reps`` — one row per distinct vector: (_rid, _gh, _rv);
+    - ``slim`` — the (representative, member) id map: (_rid, _gid),
+      two longs per row — the only thing the output fan-out shuffles.
+
+    Both are ``lazy_stage``d: each feeds several consumers and
+    ReuseExchange does not fire across those self-joins (different
+    downstream keys), so without the cut every consumer re-runs the
+    dedup groupBy/join subtree; the stage materializes on first action,
+    never at plan-construction time."""
+    mem = corpus.select(
+        F.col(id_col).alias("_gid"),
+        F.col(vec_col).alias("_gv"),
+        F.xxhash64(F.col(vec_col)).alias("_gh"),
+    )
+    reps = (
+        mem.groupBy("_gh", "_gv")
+        .agg(F.min("_gid").alias("_rid"))
+        .select("_rid", "_gh", F.col("_gv").alias("_rv"))
+        .transform(lazy_stage)
+    )
+    slim = (
+        mem.join(reps, "_gh")
+        .where(F.col("_gv") == F.col("_rv"))
+        .select("_rid", "_gid")
+        .transform(lazy_stage)
+    )
+    return reps, slim
+
+
 def grid_near_dup_pairs_deduped(
     corpus: DataFrame,
     threshold: float,
@@ -398,25 +442,7 @@ def grid_near_dup_pairs_deduped(
     Measured sf1 (10x-cloned fixture + injected copies, 143,500 result
     pairs): 143.1 s -> 3.1 s (46x), identical pair set by count +
     hashsum at sf0.01/sf0.1/sf1 (SCALING.md round 7)."""
-    mem = corpus.select(
-        F.col(id_col).alias("_gid"),
-        F.col(vec_col).alias("_gv"),
-        F.xxhash64(F.col(vec_col)).alias("_gh"),
-    )
-    # STAGED (review finding): reps feeds the grid (which scans its
-    # corpus arg three times) and the member tagging; slim feeds four
-    # fan-out consumers. Without materialization each consumer re-runs
-    # the dedup groupBy/join subtree (ReuseExchange can't merge them —
-    # different downstream keys).
-    reps = (
-        mem.groupBy("_gh", "_gv")
-        .agg(F.min("_gid").alias("_rid"))
-        .select("_rid", "_gh", F.col("_gv").alias("_rv"))
-        .transform(lazy_stage)
-    )
-    # member -> its group's representative: equi-join on the hash,
-    # verified by true array equality (collision-proof)
-    tagged = mem.join(reps, "_gh").where(F.col("_gv") == F.col("_rv"))
+    reps, slim = exact_vector_dedup(corpus, id_col, vec_col)
 
     rep_pairs = grid_near_dup_pairs(
         reps.select(F.col("_rid").alias(id_col), F.col("_rv").alias(vec_col)),
@@ -427,7 +453,6 @@ def grid_near_dup_pairs_deduped(
         n_rows=n_rows,
         dim=dim,
     )
-    slim = tagged.select("_rid", "_gid").transform(lazy_stage)  # two longs/row
     ma = slim.select(F.col("_rid").alias("id_a"), F.col("_gid").alias("_ma"))
     mb = slim.select(F.col("_rid").alias("id_b"), F.col("_gid").alias("_mb"))
     cross = (
@@ -751,26 +776,9 @@ def semantic_dedup_pairs_deduped(
     instead of |members|; everything after is linear in the OUTPUT.
     Clone-free corpora pass through with one extra hash-aggregate.
     Raw-vs-routed sf1 measurements: SCALING.md (round 8)."""
-    mem = corpus.select(
-        F.col(id_col).alias("_gid"),
-        F.col(vec_col).alias("_gv"),
-        F.xxhash64(F.col(vec_col)).alias("_gh"),
-    )
-    # STAGED like grid_near_dup_pairs_deduped: reps feeds assignment
-    # (which collects nothing but is consumed by the kernel) and member
-    # tagging; slim feeds the three fan-out consumers; rep_all is an
-    # applyInPandas output consumed twice (cross + intra legs). Without
-    # materialization each consumer re-runs the dedup + assignment +
-    # kernel subtree. eager=False: build the plan lazily, materialize on
-    # first action (ADVICE r7 — plan construction must not run jobs).
-    reps = (
-        mem.groupBy("_gh", "_gv")
-        .agg(F.min("_gid").alias("_rid"))
-        .select("_rid", "_gh", F.col("_gv").alias("_rv"))
-        .transform(lazy_stage)
-    )
-    tagged = mem.join(reps, "_gh").where(F.col("_gv") == F.col("_rv"))
-    slim = tagged.select("_rid", "_gid").transform(lazy_stage)
+    # rep_all below is an applyInPandas output consumed twice
+    # (cross + intra legs), hence its own stage
+    reps, slim = exact_vector_dedup(corpus, id_col, vec_col)
 
     assigned = assign_ivf_buckets_matmul(
         reps.select(F.col("_rid").alias(id_col), F.col("_rv").alias(vec_col)),

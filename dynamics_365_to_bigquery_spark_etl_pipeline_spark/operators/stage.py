@@ -32,23 +32,36 @@ as SCALING.md documents for each call site.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+# Serializes the conf-flip window: two concurrent lazy_stage calls with
+# interleaved read-set-restore would capture each other's "false" as the
+# value to restore and leave AQE/broadcast disabled session-wide
+# (review finding, r8). The residual caveat — an UNRELATED thread
+# compiling a plan inside another thread's window loses AQE/broadcast
+# for that one plan — is inherent to session-scoped conf; none of this
+# repo's concurrent paths (streaming foreachBatch) build lazy_stage
+# queries, and the window is plan-compile-only (no jobs run inside it).
+_STAGE_LOCK = threading.Lock()
 
 
 def lazy_stage(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
-    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # broadcast exchanges submit their build job at execute() — i.e. at
-    # checkpoint-RDD creation, which would materialize the build side
-    # at plan-construction time. Compile the staged subplan without
-    # broadcast joins: scale-consistent (the frames these pipelines
-    # stage are corpus-sized member maps that would never broadcast at
-    # real scale) and measured as noise at bench scale.
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        return df.localCheckpoint(eager=False)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    with _STAGE_LOCK:
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # broadcast exchanges submit their build job at execute() — i.e.
+        # at checkpoint-RDD creation, which would materialize the build
+        # side at plan-construction time. Compile the staged subplan
+        # without broadcast joins: scale-consistent (the frames these
+        # pipelines stage are corpus-sized member maps that would never
+        # broadcast at real scale) and measured as noise at bench scale.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            return df.localCheckpoint(eager=False)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)

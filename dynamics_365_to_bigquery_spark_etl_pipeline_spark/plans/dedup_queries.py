@@ -468,33 +468,19 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_paths.py; A/B in scripts/ab_semantic_routing.py);
     the production BLAS kernel (`similarity.semantic_dedup_pairs`) and
     its routed twin are pair-set-tested against both."""
-    from ..operators.similarity import assign_ivf_buckets, cosine
+    from ..operators.similarity import (
+        assign_ivf_buckets,
+        cosine,
+        exact_vector_dedup,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = _embedding_corpus(spark, sf_dir)
     seeds = emb.filter(F.col("vec_id") < SEM_CENTROIDS)
 
-    mem = corpus.select(
-        F.col("vec_id").alias("_gid"),
-        F.col("embedding").alias("_gv"),
-        F.xxhash64("embedding").alias("_gh"),
-    )
-    # staged (same shape as grid_near_dup_pairs_deduped): reps feeds the
-    # member tagging and the assignment; slim feeds three fan-out
-    # consumers; assigned feeds the self-join's two sides + the intra
-    # gate. eager=False — plan construction must not run jobs.
-    reps = (
-        mem.groupBy("_gh", "_gv")
-        .agg(F.min("_gid").alias("_rid"))
-        .select("_rid", "_gh", F.col("_gv").alias("_rv"))
-        .transform(lazy_stage)
-    )
-    slim = (
-        mem.join(reps, "_gh")
-        .where(F.col("_gv") == F.col("_rv"))
-        .select("_rid", "_gid")
-        .transform(lazy_stage)
-    )
+    # assigned additionally feeds the self-join's two sides + the intra
+    # gate, hence its own stage
+    reps, slim = exact_vector_dedup(corpus, "vec_id", "embedding")
     assigned = assign_ivf_buckets(
         reps.select(F.col("_rid").alias("vec_id"), F.col("_rv").alias("embedding")),
         seeds,

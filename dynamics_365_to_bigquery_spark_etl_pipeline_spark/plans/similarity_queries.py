@@ -135,14 +135,21 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, stamp)
     layout = _LAYOUT_CACHE.get(key)
     if layout is None:
+        # evict stale entries for this sf_dir so they're never SERVED
+        # again — but RETIRE the dirs instead of deleting (review
+        # finding, r8): a DataFrame returned by an earlier call may
+        # still reference those parquet files; deletion happens at
+        # process exit, like every other layout dir.
         for old_key in [k for k in _LAYOUT_CACHE if k[0] == sf_dir]:
-            shutil.rmtree(_LAYOUT_CACHE.pop(old_key), ignore_errors=True)
+            _RETIRED_LAYOUTS.append(_LAYOUT_CACHE.pop(old_key))
         layout = tempfile.mkdtemp(prefix="spark_graft_ivf_layout_")
-        if not _LAYOUT_CACHE:
+        global _GC_REGISTERED
+        if not _GC_REGISTERED:
+            _GC_REGISTERED = True
             atexit.register(
                 lambda: [
                     shutil.rmtree(p, ignore_errors=True)
-                    for p in _LAYOUT_CACHE.values()
+                    for p in list(_LAYOUT_CACHE.values()) + _RETIRED_LAYOUTS
                 ]
             )
         S.build_ivf_layout(emb, trained, layout, scorer="matmul")
@@ -153,6 +160,8 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LAYOUT_CACHE: dict[tuple, str] = {}
+_RETIRED_LAYOUTS: list[str] = []
+_GC_REGISTERED = False
 
 
 QUERIES = {

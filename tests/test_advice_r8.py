@@ -179,8 +179,10 @@ def test_ivf_layout_cache_invalidated_on_fixture_rewrite(spark, tmp_path):
     ]
     live = [v for k, v in SQ._LAYOUT_CACHE.items() if k[0] == str(sf)]
     assert live and live != stale, "stale layout served after rewrite"
+    # stale dirs are RETIRED (earlier DataFrames may still read them;
+    # deleted at process exit), never re-served
     for old in stale:
-        assert not os.path.exists(old), "stale layout dir not GC'd"
+        assert old in SQ._RETIRED_LAYOUTS and os.path.exists(old)
     assert neighbors_first and neighbors_second
     # odd vec_ids vanished from the corpus: the rebuilt index must not
     # return them, the stale one would have

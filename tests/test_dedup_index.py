@@ -413,3 +413,19 @@ def test_probe_is_colocated_no_exchange_on_postings_side(spark, tmp_path):
     )
     got = {(r.id_a, r.id_b) for r in idx2.add_batch(b3, "b3").collect()}
     assert len(got) > 0
+
+
+def test_table_names_unique_for_colliding_batch_ids(spark, tmp_path):
+    """Review finding (r8): sanitization maps 'b.1' and 'b-1' to the
+    same identifier — the raw-id digest in the table name must keep
+    distinct batch ids on distinct catalog tables (aliasing would
+    silently probe the wrong batch's postings and double/drop postings
+    at compaction)."""
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    assert idx._table_name("b.1") != idx._table_name("b-1")
+    assert idx._table_name("2024-01-01") != idx._table_name("2024_01_01")
+    # and invalid bucket counts fail loudly (the CLI's falsy-zero rule)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="batch_buckets"):
+        LshDedupIndex(spark, str(tmp_path / "idx2"), batch_buckets=0)

@@ -80,6 +80,14 @@ def test_parser_walks_chunk_list_not_fixed_offsets():
         (lambda p: p[:30], "truncated fmt"),
         # audio_format flipped to 3 (IEEE float): unsupported
         (lambda p: p[:20] + b"\x03\x00" + p[22:], "unsupported WAV"),
+        # channels=0 with matching block_align=0: must be ValueError,
+        # never a ZeroDivisionError from frames()/meta()
+        (
+            lambda p: p[:22] + b"\x00\x00" + p[24:32] + b"\x00\x00" + p[34:],
+            "degenerate fmt",
+        ),
+        # sample_rate=0
+        (lambda p: p[:24] + b"\x00\x00\x00\x00" + p[28:], "degenerate fmt"),
         # data size says more bytes than the payload holds
         (
             lambda p: p[:40] + struct.pack("<I", 10_000) + p[44:],

@@ -23,6 +23,8 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -262,6 +264,114 @@ def simhash64(text: Column) -> Column:
     arrays in selects first (see q_dedup_simhash)."""
     sh = shingles(text)
     return simhash64_blocks(feature_hashes(sh, 0), feature_hashes(sh, 1))
+
+
+def feature_hashes_fast(features: Column) -> Column:
+    """xxhash64 per feature — the at-scale hash family for the fast
+    SimHash path (one native 64-bit hash per shingle instead of two
+    md5-string 60-bit portable hashes). Not SQL-portable: queries on it
+    are rows-only checked, with fixture pair-set agreement vs the md5
+    family asserted in pytest (the two families CAN legitimately differ
+    near the hamming threshold — SimHash has no exact verify step — so
+    the test pins the injected dups, which sit far from the margin)."""
+    return F.transform(features, lambda s: F.xxhash64(s))
+
+
+def make_simhash_blocks64_arrow():
+    """Arrow majority fold for the fast family: ONE 64-bit hash array
+    per doc (xxhash64 carries 64 real bits, so no second seed is
+    needed); blocks 0-3 are the per-bit majorities of bits 0-15, 16-31,
+    32-47, 48-63. Same batch-numpy shape as
+    ``make_simhash_blocks_arrow``."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    B = SIMHASH_BLOCK_BITS
+
+    @pandas_udf("array<long>")
+    def blocks(h: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(v) for v in h), dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series([[0, 0, 0, 0]] * len(h))
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in h]
+        ).astype(np.uint64)
+        bits = (
+            (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        counts = np.add.reduceat(bits, starts, axis=0)
+        if (lens == 0).any():
+            counts[lens == 0] = 0
+        maj = (counts * 2 > lens[:, None]).astype(np.int64)
+        w = 1 << np.arange(B, dtype=np.int64)
+        out = np.stack(
+            [maj[:, i * B : (i + 1) * B] @ w for i in range(SIMHASH_BLOCKS)],
+            axis=1,
+        )
+        return pd.Series(list(out)).map(lambda a: a.tolist())
+
+    return blocks
+
+
+def make_simhash_blocks_arrow():
+    """Arrow-vectorized twin of ``simhash64_blocks`` (r8 — the
+    production signature step): the JVM fold is optimal as interpreted
+    HOFs go (one aggregate pass, 32 int ops per element), but it is
+    STILL interpreted — 64 bit-tests x ~100 shingles x n docs dominated
+    the sf1 simhash wall. This kernel takes the SAME JVM-computed hash
+    arrays (values identical by construction — hashing stays md5/JVM
+    so the DuckDB oracle is untouched) and does the majority fold as
+    batch numpy: unpack all 32 bits of every hash in the Arrow batch at
+    once, per-row bit counts via ``np.add.reduceat`` over row offsets,
+    strict-majority (count*2 > n) threshold, pack 16-bit blocks. Pure
+    integer ops — results are bit-identical to the JVM fold
+    (equivalence-tested on the full corpus in pytest).
+
+    Factory returning a pandas_udf built at call time (UDF return-type
+    parsing needs an active session; closures ship by value for bare
+    sessions)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    B = SIMHASH_BLOCK_BITS  # captured locally: the closure must not
+    # reference module globals (bare-session pickling rule)
+    nbits = 2 * B  # 32 bits used per hash family
+
+    def majority_words(series: pd.Series):
+        lens = np.fromiter((len(v) for v in series), dtype=np.int64)
+        if lens.sum() == 0:
+            z = np.zeros(len(series), dtype=np.int64)
+            return z, z
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in series]
+        ).astype(np.uint64)
+        bits = (
+            (flat[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)  # (total, 32)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        counts = np.add.reduceat(bits, starts, axis=0)  # (rows, 32)
+        # reduceat quirk: a zero-length row copies the NEXT row's
+        # slice — upstream filters empty shingle sets, but guard anyway
+        if (lens == 0).any():
+            counts[lens == 0] = 0
+        maj = (counts * 2 > lens[:, None]).astype(np.int64)
+        w = 1 << np.arange(B, dtype=np.int64)
+        return maj[:, :B] @ w, maj[:, B:] @ w
+
+    @pandas_udf("array<long>")
+    def blocks(h0: pd.Series, h1: pd.Series) -> pd.Series:
+        b0, b1 = majority_words(h0)
+        b2, b3 = majority_words(h1)
+        return pd.Series(
+            list(np.stack([b0, b1, b2, b3], axis=1))
+        ).map(lambda a: a.tolist())
+
+    return blocks
 
 
 def hamming64(blocks_a: Column, blocks_b: Column) -> Column:

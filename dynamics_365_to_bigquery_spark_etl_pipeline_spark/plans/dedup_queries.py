@@ -257,7 +257,10 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(
-    spark: SparkSession, sf_dir: str, minblock: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    minblock: bool = True,
+    jvm_fold: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature (4 x 16-bit blocks) over
     3-token-shingle features, pigeonhole LSH on (block_id, block_val) —
@@ -270,7 +273,15 @@ def q_dedup_simhash(
     tracks the true duplicate count, not n^2. Features are shingles, not
     unigrams — over the fixture's 31-word vocabulary, unigram
     frequency profiles are near-identical across ALL docs and the
-    signature collapses (see operators/dedup.py feature_hashes)."""
+    signature collapses (see operators/dedup.py feature_hashes).
+
+    r8: the MAJORITY FOLD runs as the Arrow-vectorized kernel
+    (``make_simhash_blocks_arrow`` — batch numpy over the SAME
+    JVM-computed hash arrays, blocks bit-identical, oracle untouched):
+    the r7 one-aggregate JVM fold is HOF-optimal but still interpreted,
+    and its 64 bit-tests x ~100 shingles x n docs dominated the sf1
+    wall. ``jvm_fold=True`` keeps the all-JVM twin for the equivalence
+    test + A/B (scripts/ab_simhash_fold.py)."""
     corpus = _corpus(spark, sf_dir)
     sh = corpus.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
@@ -286,9 +297,42 @@ def q_dedup_simhash(
         D.feature_hashes(F.col("sh"), 0).alias("h0"),
         D.feature_hashes(F.col("sh"), 1).alias("h1"),
     ).repartition("doc_id")
-    sigs = hashed.select(
-        "doc_id", D.simhash64_blocks(F.col("h0"), F.col("h1")).alias("blocks")
+    fold = (
+        D.simhash64_blocks(F.col("h0"), F.col("h1"))
+        if jvm_fold
+        else D.make_simhash_blocks_arrow()(F.col("h0"), F.col("h1"))
     )
+    sigs = hashed.select("doc_id", fold.alias("blocks"))
+    return _simhash_pairs_from_sigs(sigs, minblock)
+
+
+def q_dedup_simhash_fast(
+    spark: SparkSession, sf_dir: str, minblock: bool = True
+) -> DataFrame:
+    """Production-hash SimHash (r8): ONE xxhash64 per shingle carrying
+    all 64 signature bits (the md5 path pays two md5-string portable
+    hashes per shingle — the sf1 profile's dominant term), majority
+    fold via the 64-bit Arrow kernel, identical LSH/verify downstream.
+    Rows-only checked (xxhash64 isn't SQL-portable); fixture pair-set
+    agreement with the oracled md5 family is asserted in pytest — the
+    families can legitimately differ near the hamming threshold (no
+    exact verify step in SimHash), the injected dups sit far from it."""
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    hashed = sh.select(
+        "doc_id", D.feature_hashes_fast(F.col("sh")).alias("h")
+    ).repartition("doc_id")
+    sigs = hashed.select(
+        "doc_id", D.make_simhash_blocks64_arrow()(F.col("h")).alias("blocks")
+    )
+    return _simhash_pairs_from_sigs(sigs, minblock)
+
+
+def _simhash_pairs_from_sigs(sigs: DataFrame, minblock: bool) -> DataFrame:
+    """Shared LSH + verify downstream of both SimHash families:
+    pigeonhole block join, min-block emission, exact hamming."""
     # staged like the minhash postings (r7): the self-join otherwise
     # computes the signature subtree once per side
     exploded = sigs.select(
@@ -617,6 +661,9 @@ EXTRA_QUERIES = {
     # family isn't SQL-portable, so its real check is the pair-set
     # equivalence test in tests/test_tierb_operators.py.
     "q_dedup_minhash_fast": q_dedup_minhash_fast,
+    # r8: xxhash64 + Arrow-fold twin of the registered md5 simhash
+    # (rows-only; fixture pair-set agreement asserted in pytest)
+    "q_dedup_simhash_fast": q_dedup_simhash_fast,
     # SemDeDup-shaped cluster-then-pairwise near-dup (full SQL oracle;
     # the grid query is the full-recall twin of the same threshold)
     "q_dedup_semantic": q_dedup_semantic,

@@ -440,3 +440,100 @@ def test_hll_sliding_from_merged_hourly_sketches(spark):
         assert abs(e - exact[key]) <= max(1, 0.02 * exact[key]), (
             key, e, exact[key],
         )
+
+
+def test_simhash_arrow_fold_bit_identical_to_jvm(spark):
+    """r8: the Arrow-vectorized majority fold must produce BIT-IDENTICAL
+    block arrays to the JVM aggregate fold over the full fixture corpus
+    (same JVM-computed hash inputs — pure integer majority both ways),
+    and therefore an identical pair set end to end."""
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import dedup as D
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.dedup_queries import (
+        _corpus,
+        q_dedup_simhash,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _corpus(spark, sf)
+    hashed = corpus.select(
+        "doc_id",
+        D.feature_hashes(D.shingles(F.col("text")), 0).alias("h0"),
+        D.feature_hashes(D.shingles(F.col("text")), 1).alias("h1"),
+    ).filter(F.size("h0") > 0)
+    jvm = {
+        r.doc_id: r.blocks
+        for r in hashed.select(
+            "doc_id", D.simhash64_blocks(F.col("h0"), F.col("h1")).alias("blocks")
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: r.blocks
+        for r in hashed.select(
+            "doc_id",
+            D.make_simhash_blocks_arrow()(F.col("h0"), F.col("h1")).alias("blocks"),
+        ).collect()
+    }
+    assert arrow == jvm and len(jvm) > 100
+
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in q_dedup_simhash(spark, sf, jvm_fold=True).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in q_dedup_simhash(spark, sf, jvm_fold=False).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_simhash_fast_family_agreement(spark):
+    """The xxhash64 fast family vs the oracled md5 family: pair sets
+    legitimately differ near the hamming margin (SimHash has no exact
+    verify), so the contract pinned here is (a) every injected EXACT
+    clone is found by BOTH at hamming 0, (b) every pair either family
+    emits is a GENUINE near-dup (true shingle-Jaccard >= 0.8 — no junk
+    admissions), (c) the families agree on the core (>= 60% overlap)."""
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import dedup as D
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.dedup_queries import (
+        EXACT_MOD,
+        _corpus,
+        q_dedup_simhash,
+        q_dedup_simhash_fast,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    md5p = {(r.id_a, r.id_b): r.hamming for r in q_dedup_simhash(spark, sf).collect()}
+    fast = {
+        (r.id_a, r.id_b): r.hamming
+        for r in q_dedup_simhash_fast(spark, sf).collect()
+    }
+
+    corpus = _corpus(spark, sf)
+    shingle_sets = {
+        r.doc_id: set(r.sh)
+        for r in corpus.select(
+            "doc_id", D.shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    clones = {
+        (r.doc_id, r.doc_id + 2_000_000)
+        for r in corpus.filter(
+            (F.col("doc_id") % EXACT_MOD == 0) & (F.col("doc_id") < 1_000_000)
+        ).collect()
+        if shingle_sets.get(r.doc_id)
+    }
+    assert clones and all(md5p.get(p) == 0 for p in clones)
+    assert all(fast.get(p) == 0 for p in clones)
+
+    def jac(a, b):
+        A, B = shingle_sets[a], shingle_sets[b]
+        return len(A & B) / len(A | B)
+
+    for fam in (md5p, fast):
+        assert all(jac(a, b) >= 0.8 for a, b in fam)
+    inter, union = len(md5p.keys() & fast.keys()), len(md5p.keys() | fast.keys())
+    assert inter / union >= 0.6, (inter, union)

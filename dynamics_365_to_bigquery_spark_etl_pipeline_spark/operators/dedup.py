@@ -266,6 +266,43 @@ def simhash64(text: Column) -> Column:
     return simhash64_blocks(feature_hashes(sh, 0), feature_hashes(sh, 1))
 
 
+def exact_text_dedup(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The exact-dedup pre-pass shared by the routed TEXT near-dup
+    families (minhash, simhash) — one implementation, mirroring
+    ``similarity.exact_vector_dedup`` for the vector families.
+
+    Keys are TWO independent 64-bit text hashes, not the raw text: the
+    member join then moves 16 bytes per row instead of whole document
+    bodies (at 100 TB the text shuffle would dominate the "O(n) exact
+    dedup" step). A 128-bit collision would be needed to merge two
+    distinct texts (~2^-64 per pair — far below any physical error
+    rate); the groupBy still moves each text once, which is inherent
+    (representatives carry the text into shingling).
+
+    Returns ``(reps, mem)``: ``reps`` = one (doc_id, text) row per
+    distinct text (doc_id = min member id); ``mem`` = the
+    (member doc_id, _rid) map — two longs per row, the only thing the
+    output fan-out shuffles."""
+    hashed = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.xxhash64(text_col).alias("_h1"),
+        F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
+    )
+    groups = hashed.groupBy("_h1", "_h2").agg(
+        F.min("doc_id").alias("_rid"), F.first("text").alias("text")
+    )
+    mem = (
+        hashed.drop("text")
+        .join(groups.select("_h1", "_h2", "_rid"), ["_h1", "_h2"])
+        .select("doc_id", "_rid")
+    )
+    reps = groups.select(F.col("_rid").alias("doc_id"), "text")
+    return reps, mem
+
+
 def feature_hashes_fast(features: Column) -> Column:
     """xxhash64 per feature — the at-scale hash family for the fast
     SimHash path (one native 64-bit hash per shingle instead of two

@@ -119,28 +119,7 @@ def _minhash_pairs(
     391k-pair output plus the irreducible rep-level pipeline
     (SCALING.md round 7)."""
     corpus = _corpus(spark, sf_dir)
-    # Exact-dedup keys are TWO independent 64-bit text hashes, not the
-    # raw text: the member join then moves 16 bytes per row instead of
-    # whole document bodies (at 100 TB the text shuffle would dominate
-    # the "O(n) exact dedup" step). A 128-bit collision would be needed
-    # to merge two distinct texts (~2^-64 per pair — far below any
-    # physical error rate); the groupBy still moves each text once,
-    # which is inherent (reps carry the text into shingling).
-    hashed = corpus.select(
-        "doc_id",
-        "text",
-        F.xxhash64("text").alias("_h1"),
-        F.xxhash64(F.lit(1), F.col("text")).alias("_h2"),
-    )
-    groups = hashed.groupBy("_h1", "_h2").agg(
-        F.min("doc_id").alias("_rid"), F.first("text").alias("text")
-    )
-    mem = (
-        hashed.drop("text")
-        .join(groups.select("_h1", "_h2", "_rid"), ["_h1", "_h2"])
-        .select("doc_id", "_rid")
-    )
-    reps = groups.select(F.col("_rid").alias("doc_id"), "text")
+    reps, mem = D.exact_text_dedup(corpus)
 
     sh = reps.select(
         "doc_id", D.shingles(F.col("text")).alias("sh")
@@ -260,7 +239,8 @@ def q_dedup_simhash(
     spark: SparkSession,
     sf_dir: str,
     minblock: bool = True,
-    jvm_fold: bool = False,
+    jvm_fold: bool = True,
+    routed: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature (4 x 16-bit blocks) over
     3-token-shingle features, pigeonhole LSH on (block_id, block_val) —
@@ -275,15 +255,41 @@ def q_dedup_simhash(
     frequency profiles are near-identical across ALL docs and the
     signature collapses (see operators/dedup.py feature_hashes).
 
-    r8: the MAJORITY FOLD runs as the Arrow-vectorized kernel
-    (``make_simhash_blocks_arrow`` — batch numpy over the SAME
-    JVM-computed hash arrays, blocks bit-identical, oracle untouched):
-    the r7 one-aggregate JVM fold is HOF-optimal but still interpreted,
-    and its 64 bit-tests x ~100 shingles x n docs dominated the sf1
-    wall. ``jvm_fold=True`` keeps the all-JVM twin for the equivalence
-    test + A/B (scripts/ab_simhash_fold.py)."""
+    r8 took this query from ~62 s at sf1 to ~5 s in three measured
+    steps (scripts/ab_simhash_fold.py; pairs identical at every step):
+
+    1. stage the SIGNATURES, not the exploded postings — the r7 plan
+       checkpointed post-explode (4 rows/doc each duplicating the
+       blocks array); checkpointing ``sigs`` (one 5-long row/doc) and
+       re-deriving the explode per consumer is ~3x;
+    2. ROUTE through exact text dedup (``routed=True`` — the last text
+       family to join the routing law): identical texts have identical
+       shingles, hash arrays, and therefore identical BLOCKS, so a
+       member pair block-collides iff its rep pair does with the SAME
+       hamming, clone-group intra pairs sit at hamming 0 by
+       construction, and the pair set is preserved exactly
+       (equivalence-tested; the DuckDB oracle stays the unrouted full
+       composition and independently verifies it). Beyond paying
+       |distinct texts|, the dedup's shuffle is a MATERIALIZATION
+       BARRIER: shingling over the raw corpus UNION (with its
+       derived-text branch) measured ~4x slower than over post-shuffle
+       storage columns — routing provides the barrier for free;
+    3. fold choice: with 1-2 in place the folds are WITHIN NOISE at
+       fixture doc lengths (~30 words — the Arrow transfer of the hash
+       arrays offsets what the batch-numpy majority saves), so the
+       default stays the all-JVM aggregate (no Python workers in the
+       oracled query); ``jvm_fold=False`` runs
+       ``make_simhash_blocks_arrow`` (blocks BIT-IDENTICAL, tested) —
+       the fold for long-document corpora, where the interpreted
+       per-element work grows with shingles/doc while transfer is the
+       same bytes either way."""
     corpus = _corpus(spark, sf_dir)
-    sh = corpus.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
+    if routed:
+        reps, mem = D.exact_text_dedup(corpus)
+        src = reps
+    else:  # pre-r8 reference twin for the A/B + equivalence tests
+        src = corpus
+    sh = src.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
     # repartition = materialization BARRIER: without it CollapseProject
@@ -302,23 +308,33 @@ def q_dedup_simhash(
         if jvm_fold
         else D.make_simhash_blocks_arrow()(F.col("h0"), F.col("h1"))
     )
-    sigs = hashed.select("doc_id", fold.alias("blocks"))
-    return _simhash_pairs_from_sigs(sigs, minblock)
+    sigs = hashed.select("doc_id", fold.alias("blocks")).transform(lazy_stage)
+    pairs = _simhash_pairs_from_sigs(sigs, minblock)
+    return _simhash_route_fanout(pairs, mem, sigs) if routed else pairs
 
 
 def q_dedup_simhash_fast(
-    spark: SparkSession, sf_dir: str, minblock: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    minblock: bool = True,
+    routed: bool = True,
 ) -> DataFrame:
     """Production-hash SimHash (r8): ONE xxhash64 per shingle carrying
     all 64 signature bits (the md5 path pays two md5-string portable
     hashes per shingle — the sf1 profile's dominant term), majority
-    fold via the 64-bit Arrow kernel, identical LSH/verify downstream.
+    fold via the 64-bit Arrow kernel, identical LSH/verify downstream,
+    routed through exact text dedup like the md5 family.
     Rows-only checked (xxhash64 isn't SQL-portable); fixture pair-set
     agreement with the oracled md5 family is asserted in pytest — the
     families can legitimately differ near the hamming threshold (no
     exact verify step in SimHash), the injected dups sit far from it."""
     corpus = _corpus(spark, sf_dir)
-    sh = corpus.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
+    if routed:
+        reps, mem = D.exact_text_dedup(corpus)
+        src = reps
+    else:
+        src = corpus
+    sh = src.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
     hashed = sh.select(
@@ -326,18 +342,55 @@ def q_dedup_simhash_fast(
     ).repartition("doc_id")
     sigs = hashed.select(
         "doc_id", D.make_simhash_blocks64_arrow()(F.col("h")).alias("blocks")
+    ).transform(lazy_stage)
+    pairs = _simhash_pairs_from_sigs(sigs, minblock)
+    return _simhash_route_fanout(pairs, mem, sigs) if routed else pairs
+
+
+def _simhash_route_fanout(
+    rep_pairs: DataFrame, mem: DataFrame, sigs: DataFrame
+) -> DataFrame:
+    """Fan rep-level simhash pairs out to member pairs (hamming rides —
+    clones share blocks, so a member pair's hamming IS its rep pair's)
+    and emit clone-group intra pairs at hamming 0 (identical blocks),
+    restricted to members whose group produced postings (non-empty
+    shingles — the same exclusion the raw pipeline applies)."""
+    live = mem.join(
+        sigs.select(F.col("doc_id").alias("_rid")), "_rid", "left_semi"
+    ).transform(lazy_stage)
+    ma = live.select(F.col("_rid").alias("id_a"), F.col("doc_id").alias("_ma"))
+    mb = live.select(F.col("_rid").alias("id_b"), F.col("doc_id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "hamming",
+        )
     )
-    return _simhash_pairs_from_sigs(sigs, minblock)
+    x, y = live.alias("x"), live.alias("y")
+    intra = (
+        x.join(y, "_rid")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def _simhash_pairs_from_sigs(sigs: DataFrame, minblock: bool) -> DataFrame:
     """Shared LSH + verify downstream of both SimHash families:
-    pigeonhole block join, min-block emission, exact hamming."""
-    # staged like the minhash postings (r7): the self-join otherwise
-    # computes the signature subtree once per side
+    pigeonhole block join, min-block emission, exact hamming.
+    ``sigs`` must arrive STAGED (callers lazy_stage it): the explode
+    below is self-joined AND the routed fan-out semi-joins the id list,
+    so an unstaged signature subtree would re-run per consumer."""
     exploded = sigs.select(
         "doc_id", "blocks", F.posexplode("blocks").alias("block_id", "block_val")
-    ).transform(lazy_stage)
+    )
     # MIN-BLOCK EMISSION (r8, replacing `.distinct()`): a pair colliding
     # in k blocks used to emit k rows into a full-candidate-multiset
     # exchange (the duplicates live in DIFFERENT partitions — one per

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""A/B: SimHash majority fold — r7's one-aggregate JVM HOF pass vs the
-r8 Arrow-vectorized numpy kernel (same JVM-computed hash arrays, blocks
-bit-identical). Prints ONE JSON line; the SCALING.md round-8 source.
+"""A/B: the SimHash r8 ladder — unrouted vs routed, JVM vs Arrow
+majority fold, md5 vs xxhash64 family (pairs identical across the md5
+legs; blocks bit-identical across folds). Prints ONE JSON line; the
+SCALING.md round-8 source.
 
     python scripts/ab_simhash_fold.py [sf_dir] [reps]
 """
@@ -42,12 +43,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     legs = {
-        "jvm_fold": lambda: q_dedup_simhash(spark, sf_dir, jvm_fold=True),
-        "arrow_fold": lambda: q_dedup_simhash(spark, sf_dir, jvm_fold=False),
+        # unrouted reference (staging already the r8 sigs-level cut)
+        "jvm_raw": lambda: q_dedup_simhash(
+            spark, sf_dir, jvm_fold=True, routed=False
+        ),
+        "arrow_raw": lambda: q_dedup_simhash(
+            spark, sf_dir, jvm_fold=False, routed=False
+        ),
+        # production: JVM fold + exact-text-dedup routing
+        "jvm_routed": lambda: q_dedup_simhash(spark, sf_dir),
+        "arrow_routed": lambda: q_dedup_simhash(spark, sf_dir, jvm_fold=False),
         # different hash family: pairs legitimately differ near the
         # hamming margin (fixture agreement pinned in pytest), so the
         # fast leg is excluded from the identical_pairs check
-        "fast": lambda: q_dedup_simhash_fast(spark, sf_dir),
+        "fast_routed": lambda: q_dedup_simhash_fast(spark, sf_dir),
     }
     out = {"sf_dir": sf_dir, "reps": reps}
     for name, build in legs.items():
@@ -65,14 +74,16 @@ def main() -> None:
             "hashsum": h,
         }
     out["identical_pairs"] = (
-        out["jvm_fold"]["pairs"],
-        out["jvm_fold"]["hashsum"],
-    ) == (out["arrow_fold"]["pairs"], out["arrow_fold"]["hashsum"])
-    out["speedup"] = round(
-        out["jvm_fold"]["median_s"] / out["arrow_fold"]["median_s"], 2
+        len(
+            {
+                (out[k]["pairs"], out[k]["hashsum"])
+                for k in ("jvm_raw", "arrow_raw", "jvm_routed", "arrow_routed")
+            }
+        )
+        == 1
     )
-    out["fast_speedup_vs_jvm"] = round(
-        out["jvm_fold"]["median_s"] / out["fast"]["median_s"], 2
+    out["speedup"] = round(
+        out["jvm_raw"]["median_s"] / out["jvm_routed"]["median_s"], 2
     )
     print(json.dumps(out))
     spark.stop()

@@ -537,3 +537,28 @@ def test_simhash_fast_family_agreement(spark):
         assert all(jac(a, b) >= 0.8 for a, b in fam)
     inter, union = len(md5p.keys() & fast.keys()), len(md5p.keys() | fast.keys())
     assert inter / union >= 0.6, (inter, union)
+
+
+def test_simhash_routed_equals_raw_both_families(spark):
+    """r8: SimHash routed through exact text dedup must produce the
+    IDENTICAL (id_a, id_b, hamming) set as the unrouted pipeline for
+    BOTH hash families — identical texts share blocks, so rep pairs fan
+    out with their rep hamming and clone intra pairs sit at hamming 0,
+    exactly as the raw self-join computes them."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.dedup_queries import (
+        q_dedup_simhash,
+        q_dedup_simhash_fast,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    for fn in (q_dedup_simhash, q_dedup_simhash_fast):
+        raw = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in fn(spark, sf, routed=False).collect()
+        }
+        routed = [
+            (r.id_a, r.id_b, r.hamming)
+            for r in fn(spark, sf, routed=True).collect()
+        ]
+        assert len(routed) == len(set(routed))  # no duplicate pairs
+        assert set(routed) == raw and len(raw) > 0

@@ -314,6 +314,45 @@ def feature_hashes_fast(features: Column) -> Column:
     return F.transform(features, lambda s: F.xxhash64(s))
 
 
+def _make_majority_counts():
+    """Factory for the shared per-row bit-count kernel (closure so
+    cloudpickle ships it by value into both Arrow folds — the
+    bare-session pickling rule). Handles the two review findings (r8):
+
+    - ``np.add.reduceat`` mis-segments around EMPTY rows (a trailing
+      empty row's start == total raises IndexError; a mid-batch empty
+      row's start duplicates its successor's, and naive clipping
+      truncates the PREVIOUS row's segment) — so the reduce runs over
+      the NON-EMPTY rows' offsets only, which are strictly increasing
+      and in range by construction; empty rows keep their zero counts;
+    - the bit matrix is built in 16-bit CHUNKS of int32, bounding the
+      transient at total_hashes x 16 x 4B instead of total x 64 x 8B —
+      the difference between ~0.6 GiB and ~5 GiB per worker on the
+      long-document corpora the Arrow fold is recommended for."""
+    import numpy as np
+
+    def majority_counts(series, nbits: int):
+        lens = np.fromiter((len(v) for v in series), dtype=np.int64)
+        counts = np.zeros((len(lens), nbits), dtype=np.int64)
+        nz = np.flatnonzero(lens > 0)
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in series]
+            ).astype(np.uint64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            starts_nz = starts[nz]
+            for j0 in range(0, nbits, 16):
+                js = np.arange(j0, min(j0 + 16, nbits), dtype=np.uint64)
+                bits = ((flat[:, None] >> js) & np.uint64(1)).astype(np.int32)
+                counts[nz, j0 : j0 + len(js)] = np.add.reduceat(
+                    bits, starts_nz, axis=0
+                )
+        return counts, lens
+
+    return majority_counts
+
+
 def make_simhash_blocks64_arrow():
     """Arrow majority fold for the fast family: ONE 64-bit hash array
     per doc (xxhash64 carries 64 real bits, so no second seed is
@@ -325,23 +364,11 @@ def make_simhash_blocks64_arrow():
     from pyspark.sql.functions import pandas_udf
 
     B = SIMHASH_BLOCK_BITS
+    majority_counts = _make_majority_counts()
 
     @pandas_udf("array<long>")
     def blocks(h: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(v) for v in h), dtype=np.int64)
-        if lens.sum() == 0:
-            return pd.Series([[0, 0, 0, 0]] * len(h))
-        flat = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v in h]
-        ).astype(np.uint64)
-        bits = (
-            (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        ).astype(np.int64)
-        starts = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        counts = np.add.reduceat(bits, starts, axis=0)
-        if (lens == 0).any():
-            counts[lens == 0] = 0
+        counts, lens = majority_counts(h, 64)
         maj = (counts * 2 > lens[:, None]).astype(np.int64)
         w = 1 << np.arange(B, dtype=np.int64)
         out = np.stack(
@@ -377,25 +404,10 @@ def make_simhash_blocks_arrow():
     B = SIMHASH_BLOCK_BITS  # captured locally: the closure must not
     # reference module globals (bare-session pickling rule)
     nbits = 2 * B  # 32 bits used per hash family
+    majority_counts = _make_majority_counts()
 
     def majority_words(series: pd.Series):
-        lens = np.fromiter((len(v) for v in series), dtype=np.int64)
-        if lens.sum() == 0:
-            z = np.zeros(len(series), dtype=np.int64)
-            return z, z
-        flat = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v in series]
-        ).astype(np.uint64)
-        bits = (
-            (flat[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1)
-        ).astype(np.int64)  # (total, 32)
-        starts = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        counts = np.add.reduceat(bits, starts, axis=0)  # (rows, 32)
-        # reduceat quirk: a zero-length row copies the NEXT row's
-        # slice — upstream filters empty shingle sets, but guard anyway
-        if (lens == 0).any():
-            counts[lens == 0] = 0
+        counts, lens = majority_counts(series, nbits)
         maj = (counts * 2 > lens[:, None]).astype(np.int64)
         w = 1 << np.arange(B, dtype=np.int64)
         return maj[:, :B] @ w, maj[:, B:] @ w

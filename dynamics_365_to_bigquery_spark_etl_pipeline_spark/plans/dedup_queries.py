@@ -283,34 +283,25 @@ def q_dedup_simhash(
        the fold for long-document corpora, where the interpreted
        per-element work grows with shingles/doc while transfer is the
        same bytes either way."""
-    corpus = _corpus(spark, sf_dir)
-    if routed:
-        reps, mem = D.exact_text_dedup(corpus)
-        src = reps
-    else:  # pre-r8 reference twin for the A/B + equivalence tests
-        src = corpus
-    sh = src.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    # repartition = materialization BARRIER: without it CollapseProject
-    # inlines the md5 transform into all 64 bit-term filters (a 64x
-    # recompute of shingling + hashing per row — measured ~16x wall
-    # clock). One narrow shuffle of (doc_id, h0, h1) keeps the hash
-    # arrays computed exactly once; at scale this exchange also
-    # pre-spreads rows for the block explode that follows.
-    hashed = sh.select(
-        "doc_id",
-        D.feature_hashes(F.col("sh"), 0).alias("h0"),
-        D.feature_hashes(F.col("sh"), 1).alias("h1"),
-    ).repartition("doc_id")
-    fold = (
-        D.simhash64_blocks(F.col("h0"), F.col("h1"))
-        if jvm_fold
-        else D.make_simhash_blocks_arrow()(F.col("h0"), F.col("h1"))
-    )
-    sigs = hashed.select("doc_id", fold.alias("blocks")).transform(lazy_stage)
-    pairs = _simhash_pairs_from_sigs(sigs, minblock)
-    return _simhash_route_fanout(pairs, mem, sigs) if routed else pairs
+    def sig_of_sh(sh: DataFrame) -> DataFrame:
+        # repartition = materialization BARRIER: without it
+        # CollapseProject inlines the md5 transform into all 64
+        # bit-term filters (a 64x recompute of shingling + hashing per
+        # row — measured ~16x wall clock). One narrow shuffle of
+        # (doc_id, h0, h1) keeps the hash arrays computed exactly once.
+        hashed = sh.select(
+            "doc_id",
+            D.feature_hashes(F.col("sh"), 0).alias("h0"),
+            D.feature_hashes(F.col("sh"), 1).alias("h1"),
+        ).repartition("doc_id")
+        fold = (
+            D.simhash64_blocks(F.col("h0"), F.col("h1"))
+            if jvm_fold
+            else D.make_simhash_blocks_arrow()(F.col("h0"), F.col("h1"))
+        )
+        return hashed.select("doc_id", fold.alias("blocks"))
+
+    return _simhash_query(spark, sf_dir, sig_of_sh, minblock, routed)
 
 
 def q_dedup_simhash_fast(
@@ -328,21 +319,35 @@ def q_dedup_simhash_fast(
     agreement with the oracled md5 family is asserted in pytest — the
     families can legitimately differ near the hamming threshold (no
     exact verify step in SimHash), the injected dups sit far from it."""
+
+    def sig_of_sh(sh: DataFrame) -> DataFrame:
+        hashed = sh.select(
+            "doc_id", D.feature_hashes_fast(F.col("sh")).alias("h")
+        ).repartition("doc_id")
+        return hashed.select(
+            "doc_id", D.make_simhash_blocks64_arrow()(F.col("h")).alias("blocks")
+        )
+
+    return _simhash_query(spark, sf_dir, sig_of_sh, minblock, routed)
+
+
+def _simhash_query(
+    spark: SparkSession, sf_dir: str, sig_of_sh, minblock: bool, routed: bool
+) -> DataFrame:
+    """Shared scaffold of both SimHash families (review finding, r8 —
+    only the shingle->signature step differs): corpus, optional
+    exact-text-dedup routing, empty-shingle exclusion, signature stage,
+    block LSH + min-block emission + hamming verify, routed fan-out."""
     corpus = _corpus(spark, sf_dir)
     if routed:
         reps, mem = D.exact_text_dedup(corpus)
         src = reps
-    else:
+    else:  # pre-r8 reference twin for the A/B + equivalence tests
         src = corpus
     sh = src.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
-    hashed = sh.select(
-        "doc_id", D.feature_hashes_fast(F.col("sh")).alias("h")
-    ).repartition("doc_id")
-    sigs = hashed.select(
-        "doc_id", D.make_simhash_blocks64_arrow()(F.col("h")).alias("blocks")
-    ).transform(lazy_stage)
+    sigs = sig_of_sh(sh).transform(lazy_stage)
     pairs = _simhash_pairs_from_sigs(sigs, minblock)
     return _simhash_route_fanout(pairs, mem, sigs) if routed else pairs
 

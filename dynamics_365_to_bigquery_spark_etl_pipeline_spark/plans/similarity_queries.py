@@ -140,6 +140,15 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # finding, r8): a DataFrame returned by an earlier call may
         # still reference those parquet files; deletion happens at
         # process exit, like every other layout dir.
+        # bound the retirement list (review finding, r8): dirs retired
+        # by a PREVIOUS eviction cycle are deleted now — a DataFrame
+        # still holding a two-rewrites-old layout after the fixture
+        # changed again is not a supported lifetime, and without the
+        # sweep a rewrite-heavy harness accumulates corpus-sized dirs
+        # in /tmp until exit.
+        for stale in _RETIRED_LAYOUTS:
+            shutil.rmtree(stale, ignore_errors=True)
+        _RETIRED_LAYOUTS.clear()
         for old_key in [k for k in _LAYOUT_CACHE if k[0] == sf_dir]:
             _RETIRED_LAYOUTS.append(_LAYOUT_CACHE.pop(old_key))
         layout = tempfile.mkdtemp(prefix="spark_graft_ivf_layout_")

@@ -59,12 +59,15 @@ def main() -> None:
             lambda: _minhash_pairs(spark, sf_dir, fast=True, minband=True),
             ["id_a", "id_b"],
         ),
+        # routed=False pins the plan these legs were recorded on (the
+        # later r8 routing default would dedup clones first and change
+        # what the distinct-vs-min-block comparison measures)
         "simhash_distinct": (
-            lambda: q_dedup_simhash(spark, sf_dir, minblock=False),
+            lambda: q_dedup_simhash(spark, sf_dir, minblock=False, routed=False),
             ["id_a", "id_b", "hamming"],
         ),
         "simhash_minblock": (
-            lambda: q_dedup_simhash(spark, sf_dir, minblock=True),
+            lambda: q_dedup_simhash(spark, sf_dir, minblock=True, routed=False),
             ["id_a", "id_b", "hamming"],
         ),
     }

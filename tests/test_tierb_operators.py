@@ -562,3 +562,54 @@ def test_simhash_routed_equals_raw_both_families(spark):
         ]
         assert len(routed) == len(set(routed))  # no duplicate pairs
         assert set(routed) == raw and len(raw) > 0
+
+
+def test_simhash_arrow_folds_handle_empty_rows(spark):
+    """Review finding (r8): np.add.reduceat mis-segments around empty
+    hash arrays — a TRAILING empty row crashed (start == total), and a
+    mid-batch empty row could truncate its neighbor's segment under a
+    naive clip. Both folds must match the JVM fold on non-empty rows
+    and yield all-zero blocks for empty rows, wherever they sit in the
+    batch."""
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import dedup as D
+
+    # one partition so batch layout (incl. the trailing empty) is fixed
+    df = spark.createDataFrame(
+        [
+            (1, [123], [5]),
+            (2, [], []),        # mid-batch empty
+            (3, [7, 9], [1, 3]),
+            (4, [], []),        # trailing empty (the crash repro)
+        ],
+        "id long, h0 array<long>, h1 array<long>",
+    ).coalesce(1)
+    arrow = {
+        r.id: r.blocks
+        for r in df.select(
+            "id",
+            D.make_simhash_blocks_arrow()(F.col("h0"), F.col("h1")).alias(
+                "blocks"
+            ),
+        ).collect()
+    }
+    jvm = {
+        r.id: r.blocks
+        for r in df.filter(F.size("h0") > 0)
+        .select(
+            "id", D.simhash64_blocks(F.col("h0"), F.col("h1")).alias("blocks")
+        )
+        .collect()
+    }
+    assert arrow[1] == jvm[1] and arrow[3] == jvm[3]
+    assert arrow[2] == [0, 0, 0, 0] and arrow[4] == [0, 0, 0, 0]
+
+    b64 = {
+        r.id: r.blocks
+        for r in df.select(
+            "id", D.make_simhash_blocks64_arrow()(F.col("h0")).alias("blocks")
+        ).collect()
+    }
+    assert b64[3] == [7 & 9, 0, 0, 0]  # majority of 2 = both bits set
+    assert b64[2] == [0, 0, 0, 0] and b64[4] == [0, 0, 0, 0]

@@ -24,7 +24,8 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
 
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import get_spark
 
@@ -54,6 +55,49 @@ HEADLINE = [
     # diffs per-query.
     "q_dedup_minhash_fast",
 ]
+
+
+def self_normalize(parsed: dict, artifacts_dir: str) -> dict | None:
+    """Calib-normalize THIS run against the previous round's committed
+    ``BENCH_r{N}.json`` so the artifact carries its own adjudication
+    (r8 verdict #1: a raw row on a transiently slow host once read a
+    real 0.77x improvement as a 2.55x regression because nothing
+    consumed the calib block the file itself carried).
+
+    Reuses the arithmetic in ``scripts/calib_compare.py`` (loaded by
+    path — scripts/ is not a package). Returns None when there is no
+    prior artifact or either side lacks a calib block (pre-r6); returns
+    an ``{"error": ...}`` stub instead of raising on malformed priors —
+    the bench line must never die to its own bookkeeping."""
+    import importlib.util
+
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "spark_graft_calib_compare",
+            os.path.join(REPO_ROOT, "scripts", "calib_compare.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        prev_path = mod.latest_round_artifact(artifacts_dir)
+        if prev_path is None:
+            return None
+        prev = mod.load(prev_path)
+        if not prev.get("calib") or not parsed.get("calib"):
+            return None
+        out = mod.compare(prev, parsed)
+        return {
+            "prev_artifact": os.path.basename(prev_path),
+            "host_factor_jvm": out["host_factor_jvm"],
+            "host_factor_python": out["host_factor_python"],
+            # per-query raw ratio DIVIDED by the host factor of the
+            # query's bound resource — >1.3 is a real regression, the
+            # host excuse is retired by arithmetic
+            "ratios": {r["query"]: r["norm_ratio"] for r in out["rows"]},
+            "total_norm_ratio": out["total_norm_ratio"],
+            "flagged": out["flagged"],
+        }
+    except Exception as exc:  # pragma: no cover - defensive
+        return {"error": f"{type(exc).__name__}: {exc}"}
 
 
 def main() -> None:
@@ -145,20 +189,18 @@ def main() -> None:
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "sf": sf,
-                "calib": calib,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "reps": reps,
+        "sf": sf,
+        "calib": calib,
+    }
+    result["normalized_vs_prev"] = self_normalize(result, REPO_ROOT)
+    print(json.dumps(result))
     spark.stop()
 
 

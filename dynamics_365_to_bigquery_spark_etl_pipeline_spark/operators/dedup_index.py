@@ -404,6 +404,24 @@ class LshDedupIndex:
             1, -(-self._store_bytes("buckets", live) // self.COMPACT_TARGET_BYTES)
         )
         legs = self._postings_legs()
+        if not legs:
+            # _postings_legs() silently skips live batches whose dirs are
+            # missing on disk (reads tolerate that state); compacting a
+            # store where EVERY live dir is gone would fold an empty
+            # union and swap the meta to a generation that erases the
+            # postings — fail loudly naming what's missing instead
+            # (r8 advice).
+            missing = [
+                self._store("buckets", b)
+                for b in live
+                if not os.path.isdir(self._store("buckets", b))
+            ]
+            raise RuntimeError(
+                f"dedup index at {self.path} is corrupt: meta lists live "
+                f"batches {live} but no postings dir exists on disk "
+                f"(missing: {missing}); restore the dirs or rebuild the "
+                "index before compacting"
+            )
         merged = legs[0]
         for leg in legs[1:]:
             merged = merged.unionByName(leg)

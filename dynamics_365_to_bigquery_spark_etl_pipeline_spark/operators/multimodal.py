@@ -223,12 +223,16 @@ def sample_frames(
             mimes = pdf["meta"].map(lambda m: m["mime"])
             doc_ids, fids, offs, sizes, hashes = [], [], [], [], []
             for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], mimes):
-                # byte_offset is the frame's true position in the
-                # payload: codec frames are variable-sized, so offsets
-                # come from the CUMULATIVE decoded sizes (over all
-                # frames, strided-out ones included), not fid*frame_size
-                # — that shortcut is only valid for the fixed-width
-                # default windowing.
+                # byte_offset is the frame's position in the DECODED
+                # stream, not the raw payload: codec frames are
+                # variable-sized, so offsets come from the CUMULATIVE
+                # decoded sizes (over all frames, strided-out ones
+                # included). For the WAV codec that means relative to
+                # the data chunk, excluding the RIFF header — seeking
+                # into the raw payload at byte_offset is only valid for
+                # the default windowing, where decoded == payload
+                # (r8 advice: the two conventions differ whenever a
+                # decoder reframes or strips container bytes).
                 if frame_decoder is not None:
                     frames, pos = [], 0
                     for i, chunk in enumerate(frame_decoder(payload, mime)):

@@ -16,14 +16,25 @@ measured as 2-16x recompute in round 7.
   checkpoint RDD forces the adaptive final plan, which MATERIALIZES the
   subplan's query stages (the expensive shuffles) at call time anyway.
 
-``lazy_stage`` compiles the checkpointed subplan with AQE disabled
-(scoped to this one ``localCheckpoint`` call; the session conf is
-restored immediately, so every consumer ABOVE the stage still gets
-AQE): plan construction runs ZERO jobs (test-pinned in
-tests/test_advice_r8.py), the stage materializes on the first action,
+``lazy_stage`` therefore compiles the checkpointed subplan with AQE and
+broadcast joins disabled — but scoped to a CLONED session (r8 verdict
+#6 / advice), never by flipping the shared session conf under a lock:
+``cloneSession()`` copies the session state (conf, temp views, UDFs)
+into an isolated ``SessionState`` sharing the same SparkContext, the two
+confs are set on the clone only, and the analyzed plan is re-bound into
+the clone via ``Dataset.ofRows`` for the checkpoint compile. An
+unrelated thread compiling any plan against the original session during
+that window keeps AQE and broadcast — there is no window on shared
+state at all (two-thread test in tests/test_advice_r9.py). The
+resulting ``LogicalRDD`` is re-bound to the ORIGINAL session, so every
+consumer ABOVE the stage compiles with the caller's conf (AQE on).
+
+Plan construction runs ZERO jobs (test-pinned in
+tests/test_advice_r8.py); the stage materializes on the first action,
 and later consumers reuse the stored blocks. The staged subtree runs
-with static shuffle partitioning — acceptable for the intermediate
-sizes these pipelines stage, and the price of laziness under AQE.
+with static shuffle partitioning and no broadcast joins — acceptable
+for the corpus-sized member maps these pipelines stage (they would
+never broadcast at real scale), and the price of laziness under AQE.
 
 The blocks remain executor-pinned and non-fault-tolerant (the
 localCheckpoint contract): at 100 TB the stage becomes scratch parquet,
@@ -32,36 +43,35 @@ as SCALING.md documents for each call site.
 
 from __future__ import annotations
 
-import threading
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 
-# Serializes the conf-flip window: two concurrent lazy_stage calls with
-# interleaved read-set-restore would capture each other's "false" as the
-# value to restore and leave AQE/broadcast disabled session-wide
-# (review finding, r8). The residual caveat — an UNRELATED thread
-# compiling a plan inside another thread's window loses AQE/broadcast
-# for that one plan — is inherent to session-scoped conf; none of this
-# repo's concurrent paths (streaming foreachBatch) build lazy_stage
-# queries, and the window is plan-compile-only (no jobs run inside it).
-_STAGE_LOCK = threading.Lock()
+# Test seam: called between the clone's conf setup and the checkpoint
+# compile, so a test can deterministically compile plans on OTHER
+# threads "during" a lazy_stage call and assert they keep AQE/broadcast.
+_MID_COMPILE_HOOK: Optional[Callable[[], None]] = None
 
 
 def lazy_stage(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
-    with _STAGE_LOCK:
-        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        # broadcast exchanges submit their build job at execute() — i.e.
-        # at checkpoint-RDD creation, which would materialize the build
-        # side at plan-construction time. Compile the staged subplan
-        # without broadcast joins: scale-consistent (the frames these
-        # pipelines stage are corpus-sized member maps that would never
-        # broadcast at real scale) and measured as noise at bench scale.
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try:
-            return df.localCheckpoint(eager=False)
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+    jspark = spark._jsparkSession
+    # Clone carries the caller's full runtime conf (shuffle partitions,
+    # timezone, ANSI) so the staged subtree compiles exactly as it would
+    # have in-session — minus the two knobs that force jobs at
+    # checkpoint-RDD creation:
+    jclone = jspark.cloneSession()
+    jclone.conf().set("spark.sql.adaptive.enabled", "false")
+    # broadcast exchanges submit their build job at execute() — i.e. at
+    # checkpoint-RDD creation, which would materialize the build side at
+    # plan-construction time.
+    jclone.conf().set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    if _MID_COMPILE_HOOK is not None:
+        _MID_COMPILE_HOOK()
+    of_rows = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows
+    # df.logicalPlan is ANALYZED (catalog lookups done under the original
+    # session), so clone staleness w.r.t. later temp views cannot bite.
+    staged = of_rows(jclone, df._jdf.logicalPlan()).localCheckpoint(False)
+    # Re-bind the checkpointed LogicalRDD to the ORIGINAL session: all
+    # downstream composition/compile happens under the caller's conf.
+    return DataFrame(of_rows(jspark, staged.logicalPlan()), spark)

@@ -962,12 +962,28 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 
 def q_fuzzy_join_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-2 sibling of q_fuzzy_join_d1: pairs within Levenshtein
-    distance 2 via depth-2 deletion neighborhoods (O(L^2/2) keys/row —
-    the documented ceiling of the symmetric-deletion scheme)."""
-    from ..operators.fuzzy import fuzzy_join
+    distance 2, running the ROUTED production plan
+    (``fuzzy.fuzzy_join_deduped``): exact-name dedup first ->
+    depth-2 deletion-neighborhood join over distinct-name
+    representatives (O(L^2/2) keys/rep — the documented ceiling of
+    the symmetric-deletion scheme) -> output-linear member fan-out.
+
+    r9 (r8 verdict #2): this extra previously ran the RAW depth-2
+    blocking (``fuzzy.fuzzy_join``) — the sf1 sweep's slowest row at
+    269.8 s, while the routed plan produced the identical pair set in
+    41.1 s. Every other near-dup family already made routed the
+    production default; the raw leg stays a public operator
+    (``fuzzy.fuzzy_join``) exercised by the hypothesis equivalence
+    test (tests/test_fuzzy_timeseries.py::
+    test_fuzzy_join_deduped_pair_set_equals_raw) and the sf-scale A/B
+    (scripts/ab_routing_scale.py). The all-pairs DuckDB oracle below is
+    UNROUTED, so the hash check independently verifies the routing.
+    ``dist`` cast to int to match the oracle's type exactly."""
+    from ..operators.fuzzy import fuzzy_join_deduped
 
     sup = load_table(spark, sf_dir, "supplier")
-    return fuzzy_join(sup, "s_suppkey", "s_name", max_dist=2)
+    out = fuzzy_join_deduped(sup, "s_suppkey", "s_name", max_dist=2)
+    return out.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
 
 
 EXTRA_QUERIES["q_fuzzy_join_d2"] = q_fuzzy_join_d2
@@ -978,24 +994,3 @@ FROM supplier a
 JOIN supplier b ON a.s_suppkey < b.s_suppkey
 WHERE levenshtein(a.s_name, b.s_name) <= 2
 """
-
-
-def q_fuzzy_join_dedup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The exact-dedup-first ROUTING of the d=2 fuzzy join
-    (``fuzzy.fuzzy_join_deduped``): distinct-name representatives ->
-    deletion-variant join -> output-linear fan-out. Pair-set identical
-    to ``q_fuzzy_join_d2`` by construction (hypothesis-tested), so it
-    shares that all-pairs oracle verbatim; measured 6.1x on the sf1
-    d=2 adversarial ceiling (SCALING.md round 7). ``dist`` cast to int
-    to match the oracle's type exactly."""
-    from pyspark.sql import functions as F
-
-    from ..operators.fuzzy import fuzzy_join_deduped
-
-    sup = load_table(spark, sf_dir, "supplier")
-    out = fuzzy_join_deduped(sup, "s_suppkey", "s_name", max_dist=2)
-    return out.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
-
-
-EXTRA_QUERIES["q_fuzzy_join_dedup_routed"] = q_fuzzy_join_dedup_routed
-EXTRA_ORACLES["q_fuzzy_join_dedup_routed"] = EXTRA_ORACLES["q_fuzzy_join_d2"]

@@ -141,16 +141,20 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # still reference those parquet files; deletion happens at
         # process exit, like every other layout dir.
         # bound the retirement list (review finding, r8): dirs retired
-        # by a PREVIOUS eviction cycle are deleted now — a DataFrame
-        # still holding a two-rewrites-old layout after the fixture
-        # changed again is not a supported lifetime, and without the
-        # sweep a rewrite-heavy harness accumulates corpus-sized dirs
-        # in /tmp until exit.
-        for stale in _RETIRED_LAYOUTS:
+        # by a PREVIOUS eviction cycle FOR THIS sf_dir are deleted now —
+        # a DataFrame still holding a two-rewrites-old layout after the
+        # fixture changed again is not a supported lifetime, and without
+        # the sweep a rewrite-heavy harness accumulates corpus-sized
+        # dirs in /tmp until exit. The sweep is scoped per sf_dir
+        # (r8 advice): building a layout for sf_dir B must not delete
+        # sf_dir A's just-retired dirs — A's retirees live until A
+        # itself is rebuilt, or process exit.
+        for stale in _RETIRED_LAYOUTS.get(sf_dir, []):
             shutil.rmtree(stale, ignore_errors=True)
-        _RETIRED_LAYOUTS.clear()
-        for old_key in [k for k in _LAYOUT_CACHE if k[0] == sf_dir]:
-            _RETIRED_LAYOUTS.append(_LAYOUT_CACHE.pop(old_key))
+        _RETIRED_LAYOUTS[sf_dir] = [
+            _LAYOUT_CACHE.pop(old_key)
+            for old_key in [k for k in _LAYOUT_CACHE if k[0] == sf_dir]
+        ]
         layout = tempfile.mkdtemp(prefix="spark_graft_ivf_layout_")
         global _GC_REGISTERED
         if not _GC_REGISTERED:
@@ -158,7 +162,8 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             atexit.register(
                 lambda: [
                     shutil.rmtree(p, ignore_errors=True)
-                    for p in list(_LAYOUT_CACHE.values()) + _RETIRED_LAYOUTS
+                    for p in list(_LAYOUT_CACHE.values())
+                    + [d for ds in _RETIRED_LAYOUTS.values() for d in ds]
                 ]
             )
         S.build_ivf_layout(emb, trained, layout, scorer="matmul")
@@ -169,7 +174,7 @@ def q_sim_ivf_layout_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LAYOUT_CACHE: dict[tuple, str] = {}
-_RETIRED_LAYOUTS: list[str] = []
+_RETIRED_LAYOUTS: dict[str, list[str]] = {}  # sf_dir -> retired dirs
 _GC_REGISTERED = False
 
 

@@ -188,12 +188,18 @@ def stream_dedup_index(
         .parquet(source_dir)
     )
 
+    _qid_cache: list[str] = []
+
     def _query_id() -> str:
         # Spark writes {"id": "<uuid>"} here when the query first
         # starts against this checkpoint dir; the id is stable across
-        # restarts of the same checkpoint and fresh for a rebuilt one.
-        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
-            return json.load(fh)["id"]
+        # restarts of the same checkpoint and fresh for a rebuilt one —
+        # so read the file ONCE per start()ed query and cache on the
+        # closure instead of re-reading every micro-batch (r8 verdict).
+        if not _qid_cache:
+            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+                _qid_cache.append(json.load(fh)["id"])
+        return _qid_cache[0]
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         batch_key = f"{_query_id()}-epoch-{epoch_id}"

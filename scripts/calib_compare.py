@@ -35,6 +35,25 @@ def load(path: str) -> dict:
     return doc.get("parsed", doc)
 
 
+def latest_round_artifact(repo_dir: str) -> str | None:
+    """Path of the highest-numbered ``BENCH_r{N}.json`` in ``repo_dir``.
+
+    Used by ``bench.py`` to self-normalize each round's artifact against
+    the previous round's committed one (round-8 verdict #1). Returns
+    None when no prior artifact exists (round 1).
+    """
+    import glob
+    import os
+    import re
+
+    best_n, best_path = -1, None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), path
+    return best_path
+
+
 def compare(ref: dict, new: dict) -> dict:
     cal_ref, cal_new = ref.get("calib"), new.get("calib")
     if not cal_ref or not cal_new:

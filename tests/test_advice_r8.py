@@ -180,9 +180,10 @@ def test_ivf_layout_cache_invalidated_on_fixture_rewrite(spark, tmp_path):
     live = [v for k, v in SQ._LAYOUT_CACHE.items() if k[0] == str(sf)]
     assert live and live != stale, "stale layout served after rewrite"
     # stale dirs are RETIRED (earlier DataFrames may still read them;
-    # deleted at process exit), never re-served
+    # deleted at process exit or when THIS sf_dir rebuilds again — the
+    # retirement list is scoped per sf_dir, r8 advice), never re-served
     for old in stale:
-        assert old in SQ._RETIRED_LAYOUTS and os.path.exists(old)
+        assert old in SQ._RETIRED_LAYOUTS[str(sf)] and os.path.exists(old)
     assert neighbors_first and neighbors_second
     # odd vec_ids vanished from the corpus: the rebuilt index must not
     # return them, the stale one would have

@@ -1,0 +1,148 @@
+"""Round-9 verdict/advice items, each test-pinned:
+
+1. ``lazy_stage`` compiles the staged subplan against a CLONED session —
+   a concurrent thread compiling a broadcast-eligible plan DURING a
+   lazy_stage call keeps broadcast and AQE (the old implementation
+   flipped shared session conf under a lock; the lock is gone);
+2. the dedup-index ``compact()`` on a meta/disk-corrupt store (live
+   batches listed, postings dirs missing) raises a descriptive error
+   naming the missing dirs instead of an opaque IndexError;
+3. the IVF retired-layout sweep is scoped per sf_dir: rebuilding sf_dir
+   B's layout must not delete sf_dir A's just-retired dirs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import stage
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_lazy_stage_leaves_concurrent_compiles_broadcastable(spark):
+    """r8 verdict #6 / advice: the conf-flip window is GONE — lazy_stage
+    sets AQE/broadcast off on a cloned session only. A second thread
+    compiling a broadcast-eligible join exactly mid-lazy_stage (via the
+    test seam) must still plan a BroadcastHashJoin, and the shared
+    session conf must read unchanged throughout."""
+    small = spark.range(10).withColumnRenamed("id", "k")
+    big = spark.range(1000).selectExpr("id % 10 AS k", "id AS v")
+
+    seen: dict = {}
+
+    def compile_broadcast_join():
+        plan = (
+            big.join(small, "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        seen["plan"] = plan
+        seen["aqe"] = spark.conf.get("spark.sql.adaptive.enabled")
+        seen["bc"] = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
+    def mid_compile_hook():
+        t = threading.Thread(target=compile_broadcast_join)
+        t.start()
+        t.join()
+
+    stage._MID_COMPILE_HOOK = mid_compile_hook
+    try:
+        staged = stage.lazy_stage(big.groupBy("k").agg(F.sum("v").alias("s")))
+    finally:
+        stage._MID_COMPILE_HOOK = None
+
+    assert "plan" in seen, "hook did not run — the seam is the test's premise"
+    assert "BroadcastHashJoin" in seen["plan"], seen["plan"]
+    assert seen["aqe"] == "true"
+    assert seen["bc"] != "-1"
+    # the staged plan itself still executes, bound to the ORIGINAL session
+    assert staged.sparkSession is spark
+    assert staged.count() == 10
+    # and the staged compile really did exclude broadcast/AQE: its plan
+    # is a checkpoint scan, not a live subtree
+    assert "ExistingRDD" in staged._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lazy_stage_has_no_shared_lock():
+    """The serialization lock existed only to guard the shared-conf flip;
+    with the cloned-session compile there is nothing to serialize."""
+    assert not hasattr(stage, "_STAGE_LOCK")
+
+
+def test_compact_on_store_with_missing_dirs_raises_descriptive(spark, tmp_path):
+    """r8 advice: meta lists >=2 live batches but the postings dirs were
+    GC'd / partially restored — compact() must fail loudly naming the
+    missing dirs, not IndexError at legs[0] (and must NOT swap the meta
+    to an empty generation)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.dedup_index import (
+        LshDedupIndex,
+    )
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    docs = spark.createDataFrame(
+        [(i, f"doc body number {i} " * 5) for i in range(8)], "doc_id long, text string"
+    )
+    for b in ("b1", "b2"):
+        _pairs, commit = idx.prepare_batch(docs, b)
+        commit()
+    assert len(idx.committed_batches()) == 2
+    # simulate a manually GC'd store: postings dirs gone, meta intact
+    shutil.rmtree(os.path.join(idx.path, "buckets"))
+    with pytest.raises(RuntimeError, match="corrupt.*missing"):
+        idx.compact()
+    # meta untouched — the store stays in its (tolerated-by-reads) state
+    assert idx.committed_batches() == ["b1", "b2"]
+
+
+def test_retired_layout_sweep_scoped_per_sf_dir(spark, tmp_path):
+    """r8 advice: the retired-dir sweep fired on ANY cache-miss build,
+    so building sf_dir B's layout deleted sf_dir A's just-retired dirs —
+    breaking A-DataFrames obtained before a SINGLE rewrite of A. Now A's
+    retirees survive B's build and die only when A itself rebuilds."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
+        similarity_queries as SQ,
+    )
+
+    def make_fixture(name):
+        d = tmp_path / name
+        os.makedirs(d)
+        shutil.copy(
+            os.path.join(SF_DIR, "embeddings.parquet"),
+            str(d / "embeddings.parquet"),
+        )
+        return str(d)
+
+    def rewrite(sf):
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        sub = emb.filter(F.col("vec_id") % 2 == 0).repartition(1)
+        out = str(tmp_path / "rw")
+        sub.write.mode("overwrite").parquet(out)
+        tgt = os.path.join(sf, "embeddings.parquet")
+        shutil.rmtree(tgt) if os.path.isdir(tgt) else os.remove(tgt)
+        shutil.move(out, tgt)
+
+    sf_a, sf_b = make_fixture("sfA"), make_fixture("sfB")
+    SQ.q_sim_ivf_layout_topk(spark, sf_a).count()
+    rewrite(sf_a)
+    SQ.q_sim_ivf_layout_topk(spark, sf_a).count()  # retires A's first layout
+    retired_a = list(SQ._RETIRED_LAYOUTS[sf_a])
+    assert retired_a and all(os.path.exists(p) for p in retired_a)
+
+    # building (and rebuilding) B must leave A's retirees on disk
+    SQ.q_sim_ivf_layout_topk(spark, sf_b).count()
+    rewrite(sf_b)
+    SQ.q_sim_ivf_layout_topk(spark, sf_b).count()
+    assert all(os.path.exists(p) for p in retired_a)
+    assert SQ._RETIRED_LAYOUTS[sf_b]
+
+    # only A's NEXT rebuild sweeps A's retirees
+    rewrite(sf_a)
+    SQ.q_sim_ivf_layout_topk(spark, sf_a).count()
+    assert all(not os.path.exists(p) for p in retired_a)

@@ -1,0 +1,121 @@
+"""Self-normalizing bench artifact (r8 verdict #1).
+
+`BENCH_r08.json` misreported a real 0.77x improvement as a 2.55x
+regression because the committed artifact carried a calib block nothing
+consumed. `bench.py:self_normalize` now folds the previous round's
+committed artifact through `scripts/calib_compare.compare` so every
+`BENCH_r{N}.json` carries its own host-adjusted adjudication. These
+tests feed two synthetic bench files through that path and pin the
+arithmetic.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(path: str, name: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load(os.path.join(REPO, "bench.py"), "spark_graft_bench_module")
+calib = _load(
+    os.path.join(REPO, "scripts", "calib_compare.py"), "spark_graft_calib_module"
+)
+
+
+def _artifact(queries: dict, jvm: float, py: float) -> dict:
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "reps": 3,
+        "sf": 0.1,
+        "calib": {
+            "python_loop_2m": py,
+            "jvm_range_sum_20m": jvm,
+            "jvm_parallelism": 32,
+        },
+    }
+
+
+# reference round: host jvm yardstick 0.10 s, python yardstick 0.10 s
+REF = _artifact(
+    {"q_jvm_steady": 1.0, "q_jvm_regressed": 1.0, "q_sim_topk_matmul": 1.0},
+    jvm=0.10,
+    py=0.10,
+)
+# new round on a 2x-slower JVM host (calib 0.20) with an UNCHANGED python
+# yardstick: the steady query doubles raw (pure host), the regressed one
+# quadruples raw (2x host x 2x real), the python-bound one is flat raw
+# on a flat python host (no change).
+NEW = _artifact(
+    {"q_jvm_steady": 2.0, "q_jvm_regressed": 4.0, "q_sim_topk_matmul": 1.0},
+    jvm=0.20,
+    py=0.10,
+)
+
+
+def test_compare_divides_out_the_host_factor():
+    out = calib.compare(REF, NEW)
+    rows = {r["query"]: r for r in out["rows"]}
+    assert out["host_factor_jvm"] == 2.0
+    assert out["host_factor_python"] == 1.0
+    # raw 2x on a 2x host = no regression
+    assert rows["q_jvm_steady"]["raw_ratio"] == 2.0
+    assert rows["q_jvm_steady"]["norm_ratio"] == 1.0
+    assert not rows["q_jvm_steady"]["flag"]
+    # raw 4x on a 2x host = a REAL 2x regression
+    assert rows["q_jvm_regressed"]["norm_ratio"] == 2.0
+    assert rows["q_jvm_regressed"]["flag"]
+    # python-bound queries normalize by the python yardstick, not jvm:
+    # flat raw + flat python host = 1.0, NOT 0.5
+    assert rows["q_sim_topk_matmul"]["norm_ratio"] == 1.0
+    assert out["flagged"] == ["q_jvm_regressed"]
+
+
+def test_compare_flags_a_host_masked_regression():
+    # the r8 failure mode INVERTED: a 1.5x raw ratio on a 1.0x host is a
+    # real regression even though 1.5x "looks like noise" next to a 2.55x
+    fast_host = _artifact({"q_jvm_steady": 1.5}, jvm=0.10, py=0.10)
+    out = calib.compare(REF, fast_host)
+    assert out["rows"][0]["norm_ratio"] == 1.5
+    assert out["flagged"] == ["q_jvm_steady"]
+
+
+def test_self_normalize_reads_latest_round_artifact(tmp_path):
+    # two committed rounds on disk: normalization must pick r7, not r2
+    (tmp_path / "BENCH_r2.json").write_text(
+        json.dumps({"parsed": _artifact({"q_jvm_steady": 9.9}, jvm=0.10, py=0.10)})
+    )
+    (tmp_path / "BENCH_r7.json").write_text(json.dumps({"parsed": REF}))
+    block = bench.self_normalize(NEW, str(tmp_path))
+    assert block["prev_artifact"] == "BENCH_r7.json"
+    assert block["host_factor_jvm"] == 2.0
+    assert block["ratios"]["q_jvm_steady"] == 1.0
+    assert block["ratios"]["q_jvm_regressed"] == 2.0
+    assert block["total_norm_ratio"] == round((1.0 + 2.0 + 1.0) / 3.0, 2)
+    assert block["flagged"] == ["q_jvm_regressed"]
+
+
+def test_self_normalize_none_without_prior_or_calib(tmp_path):
+    # round 1: no prior artifact at all
+    assert bench.self_normalize(NEW, str(tmp_path)) is None
+    # pre-r6 prior without a calib block: refuse silently, not die
+    legacy = {k: v for k, v in REF.items() if k != "calib"}
+    (tmp_path / "BENCH_r1.json").write_text(json.dumps(legacy))
+    assert bench.self_normalize(NEW, str(tmp_path)) is None
+
+
+def test_self_normalize_survives_a_malformed_prior(tmp_path):
+    (tmp_path / "BENCH_r3.json").write_text("{not json")
+    block = bench.self_normalize(NEW, str(tmp_path))
+    assert "error" in block  # stub, not an exception out of bench.py

@@ -106,9 +106,11 @@ def test_incremental_equals_full_load(spark, data):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_connected_components_matches_union_find(spark, edges):
-    """Property: the iterative Spark min-label propagation equals a
-    plain union-find on arbitrary random pair graphs (not just the
-    shallow clusters the fixtures produce)."""
+    """Property: BOTH Spark implementations — the alternating
+    large-star/small-star contraction (production default, r9) and the
+    min-label propagation twin — equal a plain union-find on arbitrary
+    random pair graphs (not just the shallow clusters the fixtures
+    produce)."""
     from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.dedup import (
         connected_components,
     )
@@ -129,8 +131,12 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {(n, find(n)) for n in parent}
 
     pairs = spark.createDataFrame(edges, "id_a long, id_b long").distinct()
-    got = {(r.id, r.group_id) for r in connected_components(pairs).collect()}
-    assert got == want
+    for method in ("star", "propagate"):
+        got = {
+            (r.id, r.group_id)
+            for r in connected_components(pairs, method=method).collect()
+        }
+        assert got == want, method
 
 
 @given(

@@ -234,6 +234,41 @@ def test_connected_components_resolves_transitive_chains(spark):
     }
 
 
+def test_connected_components_star_closes_long_chains_in_log_rounds(spark):
+    """r8 verdict #3: min-label propagation pays O(graph diameter)
+    rounds of full shuffles plus a driver count per round — a planted
+    64-link chain (the worst case for propagation: the min label
+    travels ONE hop per round) needs ~64 propagate rounds, while the
+    alternating large-star/small-star contraction closes it in
+    O(log n). Both must produce identical labels; the measured
+    round-count drop at chain length 1000 is recorded in SCALING.md
+    (scripts/ab_star_cc.py)."""
+    n = 64
+    # reversed ids so the component min (0) sits at the FAR end of the
+    # chain from the largest ids — propagation's slowest configuration
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)][::-1], ["id_a", "id_b"]
+    )
+    star = {
+        (r.id, r.group_id)
+        for r in D.connected_components(chain, method="star").collect()
+    }
+    star_rounds = D.LAST_CC_ROUNDS["star"]
+    assert star == {(i, 0) for i in range(n + 1)}
+    assert star_rounds <= 12, star_rounds  # ~2*log2(64)+slack, NOT ~64
+
+    prop = {
+        (r.id, r.group_id)
+        for r in D.connected_components(chain, method="propagate").collect()
+    }
+    assert prop == star
+    assert D.LAST_CC_ROUNDS["propagate"] >= n / 2  # the contrast being fixed
+
+    # the safety valve keeps its fail-loud contract on the star path too
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, method="star", max_iters=2).collect()
+
+
 def test_sample_frames_windows_and_decoder_injection(spark):
     """Frame sampler: deterministic byte windows (count/offset/tail
     size), empty payloads yield no frames, and a custom frame_decoder

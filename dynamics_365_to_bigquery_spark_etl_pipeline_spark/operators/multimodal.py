@@ -181,6 +181,101 @@ def make_wav_tools(samples_per_frame: int = 32):
     return {"encode": encode, "frames": frames, "meta": meta}
 
 
+def make_ppm_tools(rows_per_frame: int = 4):
+    """Dependency-free PPM (P6 binary) image codec for the decoder
+    slots — the r9 second modality (r8 verdict #5): WAV proved audio;
+    this proves the slot is codec-GENERIC with an image-shaped parser —
+    header tokens separated by arbitrary whitespace with ``#`` comments
+    (the real PNM grammar, not a fixed-offset assumption), 1- or 2-byte
+    samples by maxval, raster located after exactly one whitespace byte.
+    Exercises ``sample_frames``' ``frame_decoder`` hook end to end with
+    planted ground truth (tests/test_multimodal_ppm.py + the oracled
+    extra ``q_multimodal_ppm_framesample``).
+
+    Returns a dict of CLOSURES (``encode``, ``frames``, ``meta``) — the
+    repo's worker-shipping rule: anything cloudpickle sends to
+    executors must be a closure, not a module-level function.
+
+    - ``encode(raster, width, height, maxval=255) -> bytes``: canonical
+      ``P6\\n<w> <h>\\n<maxval>\\n`` header + the raw raster; validates
+      the raster length against the header it writes.
+    - ``frames(payload, mime) -> list[bytes]``: parse + validate, then
+      split the raster into ``rows_per_frame``-scanline windows
+      (scanline-aligned — a frame is whole image rows, the image
+      analogue of WAV's block-aligned sample windows). Raises
+      ValueError on malformed payloads (wrong magic, truncated or
+      non-numeric header, degenerate dimensions, unsupported maxval,
+      raster overrunning the payload) — loud, never silent.
+    - ``meta(payload, mime) -> dict``: header fields (width, height,
+      maxval, n_pixels) for the feature-extraction decoder slot.
+    """
+    rpf = rows_per_frame
+
+    def _parse(payload: bytes) -> tuple[int, int, int, int, int, int]:
+        # returns (width, height, maxval, bytes_per_sample, off, size)
+        if len(payload) < 2 or payload[:2] != b"P6":
+            raise ValueError("not a P6 PPM payload")
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(payload):
+                c = payload[pos : pos + 1]
+                if c.isspace():
+                    pos += 1
+                elif c == b"#":  # comment runs to end of line
+                    nl = payload.find(b"\n", pos)
+                    if nl == -1:
+                        raise ValueError("truncated header comment")
+                    pos = nl + 1
+                else:
+                    break
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                raise ValueError("truncated or non-numeric PPM header")
+            vals.append(int(payload[start:pos]))
+        # the PNM grammar: exactly ONE whitespace byte after maxval,
+        # then the raster (a raster may begin with whitespace-valued
+        # bytes, so skipping more would corrupt pixel data)
+        if pos >= len(payload) or not payload[pos : pos + 1].isspace():
+            raise ValueError("missing whitespace after maxval")
+        pos += 1
+        w, h, maxval = vals
+        if w < 1 or h < 1:
+            raise ValueError(f"degenerate dimensions ({w}x{h})")
+        if not 1 <= maxval <= 65535:
+            raise ValueError(f"unsupported maxval {maxval}")
+        bps = 1 if maxval < 256 else 2
+        size = w * h * 3 * bps
+        if pos + size > len(payload):
+            raise ValueError("raster overruns payload")
+        return w, h, maxval, bps, pos, size
+
+    def encode(raster: bytes, width: int, height: int, maxval: int = 255) -> bytes:
+        bps = 1 if maxval < 256 else 2
+        if len(raster) != width * height * 3 * bps:
+            raise ValueError(
+                f"raster is {len(raster)} bytes, header says "
+                f"{width * height * 3 * bps}"
+            )
+        return b"P6\n%d %d\n%d\n" % (width, height, maxval) + raster
+
+    def frames(payload: bytes, mime: str) -> list:
+        _w, _h, _mv, bps, off, size = _parse(payload)
+        row = _w * 3 * bps
+        step = rpf * row
+        return [
+            payload[off + lo : off + min(lo + step, size)]
+            for lo in range(0, size, step)
+        ]
+
+    def meta(payload: bytes, mime: str) -> dict:
+        w, h, maxval, _bps, _off, _size = _parse(payload)
+        return {"width": w, "height": h, "maxval": maxval, "n_pixels": w * h}
+
+    return {"encode": encode, "frames": frames, "meta": meta}
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

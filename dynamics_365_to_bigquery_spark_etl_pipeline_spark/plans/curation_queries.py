@@ -46,29 +46,52 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — the train side streams through a broadcast-hash join
     with NO shuffle. N-grams are joined by their portable 60-bit hash,
     not the string, so the broadcast table and the join keys are 8-byte
-    ints regardless of n-gram length."""
+    ints regardless of n-gram length.
+
+    r9: ROUTED through exact text dedup, the same law as the four
+    near-dup families — (n_doc_ngrams, n_contaminated) are functions of
+    the TEXT alone, so shingling + md5-hashing + the contamination join
+    run once per DISTINCT train text and the result fans out to members
+    over a 16-bytes/row map; the test side reduces to distinct texts
+    before shingling (dedup cannot change a gram-set union). On the
+    10x-cloned sf1 fixture: 33.7 -> 6.6 s (warm, local[32]); the registered DuckDB oracle
+    stays the UNROUTED all-docs expression, so the driver hash check
+    independently verifies the routing (the r7-r8 pattern,
+    plans/dedup_queries.py)."""
+    from ..operators.dedup import exact_text_dedup
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = docs.select(
-        "doc_id",
-        F.array_distinct(C.word_ngrams(F.col("text"), NGRAM_N)).alias("grams"),
-    )
     is_test = F.col("doc_id") % TEST_SPLIT_MOD == 0
     test_set = (
-        grams.filter(is_test)
-        .select(F.explode("grams").alias("ngram"))
+        docs.filter(is_test)
+        .select("text")
+        .distinct()
+        .select(
+            F.explode(
+                F.array_distinct(C.word_ngrams(F.col("text"), NGRAM_N))
+            ).alias("ngram")
+        )
         .select(C.hash60(F.col("ngram")).alias("gh"))
         .distinct()
     )
-    train = grams.filter(~is_test).select(
-        "doc_id",
-        F.size("grams").cast("long").alias("n_doc_ngrams"),
-        F.explode("grams").alias("ngram"),
+    reps, mem = exact_text_dedup(docs.filter(~is_test))
+    rep_grams = reps.select(
+        F.col("doc_id").alias("_rid"),
+        F.array_distinct(C.word_ngrams(F.col("text"), NGRAM_N)).alias("grams"),
     )
-    return (
-        train.withColumn("gh", C.hash60(F.col("ngram")))
+    rep_hits = (
+        rep_grams.select(
+            "_rid",
+            F.size("grams").cast("long").alias("n_doc_ngrams"),
+            F.explode("grams").alias("ngram"),
+        )
+        .withColumn("gh", C.hash60(F.col("ngram")))
         .join(F.broadcast(test_set), "gh")
-        .groupBy("doc_id", "n_doc_ngrams")
+        .groupBy("_rid", "n_doc_ngrams")
         .agg(F.count("*").alias("n_contaminated"))
+    )
+    return mem.join(rep_hits, "_rid").select(
+        "doc_id", "n_doc_ngrams", "n_contaminated"
     )
 
 

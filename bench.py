@@ -84,6 +84,11 @@ def self_normalize(parsed: dict, artifacts_dir: str) -> dict | None:
         prev = mod.load(prev_path)
         if not prev.get("calib") or not parsed.get("calib"):
             return None
+        if prev.get("sf") != parsed.get("sf"):
+            # a bench run at a non-default SPARK_GRAFT_SF_DIR must not
+            # divide its timings by another scale factor's — every row
+            # would flag (review finding, r9)
+            return None
         out = mod.compare(prev, parsed)
         return {
             "prev_artifact": os.path.basename(prev_path),

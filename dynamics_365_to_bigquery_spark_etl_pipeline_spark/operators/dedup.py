@@ -537,13 +537,21 @@ def _cc_star(
     canonical (u, v) with u > v; the fixpoint is a union of stars whose
     centers are the component minima. Each round is a fixed number of
     key-partitioned shuffles (groupBy u + self-join on u + distinct) —
-    never all-pairs — and the convergence probe moves ONE (count,
-    hashsum) fingerprint to the driver per round."""
-    spark = pairs.sparkSession
+    never all-pairs — and the convergence probe is EXACT (count match +
+    anti-join emptiness over the two checkpointed edge sets), never a
+    lossy hash fingerprint: a fingerprint collision (~2^-30/round for a
+    modular hash-sum) would break the loop mid-contraction and silently
+    return wrong group labels — wrong DELETE sets downstream."""
     u, v = F.col("u"), F.col("v")
+    # stage the raw pair projection ONCE: both the edge set and the node
+    # set derive from it, and `pairs` is typically an expensive LSH
+    # pipeline — deriving nodes from the raw frame would re-execute it
+    # a second full time at label-consumption (review finding, r9)
+    raw = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        raw.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .filter(u != v)
         .distinct()
         .localCheckpoint()
@@ -552,23 +560,14 @@ def _cc_star(
     # propagate twin (self-pairs and isolated ids included via the
     # left-join fill at the end)
     nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
     )
 
-    def fingerprint(e: DataFrame) -> tuple:
-        row = e.select(
-            F.count("*").alias("n"),
-            # pmod before sum: a raw xxhash64 sum overflows bigint under
-            # ANSI mode on large edge sets
-            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
     rounds = 0
-    prev_fp = fingerprint(edges)
-    while prev_fp[0] > 0:
+    prev_edges, prev_n = edges, edges.count()
+    while prev_n > 0:
         # -- large-star: for each node, hang every LARGER neighbor onto
         # m = min(neighborhood ∪ self). Output pairs stay (bigger,
         # smaller) because m <= u < v.
@@ -597,10 +596,13 @@ def _cc_star(
             .localCheckpoint()
         )
         rounds += 1
-        fp = fingerprint(edges)
-        if fp == prev_fp:
+        n = edges.count()
+        # exact set-equality probe: counts match AND nothing in the new
+        # set lies outside the previous one (both frames are distinct +
+        # checkpointed, so exceptAll is an anti-join over stored blocks)
+        if n == prev_n and edges.exceptAll(prev_edges).isEmpty():
             break
-        prev_fp = fp
+        prev_edges, prev_n = edges, n
         if max_iters is not None and rounds >= max_iters:
             raise RuntimeError(
                 f"connected_components(star) did not converge after "

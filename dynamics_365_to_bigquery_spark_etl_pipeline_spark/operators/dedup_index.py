@@ -403,25 +403,28 @@ class LshDedupIndex:
         n_buckets = target_files or max(
             1, -(-self._store_bytes("buckets", live) // self.COMPACT_TARGET_BYTES)
         )
-        legs = self._postings_legs()
-        if not legs:
-            # _postings_legs() silently skips live batches whose dirs are
-            # missing on disk (reads tolerate that state); compacting a
-            # store where EVERY live dir is gone would fold an empty
-            # union and swap the meta to a generation that erases the
-            # postings — fail loudly naming what's missing instead
-            # (r8 advice).
-            missing = [
-                self._store("buckets", b)
-                for b in live
-                if not os.path.isdir(self._store("buckets", b))
-            ]
+        # Reads tolerate missing live dirs (they skip them), but a
+        # compaction folding a PARTIAL store would swap the meta to a
+        # generation that permanently erases the missing batches'
+        # postings/shingles — committed_ids still blocks re-ingest, so
+        # the loss would be silent and unrecoverable. Require EVERY live
+        # batch dir of BOTH stores on disk before merging; fail loudly
+        # naming what's missing (r8 advice + r9 review finding: the
+        # first guard only caught the all-missing case).
+        missing = [
+            self._store(name, b)
+            for name in self.STORE_SCHEMAS
+            for b in live
+            if not os.path.isdir(self._store(name, b))
+        ]
+        if missing:
             raise RuntimeError(
                 f"dedup index at {self.path} is corrupt: meta lists live "
-                f"batches {live} but no postings dir exists on disk "
-                f"(missing: {missing}); restore the dirs or rebuild the "
-                "index before compacting"
+                f"batches {live} but these store dirs are missing on "
+                f"disk: {missing}; restore them or rebuild the index "
+                "before compacting"
             )
+        legs = self._postings_legs()
         merged = legs[0]
         for leg in legs[1:]:
             merged = merged.unionByName(leg)

@@ -28,14 +28,15 @@ from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import get_spark 
 
 
 def chains(spark, chain_len: int, n_chains: int):
-    """k disjoint chains; ids REVERSED within each chain so the
-    component min sits at the far end (propagation's slowest case).
-    Chain c occupies ids [c*(L+1), c*(L+1)+L]."""
+    """k disjoint chains. The component min (the chain's base id) sits
+    at one END of each chain, so its label must travel chain_len hops —
+    propagation's slowest case by construction. Chain c occupies ids
+    [c*(L+1), c*(L+1)+L]."""
     rows = []
     for c in range(n_chains):
         base = c * (chain_len + 1)
         rows.extend((base + i, base + i + 1) for i in range(chain_len))
-    return spark.createDataFrame(rows[::-1], "id_a long, id_b long")
+    return spark.createDataFrame(rows, "id_a long, id_b long")
 
 
 def run(method: str, pairs, chain_len: int, n_chains: int) -> tuple:

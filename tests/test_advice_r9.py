@@ -93,7 +93,13 @@ def test_compact_on_store_with_missing_dirs_raises_descriptive(spark, tmp_path):
         _pairs, commit = idx.prepare_batch(docs, b)
         commit()
     assert len(idx.committed_batches()) == 2
-    # simulate a manually GC'd store: postings dirs gone, meta intact
+    # PARTIAL loss first (r9 review finding: an all-missing-only guard
+    # would still fold b1 alone and permanently erase b2): one batch's
+    # postings dir gone, meta intact
+    shutil.rmtree(os.path.join(idx.path, "buckets", "batch=b2"))
+    with pytest.raises(RuntimeError, match="corrupt.*missing"):
+        idx.compact()
+    # then the whole store gone
     shutil.rmtree(os.path.join(idx.path, "buckets"))
     with pytest.raises(RuntimeError, match="corrupt.*missing"):
         idx.compact()

@@ -115,6 +115,14 @@ def test_self_normalize_none_without_prior_or_calib(tmp_path):
     assert bench.self_normalize(NEW, str(tmp_path)) is None
 
 
+def test_self_normalize_refuses_cross_sf_comparison(tmp_path):
+    # a run at SPARK_GRAFT_SF_DIR=sf1 must not normalize against the
+    # committed sf0.1 artifact — every ratio would read ~10x and flag
+    (tmp_path / "BENCH_r5.json").write_text(json.dumps(REF))
+    sf1_run = dict(NEW, sf=1.0)
+    assert bench.self_normalize(sf1_run, str(tmp_path)) is None
+
+
 def test_self_normalize_survives_a_malformed_prior(tmp_path):
     (tmp_path / "BENCH_r3.json").write_text("{not json")
     block = bench.self_normalize(NEW, str(tmp_path))

@@ -244,10 +244,10 @@ def test_connected_components_star_closes_long_chains_in_log_rounds(spark):
     round-count drop at chain length 1000 is recorded in SCALING.md
     (scripts/ab_star_cc.py)."""
     n = 64
-    # reversed ids so the component min (0) sits at the FAR end of the
-    # chain from the largest ids — propagation's slowest configuration
+    # the component min (0) sits at one END of the chain, so its label
+    # must travel all n hops — propagation's slowest configuration
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(n)][::-1], ["id_a", "id_b"]
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
     )
     star = {
         (r.id, r.group_id)

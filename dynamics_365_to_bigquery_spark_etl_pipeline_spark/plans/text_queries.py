@@ -90,24 +90,52 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation gate — the composition a training-data
     pipeline actually ships: keep a document iff it is (a) the
     exact-dedup survivor of its content-fingerprint group, (b)
-    identified as English, and (c) above the quality bar. Three
-    doc_id-keyed joins of the individual Tier-B stages (one shuffle
-    key throughout — co-partitioned at scale), each stage separately
-    oracle-checked, the composition checked here."""
-    from pyspark.sql import Window
+    identified as English, and (c) above the quality bar. The stages
+    share one shuffle key (doc_id — co-partitioned at scale); each
+    stage is separately oracle-checked, the composition checked here.
 
+    Stage ORDER is the scale decision (r9): survivors are selected
+    FIRST (one fingerprint hash-aggregate with map-side partial min —
+    cheaper than the former window over (doc_id, fp) rows), and the
+    expensive quality/lang scoring runs over SURVIVORS ONLY. Scoring
+    is per-doc and deterministic, so pre- vs post-join evaluation is
+    semantically identical — but on a duplicate-heavy corpus (the
+    sf fixtures are 10x-cloned; real crawls are worse) scoring before
+    deduplicating wastes the clone factor. sf1: 11.5 -> 3.0 s warm.
+    The DuckDB oracle keeps the score-everything-then-join expression,
+    so the driver hash check verifies the reorder."""
     docs = load_table(spark, sf_dir, "documents")
-    survivors = (
-        docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
-        .withColumn("keep", F.min("doc_id").over(Window.partitionBy("fp")))
-        .filter(F.col("doc_id") == F.col("keep"))
-        .select("doc_id")
+    # min_by carries the survivor's RAW text through the same aggregate
+    # (fingerprint groups can span different raw texts — it hashes the
+    # NORMALIZED text — so first() would be nondeterministic here; the
+    # survivor rule is min doc_id, so min_by is the exact text), saving
+    # the doc_id-join that would re-shuffle the full corpus a second
+    # time just to re-attach texts
+    kept = (
+        docs.select("doc_id", "text", X.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select("doc_id", "text")
     )
-    quality = q_text_quality_score(spark, sf_dir)
-    lang = q_text_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    langs = sorted(X.LANG_MARKERS)
+    scores = [
+        X.lang_score(F.col("text"), X.LANG_MARKERS[lang]).alias(f"s_{lang}")
+        for lang in langs
+    ]
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier languages win ties
+        pred = F.when((F.col(f"s_{lang}") == best) & (best > 0), lang).otherwise(pred)
     return (
-        quality.join(lang, "doc_id")
-        .join(survivors, "doc_id")
+        kept.select(
+            "doc_id",
+            X.quality_score(F.col("text")).alias("quality_score"),
+            *scores,
+        )
+        .select("doc_id", "quality_score", pred.alias("pred_lang"))
         .filter((F.col("quality_score") >= 70) & (F.col("pred_lang") == "en"))
         .select("doc_id", "pred_lang", "quality_score")
     )

@@ -82,9 +82,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, fast=False)
 
 
-def _minhash_pairs(
+def _minhash_parts(
     spark: SparkSession, sf_dir: str, fast: bool, minband: bool = True
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
+    """The rep-level HALF of `_minhash_pairs`: verified rep pairs
+    (id_a, id_b, jacc) over distinct-text representatives plus the
+    live member map (_rid, doc_id; non-empty shingles only). Split out
+    (r9) so component queries can consume REP pairs directly —
+    connected components distribute over the clone fan-out (see
+    q_dedup_groups) — while the pair queries fan out as before."""
     """Banded MinHash near-dup pairs, routed through EXACT text dedup
     first (r7 — the document-family instance of the routing that cured
     the fuzzy-join and embedding families on replicated corpora):
@@ -197,13 +203,24 @@ def _minhash_pairs(
         .filter(F.col("jacc") >= JACCARD_MIN)
     )
 
-    # fan-out: only members whose group participates (non-empty
+    # live member map: only members whose group participates (non-empty
     # shingles). STAGED — four consumers (ma, mb, intra x/y) would each
     # re-run the corpus scan + dedup groupBy/join otherwise; the
     # checkpoint is two longs per row.
     live = mem.join(
         sh.select(F.col("doc_id").alias("_rid")), "_rid", "left_semi"
     ).transform(lazy_stage)
+    return rep_pairs, live
+
+
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, fast: bool, minband: bool = True
+) -> DataFrame:
+    """Member-level pair set: `_minhash_parts` fanned out (rep pairs ->
+    member cross pairs via two equi-joins; intra-clone pairs at jacc
+    1.0) — both output-linear. See `_minhash_parts` for the routing
+    docstring and measurements."""
+    rep_pairs, live = _minhash_parts(spark, sf_dir, fast, minband)
     ma = live.select(F.col("_rid").alias("id_a"), F.col("doc_id").alias("_ma"))
     mb = live.select(F.col("_rid").alias("id_b"), F.col("doc_id").alias("_mb"))
     cross = (
@@ -636,6 +653,43 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(intra)
 
 
+def _routed_group_labels(rep_pairs: DataFrame, live: DataFrame) -> DataFrame:
+    """(doc_id, group_id) labels from REP-level pairs + the member map —
+    identical to ``connected_components`` over the fanned-out member
+    pairs, without ever building them (r9: components distribute over
+    the clone fan-out).
+
+    Why it's exact: clones share postings, so every member-level edge is
+    either the fan-out of a rep edge or an intra-clone edge. A member
+    component is therefore a rep component expanded by clone groups, and
+    its min member id equals the min REP id of the component — each rep
+    id IS its clone group's min member id (exact_text_dedup's survivor
+    rule). Three cases:
+
+    - members of reps in the rep-pair graph inherit their rep's
+      component label;
+    - clone groups with >= 2 members whose rep has NO rep edge are a
+      member component by themselves (intra pairs at jacc 1.0): label =
+      rep id;
+    - singleton members of edge-less reps appear in no pair, so they
+      get no label row — exactly like member-level components.
+
+    Equivalence is pytest-pinned against member-level components on the
+    fixture and planted cases; the registered recursive-CTE oracle
+    (member-level, unrouted) verifies it per round."""
+    rep_labels = D.connected_components(rep_pairs.select("id_a", "id_b")).select(
+        F.col("id").alias("_rid"), "group_id"
+    )
+    in_graph = live.join(rep_labels, "_rid").select("doc_id", "group_id")
+    sizes = live.groupBy("_rid").agg(F.count("*").alias("_n"))
+    clone_only = (
+        live.join(rep_labels, "_rid", "left_anti")
+        .join(sizes.filter(F.col("_n") >= 2), "_rid")
+        .select("doc_id", F.col("_rid").alias("group_id"))
+    )
+    return in_graph.unionByName(clone_only)
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: the MinHash-LSH verified pairs resolved into
     connected components — ``group_id`` is each doc's canonical survivor
@@ -644,12 +698,13 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs alone under-delete transitive duplicates (A~B, B~C must keep
     ONE of three, but pairwise resolution keeps two); the component
     step is what a retention decision actually consumes. The DuckDB
-    oracle computes the same components with a recursive CTE, so the
-    iterative Spark propagation is value-checked end to end."""
-    pairs = _minhash_pairs(spark, sf_dir, fast=False).select("id_a", "id_b")
-    return D.connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "group_id"
-    )
+    oracle computes the same components with a recursive CTE over the
+    MEMBER-level pair set, so the Spark side is value-checked end to
+    end — including the r9 routing: components run on REP-level pairs
+    and labels fan out through the member map (`_routed_group_labels`),
+    never materializing the clone-quadratic member pair set at all."""
+    rep_pairs, live = _minhash_parts(spark, sf_dir, fast=False)
+    return _routed_group_labels(rep_pairs, live)
 
 
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,10 +724,8 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same components with a recursive CTE and ranks with a window, so
     both the grouping AND the tie-break policy are value-checked."""
     corpus = _corpus(spark, sf_dir)
-    pairs = _minhash_pairs(spark, sf_dir, fast=False).select("id_a", "id_b")
-    groups = D.connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "group_id"
-    )
+    rep_pairs, live = _minhash_parts(spark, sf_dir, fast=False)
+    groups = _routed_group_labels(rep_pairs, live)
     members = groups.join(corpus, "doc_id").select(
         "doc_id",
         "group_id",

@@ -183,3 +183,47 @@ def test_ivf_recall_floor_on_clustered_corpus(spark):
     curve = rc.recall_curve(spark, X, n_queries=40, nprobes=(1, 4))
     assert curve[1] < 0.92, curve  # the corpus actually punishes underprobing
     assert curve[4] >= 0.95, curve  # the default's floor
+
+
+def test_routed_group_labels_equal_member_level_components(spark):
+    """r9: q_dedup_groups runs connected components on REP-level pairs
+    and fans labels out through the member map — must equal components
+    over the materialized member-level pair set, on the fixture AND on
+    planted shapes covering all three label cases (rep in graph, clone
+    group without rep edges, singleton member of an edge-less rep)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import dedup as D
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
+        dedup_queries as DQ,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        member_pairs = DQ._minhash_pairs(spark, sf, fast=False).select(
+            "id_a", "id_b"
+        )
+        want = {
+            (r.id, r.group_id)
+            for r in D.connected_components(member_pairs).collect()
+        }
+        rep_pairs, live = DQ._minhash_parts(spark, sf, fast=False)
+        got = {
+            (r.doc_id, r.group_id)
+            for r in DQ._routed_group_labels(rep_pairs, live).collect()
+        }
+        assert got == want, sf
+
+    # planted: reps 0 and 10 near-dup (rep edge); rep 20 a clone group
+    # of 3 with no rep edge; rep 30 a singleton with no edge
+    rep_pairs = spark.createDataFrame([(0, 10)], "id_a long, id_b long")
+    live = spark.createDataFrame(
+        [(0, 0), (0, 1), (10, 10), (20, 20), (20, 21), (20, 22), (30, 30)],
+        "_rid long, doc_id long",
+    )
+    got = {
+        (r.doc_id, r.group_id)
+        for r in DQ._routed_group_labels(rep_pairs, live).collect()
+    }
+    assert got == {
+        (0, 0), (1, 0), (10, 0),          # rep component 0-10, fanned out
+        (20, 20), (21, 20), (22, 20),     # clone-only group
+        # 30: singleton, no label row — not in any pair
+    }

@@ -77,6 +77,22 @@ def lang_score(text: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
+def pred_lang(text: Column) -> Column:
+    """Predicted language: argmax of the per-language marker scores,
+    alphabetical-earlier language wins ties, 'und' when nothing hits.
+    SINGLE source of truth for the argmax/tie-break/'und' policy —
+    shared by ``q_text_lang_id`` and the curation composite so the two
+    can't drift apart (r9 review finding: the when-chain existed twice).
+    """
+    langs = sorted(LANG_MARKERS)
+    scores = {lang: lang_score(text, LANG_MARKERS[lang]) for lang in langs}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier languages win ties
+        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
+    return pred
+
+
 def lang_score_sql(expr: str, markers: tuple[str, ...]) -> str:
     ml = ", ".join(f"'{m}'" for m in markers)
     return (

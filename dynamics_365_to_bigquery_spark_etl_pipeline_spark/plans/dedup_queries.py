@@ -90,8 +90,9 @@ def _minhash_parts(
     live member map (_rid, doc_id; non-empty shingles only). Split out
     (r9) so component queries can consume REP pairs directly —
     connected components distribute over the clone fan-out (see
-    q_dedup_groups) — while the pair queries fan out as before."""
-    """Banded MinHash near-dup pairs, routed through EXACT text dedup
+    q_dedup_groups) — while the pair queries fan out as before.
+
+    Banded MinHash near-dup pairs, routed through EXACT text dedup
     first (r7 — the document-family instance of the routing that cured
     the fuzzy-join and embedding families on replicated corpora):
 

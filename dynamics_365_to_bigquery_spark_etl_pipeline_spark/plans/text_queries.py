@@ -57,19 +57,13 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID: argmax language by marker hits, with
-    deterministic alphabetical tie-break, 'und' when no marker hits."""
+    deterministic alphabetical tie-break, 'und' when no marker hits.
+    The argmax/tie-break policy lives in ``operators.text.pred_lang``
+    (one source of truth shared with the curation composite)."""
     docs = load_table(spark, sf_dir, "documents")
-    scores = [
-        X.lang_score(F.col("text"), markers).alias(f"s_{lang}")
-        for lang, markers in sorted(X.LANG_MARKERS.items())
-    ]
-    scored = docs.select("doc_id", "lang", *scores)
-    langs = sorted(X.LANG_MARKERS)
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):  # earlier languages win ties
-        pred = F.when((F.col(f"s_{lang}") == best) & (best > 0), lang).otherwise(pred)
-    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+    return docs.select(
+        "doc_id", "lang", X.pred_lang(F.col("text")).alias("pred_lang")
+    )
 
 
 def q_text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,22 +114,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text")
     )
-    langs = sorted(X.LANG_MARKERS)
-    scores = [
-        X.lang_score(F.col("text"), X.LANG_MARKERS[lang]).alias(f"s_{lang}")
-        for lang in langs
-    ]
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
-    pred = F.lit("und")
-    for lang in reversed(langs):  # earlier languages win ties
-        pred = F.when((F.col(f"s_{lang}") == best) & (best > 0), lang).otherwise(pred)
     return (
         kept.select(
             "doc_id",
             X.quality_score(F.col("text")).alias("quality_score"),
-            *scores,
+            X.pred_lang(F.col("text")).alias("pred_lang"),
         )
-        .select("doc_id", "quality_score", pred.alias("pred_lang"))
         .filter((F.col("quality_score") >= 70) & (F.col("pred_lang") == "en"))
         .select("doc_id", "pred_lang", "quality_score")
     )

@@ -69,3 +69,49 @@ def test_heavy_hitters_rejects_bad_phi(spark):
     df = _skewed(spark)
     with pytest.raises(ValueError, match="phi"):
         FR.heavy_hitters_exact(df, "item", 0.0)
+
+
+def test_weighted_heavy_hitters_equal_expanded_stream(spark):
+    """r9: the weighted path (distinct items + multiplicity — what the
+    dedup routing feeds it) must produce IDENTICAL rows and counts to
+    the same stream physically expanded, across partitionings — both
+    the weighted MG summaries (PODS'12 merge bound over weighted
+    increments) and the weighted exact recount."""
+    phi = 0.05
+    rows = [("a", 40), ("b", 25), ("c", 3), ("d", 1), ("e", 9), ("f", 2)]
+    weighted = spark.createDataFrame(rows, "item string, w long")
+    expanded = spark.createDataFrame(
+        [(i,) for i, w in rows for _ in range(w)], "item string"
+    )
+    want = {
+        (r.item, r.n_occurrences)
+        for r in FR.heavy_hitters_exact(expanded, "item", phi).collect()
+    }
+    assert want  # the fixture has qualifying items
+    for parts in (1, 3, 8):
+        got = {
+            (r.item, r.n_occurrences)
+            for r in FR.heavy_hitters_exact(
+                weighted.repartition(parts), "item", phi, weight_col="w"
+            ).collect()
+        }
+        assert got == want, parts
+
+
+def test_weighted_mg_summaries_bound_holds(spark):
+    """Weighted MG summaries undercount by at most W_partition/(k+1)."""
+    rows = [(f"i{j}", (j % 7) + 1) for j in range(300)] + [("big", 500)]
+    df = spark.createDataFrame(rows, "item string, w long").repartition(1)
+    k = 10
+    got = {
+        r.item: r.mg_count
+        for r in FR.mg_partition_summaries(df, "item", k, "w").collect()
+    }
+    true = {i: 0 for i, _ in rows}
+    for i, w in rows:
+        true[i] += w
+    W = sum(true.values())
+    assert "big" in got  # the heavy item always survives
+    for item, mg in got.items():
+        assert 0 < mg <= true[item]
+        assert true[item] - mg <= W / (k + 1)

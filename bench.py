@@ -100,6 +100,9 @@ def self_normalize(parsed: dict, artifacts_dir: str) -> dict | None:
             "ratios": {r["query"]: r["norm_ratio"] for r in out["rows"]},
             "total_norm_ratio": out["total_norm_ratio"],
             "flagged": out["flagged"],
+            # flags whose rep spreads also separate (see calib_compare):
+            # the list a reader should actually chase
+            "flagged_robust": out["flagged_robust"],
         }
     except Exception as exc:  # pragma: no cover - defensive
         return {"error": f"{type(exc).__name__}: {exc}"}

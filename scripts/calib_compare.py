@@ -64,6 +64,7 @@ def compare(ref: dict, new: dict) -> dict:
         )
     h_jvm = cal_new["jvm_range_sum_20m"] / cal_ref["jvm_range_sum_20m"]
     h_py = cal_new["python_loop_2m"] / cal_ref["python_loop_2m"]
+    sp_ref, sp_new = ref.get("spread", {}), new.get("spread", {})
     rows = []
     total_norm_new = 0.0
     for name, t_ref in ref["queries"].items():
@@ -74,6 +75,17 @@ def compare(ref: dict, new: dict) -> dict:
         raw = t_new / t_ref
         norm = (t_new / h) / t_ref
         total_norm_new += t_new / h
+        flag = norm > FLAG_RATIO
+        # spread-aware robust flag (r9): both artifacts carry per-query
+        # [min, max] over reps. A REAL regression means even the new
+        # run's BEST rep (host-normalized) is slower than the ref run's
+        # WORST rep — a median that flags while the spreads overlap is
+        # the two runs' noise bands touching, which the r8/r9 artifacts
+        # showed medians alone misreport. Falls back to the median flag
+        # when either spread is absent.
+        robust = flag
+        if name in sp_ref and name in sp_new:
+            robust = flag and (min(sp_new[name]) / h) > max(sp_ref[name])
         rows.append(
             {
                 "query": name,
@@ -81,7 +93,8 @@ def compare(ref: dict, new: dict) -> dict:
                 "t_new": t_new,
                 "raw_ratio": round(raw, 2),
                 "norm_ratio": round(norm, 2),
-                "flag": norm > FLAG_RATIO,
+                "flag": flag,
+                "robust": robust,
             }
         )
     total_ref = sum(r["t_ref"] for r in rows)
@@ -97,6 +110,9 @@ def compare(ref: dict, new: dict) -> dict:
         # single-factor total would misnormalize the python-bound rows
         "total_norm_ratio": round(total_norm_new / total_ref, 2),
         "flagged": [r["query"] for r in rows if r["flag"]],
+        # the subset whose spreads ALSO separate — "explain me" vs
+        # "this one is load-bearing"
+        "flagged_robust": [r["query"] for r in rows if r["robust"]],
     }
 
 

@@ -91,6 +91,31 @@ def test_compare_flags_a_host_masked_regression():
     assert out["flagged"] == ["q_jvm_steady"]
 
 
+def test_spread_aware_robust_flags():
+    """A >1.3x-normalized median only becomes a ROBUST flag when the rep
+    spreads also separate (new best, host-normalized, slower than ref
+    worst) — overlapping spreads are two noise bands touching, the exact
+    way the r8/r9 committed artifacts misreported medians. Without
+    spreads the robust flag falls back to the median flag."""
+    ref = dict(
+        _artifact({"q_noisy": 1.0, "q_real": 1.0}, jvm=0.10, py=0.10),
+        spread={"q_noisy": [0.8, 1.9], "q_real": [0.9, 1.1]},
+    )
+    new = dict(
+        _artifact({"q_noisy": 1.5, "q_real": 1.5}, jvm=0.10, py=0.10),
+        spread={"q_noisy": [1.2, 1.8], "q_real": [1.45, 1.6]},
+    )
+    out = calib.compare(ref, new)
+    rows = {r["query"]: r for r in out["rows"]}
+    assert rows["q_noisy"]["flag"] and not rows["q_noisy"]["robust"]
+    assert rows["q_real"]["flag"] and rows["q_real"]["robust"]
+    assert out["flagged"] == ["q_noisy", "q_real"]
+    assert out["flagged_robust"] == ["q_real"]
+    # spread-less artifacts: robust == flag
+    out2 = calib.compare(REF, NEW)
+    assert out2["flagged_robust"] == out2["flagged"]
+
+
 def test_self_normalize_reads_latest_round_artifact(tmp_path):
     # two committed rounds on disk: normalization must pick r7, not r2
     (tmp_path / "BENCH_r2.json").write_text(

@@ -72,12 +72,29 @@ def mg_partition_summaries(
                 batch_counts = pdf[col].dropna().value_counts().items()
             else:
                 live = pdf[[col, wcol]].dropna(subset=[col])
+                # integer weights ONLY (multiplicities — the dedup
+                # routing's use): int() on a fractional per-batch sum
+                # would truncate (a 0.9-per-batch item accumulates 0
+                # forever) and silently break the candidate-superset
+                # guarantee (r9 review). Fail loudly instead.
+                if not pd.api.types.is_integer_dtype(live[wcol]):
+                    raise TypeError(
+                        f"weight_col {wcol!r} must be an integer type "
+                        f"(multiplicities), got {live[wcol].dtype} — "
+                        "fractional weights would truncate in the MG "
+                        "merge and lose guaranteed candidates"
+                    )
                 batch_counts = live.groupby(col, sort=False)[wcol].sum().items()
             for item, c in batch_counts:
                 counters[item] = counters.get(item, 0) + int(c)
             if len(counters) > k:
                 cut = sorted(counters.values(), reverse=True)[k]
                 counters = {i: c - cut for i, c in counters.items() if c > cut}
+        # weighted streams can carry zero/null-weight items that never
+        # meet a compress: drop non-positive counters so mg_count keeps
+        # its positive-lower-bound contract (unweighted value_counts is
+        # always >= 1)
+        counters = {i: c for i, c in counters.items() if c > 0}
         yield pd.DataFrame(
             {col: list(counters.keys()), "mg_count": list(counters.values())}
         )

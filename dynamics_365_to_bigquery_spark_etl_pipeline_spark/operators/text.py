@@ -10,7 +10,7 @@ fingerprinting, each with an exact ANSI-SQL mirror for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker lists for the n-gram/stopword
@@ -77,20 +77,40 @@ def lang_score(text: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
-def pred_lang(text: Column) -> Column:
-    """Predicted language: argmax of the per-language marker scores,
-    alphabetical-earlier language wins ties, 'und' when nothing hits.
-    SINGLE source of truth for the argmax/tie-break/'und' policy —
-    shared by ``q_text_lang_id`` and the curation composite so the two
-    can't drift apart (r9 review finding: the when-chain existed twice).
-    """
+def add_pred_lang(
+    df: "DataFrame", text_col: str = "text", out: str = "pred_lang"
+) -> "DataFrame":
+    """Append the predicted-language column: argmax of the per-language
+    marker scores, alphabetical-earlier language wins ties, 'und' when
+    nothing hits. SINGLE source of truth for the policy — shared by
+    ``q_text_lang_id`` and the curation composite so the two can't
+    drift apart (r9 review finding: the when-chain existed twice).
+
+    DataFrame-level ON PURPOSE, not a Column expression: ``lang_score``
+    is a tokenize+filter higher-order function, and LambdaVariable-
+    bearing HOFs are excluded from Spark's subexpression elimination —
+    inlining the scores into the greatest/when-chain evaluates the
+    tokenize ~11x per row (55 vs 5 HOF subtrees, measured 1.25x wall
+    at sf0.1, growing with document length; second r9 review). Staging
+    them as real columns first keeps one evaluation each — the same
+    stage-the-HOF rule as ``feature_hashes`` and ``shingles``."""
     langs = sorted(LANG_MARKERS)
-    scores = {lang: lang_score(text, LANG_MARKERS[lang]) for lang in langs}
-    best = F.greatest(*scores.values())
+    staged = df.select(
+        "*",
+        *[
+            lang_score(F.col(text_col), LANG_MARKERS[lang]).alias(f"_s_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier languages win ties
-        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
-    return pred
+        pred = F.when((F.col(f"_s_{lang}") == best) & (best > 0), lang).otherwise(
+            pred
+        )
+    return staged.select("*", pred.alias(out)).drop(
+        *[f"_s_{lang}" for lang in langs]
+    )
 
 
 def lang_score_sql(expr: str, markers: tuple[str, ...]) -> str:

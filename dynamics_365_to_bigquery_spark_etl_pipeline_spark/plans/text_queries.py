@@ -58,11 +58,12 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID: argmax language by marker hits, with
     deterministic alphabetical tie-break, 'und' when no marker hits.
-    The argmax/tie-break policy lives in ``operators.text.pred_lang``
-    (one source of truth shared with the curation composite)."""
+    The argmax/tie-break policy lives in ``operators.text.add_pred_lang``
+    (one source of truth shared with the curation composite; it stages
+    the HOF scores as columns — see its docstring for why)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", X.pred_lang(F.col("text")).alias("pred_lang")
+    return X.add_pred_lang(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", "pred_lang"
     )
 
 
@@ -115,10 +116,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return (
-        kept.select(
+        X.add_pred_lang(kept)
+        .select(
             "doc_id",
             X.quality_score(F.col("text")).alias("quality_score"),
-            X.pred_lang(F.col("text")).alias("pred_lang"),
+            "pred_lang",
         )
         .filter((F.col("quality_score") >= 70) & (F.col("pred_lang") == "en"))
         .select("doc_id", "pred_lang", "quality_score")

@@ -126,16 +126,24 @@ def main() -> None:
     )
     print(f"{'query':<28}{'t_ref':>8}{'t_new':>8}{'raw':>7}{'norm':>7}  flag")
     for r in out["rows"]:
+        verdict = ""
+        if r["robust"]:
+            verdict = "REGRESSION"
+        elif r["flag"]:
+            verdict = "flag (spreads overlap — explain, likely noise)"
         print(
             f"{r['query']:<28}{r['t_ref']:>8.3f}{r['t_new']:>8.3f}"
-            f"{r['raw_ratio']:>7.2f}{r['norm_ratio']:>7.2f}  "
-            f"{'REGRESSION' if r['flag'] else ''}"
+            f"{r['raw_ratio']:>7.2f}{r['norm_ratio']:>7.2f}  {verdict}"
         )
     print(
         f"{'TOTAL':<28}{out['total_ref']:>8.3f}{out['total_new']:>8.3f}"
         f"{out['total_raw_ratio']:>7.2f}{out['total_norm_ratio']:>7.2f}"
     )
     print("flagged:", out["flagged"] or "none (normalized ratios all <= 1.3)")
+    print(
+        "flagged_robust (spreads separate — chase these):",
+        out["flagged_robust"] or "none",
+    )
 
 
 if __name__ == "__main__":

@@ -78,7 +78,12 @@ def test_weighted_heavy_hitters_equal_expanded_stream(spark):
     the weighted MG summaries (PODS'12 merge bound over weighted
     increments) and the weighted exact recount."""
     phi = 0.05
-    rows = [("a", 40), ("b", 25), ("c", 3), ("d", 1), ("e", 9), ("f", 2)]
+    # > ceil(1/phi) = 20 distinct items so the weighted COMPRESS fires
+    # (r9 review: 6 items never exceeded k, leaving the compress
+    # arithmetic untested in the equivalence check)
+    rows = [("a", 40), ("b", 25), ("c", 3), ("d", 1), ("e", 9), ("f", 2)] + [
+        (f"tail{j}", 1 + j % 3) for j in range(25)
+    ]
     weighted = spark.createDataFrame(rows, "item string, w long")
     expanded = spark.createDataFrame(
         [(i,) for i, w in rows for _ in range(w)], "item string"
@@ -115,3 +120,22 @@ def test_weighted_mg_summaries_bound_holds(spark):
     for item, mg in got.items():
         assert 0 < mg <= true[item]
         assert true[item] - mg <= W / (k + 1)
+
+
+def test_weighted_mg_rejects_fractional_weights(spark):
+    """int() on a fractional per-batch sum would truncate (a 0.9/batch
+    item accumulates 0 forever) and silently lose guaranteed
+    candidates — fractional weight columns must fail loudly."""
+    df = spark.createDataFrame([("a", 0.9), ("b", 2.5)], "item string, w double")
+    with pytest.raises(Exception, match="integer type"):
+        FR.mg_partition_summaries(df, "item", 5, "w").collect()
+
+
+def test_weighted_mg_drops_nonpositive_counters(spark):
+    """Zero-weight items on a never-compressed partition must not leak
+    mg_count=0 rows (the positive-lower-bound contract)."""
+    df = spark.createDataFrame(
+        [("a", 5), ("zero", 0), ("b", 2)], "item string, w long"
+    ).repartition(1)
+    got = {r.item: r.mg_count for r in FR.mg_partition_summaries(df, "item", 10, "w").collect()}
+    assert got == {"a": 5, "b": 2}

@@ -215,6 +215,12 @@ def make_ppm_tools(rows_per_frame: int = 4):
         # returns (width, height, maxval, bytes_per_sample, off, size)
         if len(payload) < 2 or payload[:2] != b"P6":
             raise ValueError("not a P6 PPM payload")
+        # the PNM grammar requires whitespace (or a comment) after the
+        # magic — without this check b"P62 2\n..." silently parses the
+        # adjacent digits as part of the width (r9 advice)
+        nxt = payload[2:3]
+        if not (nxt.isspace() or nxt == b"#"):
+            raise ValueError("missing whitespace after P6 magic")
         pos, vals = 2, []
         while len(vals) < 3:
             while pos < len(payload):

@@ -89,6 +89,10 @@ def test_parser_reads_two_byte_samples_past_255():
         (b"P6\n2 2\n0\n" + bytes(12), "unsupported maxval"),
         (b"P6\n2 2\n99999\n" + bytes(48), "unsupported maxval"),
         (b"P6\n4 4\n255\n" + bytes(10), "raster overruns payload"),
+        # digits adjacent to the magic must not be absorbed into the
+        # width (PNM requires whitespace after "P6" — r10 advice fix)
+        (b"P62 2\n255\n" + bytes(12), "missing whitespace after P6 magic"),
+        (b"P6", "missing whitespace after P6 magic"),
     ],
 )
 def test_malformed_payloads_fail_loud(payload, msg):

@@ -35,22 +35,86 @@ def load(path: str) -> dict:
     return doc.get("parsed", doc)
 
 
+def round_artifacts(repo_dir: str) -> list[tuple[int, str]]:
+    """``(round, path)`` for every COMMITTED ``BENCH_r{N}.json`` in
+    ``repo_dir``, ascending by round.
+
+    Committed-only (``git ls-files``) because the round currently being
+    produced drops its artifact into the working tree BEFORE the
+    close-out commit: a bench re-run in that window would otherwise
+    normalize against the current round's own file and degenerate to a
+    ~1.0 self-comparison (r9 advice). Outside a git repo (unit tests
+    feed tmp dirs) every on-disk artifact counts.
+    """
+    import glob
+    import os
+    import re
+    import subprocess
+
+    tracked: set[str] | None = None
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "ls-files", "--", "BENCH_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            tracked = {ln.strip() for ln in out.stdout.splitlines() if ln.strip()}
+    except (OSError, subprocess.SubprocessError):
+        tracked = None
+
+    found = []
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        name = os.path.basename(path)
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
+        if not m:
+            continue
+        if tracked is not None and name not in tracked:
+            continue
+        found.append((int(m.group(1)), path))
+    return sorted(found)
+
+
 def latest_round_artifact(repo_dir: str) -> str | None:
-    """Path of the highest-numbered ``BENCH_r{N}.json`` in ``repo_dir``.
+    """Path of the highest-numbered COMMITTED ``BENCH_r{N}.json``.
 
     Used by ``bench.py`` to self-normalize each round's artifact against
     the previous round's committed one (round-8 verdict #1). Returns
     None when no prior artifact exists (round 1).
     """
-    import glob
-    import os
-    import re
+    arts = round_artifacts(repo_dir)
+    return arts[-1][1] if arts else None
 
-    best_n, best_path = -1, None
-    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
-        if m and int(m.group(1)) > best_n:
-            best_n, best_path = int(m.group(1)), path
+
+def nearest_host_artifact(
+    repo_dir: str, jvm_calib: float, sf: float | None
+) -> str | None:
+    """Committed artifact whose JVM calib yardstick is CLOSEST (by log
+    ratio) to ``jvm_calib``, among artifacts at the same scale factor.
+
+    The sandbox host changes speed between rounds (and within one): the
+    latest artifact is the right *progress* reference but can be the
+    wrong *noise* reference — r9's flags vs the slow r8 host were
+    retired by a MANUAL comparison against r7, the nearest-host round
+    (SCALING.md). This automates that tiebreak so the bench artifact
+    carries both comparisons itself (r9 verdict #3).
+    """
+    import math
+
+    best, best_path = None, None
+    for _n, path in round_artifacts(repo_dir):
+        try:
+            doc = load(path)
+        except (OSError, ValueError):
+            continue
+        cal = doc.get("calib") or {}
+        jvm = cal.get("jvm_range_sum_20m")
+        if not jvm or doc.get("sf") != sf:
+            continue
+        d = abs(math.log(jvm_calib / jvm))
+        if best is None or d < best:
+            best, best_path = d, path
     return best_path
 
 

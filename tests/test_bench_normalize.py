@@ -152,3 +152,82 @@ def test_self_normalize_survives_a_malformed_prior(tmp_path):
     (tmp_path / "BENCH_r3.json").write_text("{not json")
     block = bench.self_normalize(NEW, str(tmp_path))
     assert "error" in block  # stub, not an exception out of bench.py
+
+
+def test_latest_round_artifact_skips_uncommitted_current_round(tmp_path):
+    """r9 advice: once the CURRENT round's artifact lands in the working
+    tree, a bench re-run must still normalize against the previous
+    round's COMMITTED artifact — not degenerate to a ~1.0
+    self-comparison against its own file. Committed-only selection via
+    ``git ls-files``; outside a repo every on-disk artifact counts (the
+    other tests in this file rely on that fallback)."""
+    import subprocess
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *args],
+            check=True,
+            capture_output=True,
+            env={
+                "GIT_AUTHOR_NAME": "t",
+                "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t",
+                "GIT_COMMITTER_EMAIL": "t@t",
+                "HOME": str(tmp_path),
+                "PATH": os.environ["PATH"],
+            },
+        )
+
+    git("init", "-q")
+    (tmp_path / "BENCH_r7.json").write_text(json.dumps({"parsed": REF}))
+    git("add", "BENCH_r7.json")
+    git("commit", "-qm", "round 7 artifact")
+    # the round currently being produced: on disk, NOT committed
+    (tmp_path / "BENCH_r8.json").write_text(json.dumps({"parsed": NEW}))
+    assert calib.latest_round_artifact(str(tmp_path)).endswith("BENCH_r7.json")
+    block = bench.self_normalize(NEW, str(tmp_path))
+    assert block["prev_artifact"] == "BENCH_r7.json"
+    # once committed it IS the previous round's artifact — included again
+    git("add", "BENCH_r8.json")
+    git("commit", "-qm", "round 8 artifact")
+    assert calib.latest_round_artifact(str(tmp_path)).endswith("BENCH_r8.json")
+
+
+def test_nearest_host_comparison_clears_a_prev_host_noise_flag(tmp_path):
+    """r9 verdict #3: the latest artifact can come from a host whose
+    calib yardstick mismatches its query-time speed (within-session
+    drift — SCALING.md measured 1.64x on one VM in 2.5 h). A query that
+    flags against THAT artifact but is flat against the nearest-host
+    round is adjudicated noise; the artifact must carry both blocks so
+    the tiebreak is arithmetic, not a by-hand calib_compare run."""
+    r7 = _artifact({"q_jvm_steady": 1.0}, jvm=0.10, py=0.10)
+    # r8: slow host by calib (0.20) whose query-time blip ran FAST
+    # (t=0.4) — normalizing against it inflates the current run 5x
+    r8 = _artifact({"q_jvm_steady": 0.4}, jvm=0.20, py=0.10)
+    (tmp_path / "BENCH_r7.json").write_text(json.dumps({"parsed": r7}))
+    (tmp_path / "BENCH_r8.json").write_text(json.dumps({"parsed": r8}))
+    cur = _artifact({"q_jvm_steady": 1.0}, jvm=0.10, py=0.10)
+
+    prev_block = bench.self_normalize(cur, str(tmp_path))
+    assert prev_block["prev_artifact"] == "BENCH_r8.json"
+    assert prev_block["flagged"] == ["q_jvm_steady"]  # 5.0 vs the blip
+
+    near_block = bench.nearest_host_normalize(cur, str(tmp_path))
+    assert near_block["nearest_artifact"] == "BENCH_r7.json"
+    assert near_block["ratios"]["q_jvm_steady"] == 1.0
+    assert near_block["flagged"] == []
+
+
+def test_nearest_host_artifact_requires_calib_and_matching_sf(tmp_path):
+    # calib-less and cross-sf artifacts must never win the nearest race
+    legacy = {k: v for k, v in REF.items() if k != "calib"}
+    (tmp_path / "BENCH_r1.json").write_text(json.dumps(legacy))
+    (tmp_path / "BENCH_r2.json").write_text(
+        json.dumps(dict(_artifact({"q": 1.0}, jvm=0.10, py=0.10), sf=1.0))
+    )
+    assert calib.nearest_host_artifact(str(tmp_path), 0.10, 0.1) is None
+    (tmp_path / "BENCH_r3.json").write_text(
+        json.dumps(_artifact({"q": 1.0}, jvm=0.17, py=0.10))
+    )
+    got = calib.nearest_host_artifact(str(tmp_path), 0.10, 0.1)
+    assert got.endswith("BENCH_r3.json")  # only sf-matched calib-bearing one

@@ -25,7 +25,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from .stage import lazy_stage
+from .stage import stage
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -386,7 +386,7 @@ def exact_vector_dedup(
     - ``slim`` — the (representative, member) id map: (_rid, _gid),
       two longs per row — the only thing the output fan-out shuffles.
 
-    Both are ``lazy_stage``d: each feeds several consumers and
+    Both are ``stage()``d (backend per env knob): each feeds several consumers and
     ReuseExchange does not fire across those self-joins (different
     downstream keys), so without the cut every consumer re-runs the
     dedup groupBy/join subtree; the stage materializes on first action,
@@ -400,13 +400,13 @@ def exact_vector_dedup(
         mem.groupBy("_gh", "_gv")
         .agg(F.min("_gid").alias("_rid"))
         .select("_rid", "_gh", F.col("_gv").alias("_rv"))
-        .transform(lazy_stage)
+        .transform(stage)
     )
     slim = (
         mem.join(reps, "_gh")
         .where(F.col("_gv") == F.col("_rv"))
         .select("_rid", "_gid")
-        .transform(lazy_stage)
+        .transform(stage)
     )
     return reps, slim
 
@@ -562,7 +562,7 @@ def assign_ivf_buckets_matmul(
 
 def matmul_topk_from_layout(
     spark,
-    layout_path: str,
+    layout_path: str | list,
     centroids: DataFrame,
     queries: DataFrame,
     k: int = 10,
@@ -609,9 +609,21 @@ def matmul_topk_from_layout(
             bucket_queries.setdefault(int(b), []).append(qi)
     needed = sorted(bucket_queries)
 
-    table = spark.read.parquet(layout_path).filter(
-        F.col("bucket_id").isin(needed)  # partition-pruned scan
-    )
+    # one or many layout roots (the append store probes every live
+    # batch dir — see operators/ivf_store.py): each leg is filtered
+    # BEFORE the union so partition pruning applies per root (multiple
+    # partitioned roots in one read would need a common basePath, which
+    # distinct batch dirs don't have)
+    paths = [layout_path] if isinstance(layout_path, str) else list(layout_path)
+    legs = [
+        spark.read.parquet(p).filter(
+            F.col("bucket_id").isin(needed)  # partition-pruned scan
+        )
+        for p in paths
+    ]
+    table = legs[0]
+    for leg in legs[1:]:
+        table = table.unionByName(leg)
 
     def run(batches):
         for pdf in batches:
@@ -788,7 +800,7 @@ def semantic_dedup_pairs_deduped(
     )
     rep_all = _pairs_within_clusters(
         assigned, threshold, id_col, vec_col, chunk, include_self=True
-    ).transform(lazy_stage)
+    ).transform(stage)
 
     rep_pairs = rep_all.where(F.col("id_a") < F.col("id_b"))
     ma = slim.select(F.col("_rid").alias("id_a"), F.col("_gid").alias("_ma"))

@@ -23,7 +23,7 @@ from ..catalog import load_table, table_num_rows
 from ..operators import dedup as D
 from ..operators import text as X
 from ..operators.similarity import cosine_sql
-from ..operators.stage import lazy_stage
+from ..operators.stage import stage
 
 EXACT_MOD = 10
 NEAR_MOD = 20
@@ -130,7 +130,7 @@ def _minhash_parts(
 
     sh = reps.select(
         "doc_id", D.shingles(F.col("text")).alias("sh")
-    ).filter(F.size("sh") > 0).transform(lazy_stage)
+    ).filter(F.size("sh") > 0).transform(stage)
     sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
     sig = sh.select("doc_id", sig_fn(F.col("sh")).alias("sig"))
     if minband:
@@ -152,7 +152,7 @@ def _minhash_parts(
             "doc_id",
             "sig",
             F.posexplode(D.band_keys(F.col("sig"))).alias("band_id", "band_hash"),
-        ).transform(lazy_stage)
+        ).transform(stage)
         def slice_eq(b: int):
             terms = [
                 F.element_at(F.col("a.sig"), b * r + j + 1).eqNullSafe(
@@ -183,7 +183,7 @@ def _minhash_parts(
         banded = sig.select(
             "doc_id",
             F.posexplode(D.band_keys(F.col("sig"))).alias("band_id", "band_hash"),
-        ).transform(lazy_stage)
+        ).transform(stage)
         cands = (
             banded.alias("a")
             .join(
@@ -210,7 +210,7 @@ def _minhash_parts(
     # checkpoint is two longs per row.
     live = mem.join(
         sh.select(F.col("doc_id").alias("_rid")), "_rid", "left_semi"
-    ).transform(lazy_stage)
+    ).transform(stage)
     return rep_pairs, live
 
 
@@ -365,7 +365,7 @@ def _simhash_query(
     sh = src.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
         F.size("sh") > 0
     )
-    sigs = sig_of_sh(sh).transform(lazy_stage)
+    sigs = sig_of_sh(sh).transform(stage)
     pairs = _simhash_pairs_from_sigs(sigs, minblock)
     return _simhash_route_fanout(pairs, mem, sigs) if routed else pairs
 
@@ -380,7 +380,7 @@ def _simhash_route_fanout(
     shingles — the same exclusion the raw pipeline applies)."""
     live = mem.join(
         sigs.select(F.col("doc_id").alias("_rid")), "_rid", "left_semi"
-    ).transform(lazy_stage)
+    ).transform(stage)
     ma = live.select(F.col("_rid").alias("id_a"), F.col("doc_id").alias("_ma"))
     mb = live.select(F.col("_rid").alias("id_b"), F.col("doc_id").alias("_mb"))
     cross = (
@@ -408,7 +408,7 @@ def _simhash_route_fanout(
 def _simhash_pairs_from_sigs(sigs: DataFrame, minblock: bool) -> DataFrame:
     """Shared LSH + verify downstream of both SimHash families:
     pigeonhole block join, min-block emission, exact hamming.
-    ``sigs`` must arrive STAGED (callers lazy_stage it): the explode
+    ``sigs`` must arrive STAGED (callers stage() it): the explode
     below is self-joined AND the routed fan-out semi-joins the id list,
     so an unstaged signature subtree would re-run per consumer."""
     exploded = sigs.select(
@@ -604,7 +604,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assign_ivf_buckets(
         reps.select(F.col("_rid").alias("vec_id"), F.col("_rv").alias("embedding")),
         seeds,
-    ).transform(lazy_stage)
+    ).transform(stage)
 
     a = assigned.select(
         F.col("bucket_id").alias("cluster_id"),

@@ -1,0 +1,224 @@
+"""Incremental IVF layout store (r9 verdict #2): O(delta) appends must
+be probe-equivalent to a full rebuild, crash/replay-safe like the LSH
+dedup index, and the centroid-drift guard must actually trip when the
+corpus distribution moves away from the frozen centroids."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import similarity as S
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ivf_store import (
+    IvfLayoutStore,
+)
+
+DIM = 8
+N_BLOBS = 4
+
+
+def _blob_vectors(rng, blob: int, n: int, start_id: int, spread: float = 0.05):
+    """Vectors around one of N_BLOBS well-separated unit directions."""
+    centers = np.eye(DIM)[:N_BLOBS]  # orthogonal blob centers
+    rows = []
+    for i in range(n):
+        v = centers[blob] + rng.normal(0, spread, DIM)
+        rows.append((start_id + i, [float(x) for x in v]))
+    return rows
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _centroids(spark):
+    rows = [(i, [float(x) for x in np.eye(DIM)[i]]) for i in range(N_BLOBS)]
+    return _frame(spark, rows)
+
+
+def _probe_rows(store, queries, k=5, nprobe=2):
+    return sorted(
+        tuple(r) for r in store.topk(queries, k=k, nprobe=nprobe).collect()
+    )
+
+
+def test_append_probe_equals_full_rebuild_probe(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 30, b * 1000)]
+    delta1 = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 10, 5000 + b * 100)]
+    delta2 = _blob_vectors(rng, 2, 15, 9000)
+    cents = _centroids(spark)
+    queries = _frame(spark, base[::17] + delta1[::7])
+
+    inc = IvfLayoutStore(spark, str(tmp_path / "inc"))
+    inc.build(_frame(spark, base), cents)
+    inc.append(_frame(spark, delta1), "d1")
+    inc.append(_frame(spark, delta2), "d2")
+
+    full = IvfLayoutStore(spark, str(tmp_path / "full"))
+    full.build(_frame(spark, base + delta1 + delta2), cents)
+
+    got = _probe_rows(inc, queries)
+    want = _probe_rows(full, queries)
+    assert got == want and len(got) > 0
+
+
+def test_replay_of_committed_batch_is_noop(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    store = IvfLayoutStore(spark, str(tmp_path / "s"))
+    store.build(_frame(spark, _blob_vectors(rng, 0, 20, 0)), _centroids(spark))
+    delta = _frame(spark, _blob_vectors(rng, 1, 10, 100))
+    store.append(delta, "d1")
+    n_before = store.drift()["n_vectors"]
+    store.append(delta, "d1")  # replayed: state must not double
+    assert store.drift()["n_vectors"] == n_before
+    assert store.committed_batches() == ["base", "d1"]
+
+
+def test_crash_between_dir_write_and_meta_commit_is_invisible_then_retryable(
+    spark, tmp_path, monkeypatch
+):
+    rng = np.random.default_rng(5)
+    store = IvfLayoutStore(spark, str(tmp_path / "s"))
+    base_rows = _blob_vectors(rng, 0, 20, 0)
+    store.build(_frame(spark, base_rows), _centroids(spark))
+    queries = _frame(spark, base_rows[::5])
+    before = _probe_rows(store, queries)
+
+    delta = _frame(spark, _blob_vectors(rng, 1, 10, 100))
+    real_write = IvfLayoutStore._write_meta
+
+    def crash(self, meta):
+        if "d1" in meta.get("batches", []):
+            raise RuntimeError("simulated crash before meta commit")
+        real_write(self, meta)
+
+    monkeypatch.setattr(IvfLayoutStore, "_write_meta", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.append(delta, "d1")
+    monkeypatch.setattr(IvfLayoutStore, "_write_meta", real_write)
+
+    # the orphan dir exists but is invisible to reads
+    assert os.path.isdir(store._batch_dir("d1"))
+    assert store.committed_batches() == ["base"]
+    assert _probe_rows(store, queries) == before
+
+    # the retry rewrites the orphan and commits exactly once
+    store.append(delta, "d1")
+    assert store.committed_batches() == ["base", "d1"]
+    assert store.drift()["n_vectors"] == 30
+
+
+def test_drift_guard_trips_on_a_shifted_corpus(spark, tmp_path):
+    """Batches drawn from the build distribution keep needs_retrain
+    False; a batch far from every frozen centroid (negated directions)
+    degrades the live mean past the threshold and trips the guard —
+    and the flag is sticky in the meta."""
+    rng = np.random.default_rng(11)
+    store = IvfLayoutStore(spark, str(tmp_path / "s"), drift_threshold=0.10)
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 25, b * 1000)]
+    d = store.build(_frame(spark, base), _centroids(spark))
+    assert not d["needs_retrain"] and d["degradation"] == 0.0
+
+    in_dist = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 5, 5000 + b * 10)]
+    d = store.append(_frame(spark, in_dist), "ok")
+    assert not d["needs_retrain"]
+
+    # shifted mass: vectors near -e_k are ~orthogonal-to-negative vs
+    # every pinned centroid, cratering the batch's assignment sim
+    shifted = [
+        (9000 + i, [float(x) for x in (-np.eye(DIM)[i % N_BLOBS] + rng.normal(0, 0.05, DIM))])
+        for i in range(120)
+    ]
+    d = store.append(_frame(spark, shifted), "shifted")
+    assert d["degradation"] > 0.10
+    assert d["needs_retrain"]
+    assert store.drift()["needs_retrain"]  # sticky via meta
+
+    # rebuild with retrained centroids clears the flag and restores sim
+    all_vecs = _frame(spark, base + in_dist + shifted)
+    seeds = all_vecs.limit(8)
+    trained = S.refine_centroids(all_vecs, seeds)
+    d = store.rebuild(trained)
+    assert not d["needs_retrain"]
+    assert d["n_vectors"] == len(base) + len(in_dist) + len(shifted)
+    # replay guard survives the rebuild
+    assert "shifted" in store.committed_ids()
+    n = store.drift()["n_vectors"]
+    store.append(_frame(spark, shifted), "shifted")
+    assert store.drift()["n_vectors"] == n
+
+
+def test_compact_folds_batches_probe_unchanged(spark, tmp_path):
+    rng = np.random.default_rng(13)
+    store = IvfLayoutStore(spark, str(tmp_path / "s"))
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 20, b * 1000)]
+    store.build(_frame(spark, base), _centroids(spark))
+    for i in range(3):
+        store.append(
+            _frame(spark, _blob_vectors(rng, i % N_BLOBS, 8, 5000 + i * 100)),
+            f"d{i}",
+        )
+    queries = _frame(spark, base[::9])
+    before = _probe_rows(store, queries)
+    before_drift = store.drift()
+
+    assert store.compact() is True
+    assert len(store.committed_batches()) == 1
+    assert _probe_rows(store, queries) == before
+    after_drift = store.drift()
+    assert after_drift["n_vectors"] == before_drift["n_vectors"]
+    assert after_drift["live_mean_sim"] == pytest.approx(
+        before_drift["live_mean_sim"]
+    )
+    # replay guard survives compaction
+    assert "d1" in store.committed_ids()
+    store.append(_frame(spark, _blob_vectors(rng, 1, 8, 5100)), "d1")
+    assert store.drift()["n_vectors"] == after_drift["n_vectors"]
+    # nothing further to fold
+    assert store.compact() is False
+
+
+def test_recall_floor_holds_after_appends(spark, tmp_path):
+    """The layout's recall contract must survive incremental growth:
+    brute-force exact top-k over the drained corpus vs the store's
+    nprobe=2 probe after three appends."""
+    rng = np.random.default_rng(17)
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 30, b * 1000, spread=0.15)]
+    deltas = [
+        [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 10, 5000 + i * 1000 + b * 100, spread=0.15)]
+        for i in range(3)
+    ]
+    store = IvfLayoutStore(spark, str(tmp_path / "s"))
+    store.build(_frame(spark, base), _centroids(spark))
+    for i, d in enumerate(deltas):
+        store.append(_frame(spark, d), f"d{i}")
+
+    all_rows = base + [r for d in deltas for r in d]
+    corpus = _frame(spark, all_rows)
+    queries = _frame(spark, all_rows[::23])
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r[0], r[1]) for r in store.topk(queries, k=5, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"recall after appends degraded to {recall:.3f}"
+
+
+def test_guards(spark, tmp_path):
+    store = IvfLayoutStore(spark, str(tmp_path / "s"))
+    with pytest.raises(RuntimeError, match="no build"):
+        store.append(_frame(spark, [(1, [1.0] * DIM)]), "d")
+    with pytest.raises(RuntimeError, match="no build"):
+        store.topk(_frame(spark, [(1, [1.0] * DIM)]))
+    with pytest.raises(ValueError, match="drift_threshold"):
+        IvfLayoutStore(spark, str(tmp_path / "x"), drift_threshold=0.0)
+    store.build(_frame(spark, [(1, [1.0] * DIM), (2, [0.9] * DIM)]), _centroids(spark))
+    with pytest.raises(ValueError, match="empty"):
+        store.append(_frame(spark, []).limit(0), "d0")

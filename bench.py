@@ -250,7 +250,13 @@ def main() -> None:
     }
     result["normalized_vs_prev"] = self_normalize(result, REPO_ROOT)
     result["normalized_vs_nearest_host"] = nearest_host_normalize(result, REPO_ROOT)
-    print(json.dumps(result))
+    # Leading newline: Spark's console progress / log lines end in '\r'
+    # or partial fragments on the same tty; a tail-capture of merged
+    # output must still see the JSON on a line of its own (r9 verdict
+    # nit: a truncated DAGScheduler fragment rode the artifact's tail).
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print("\n" + json.dumps(result), flush=True)
     spark.stop()
 
 

@@ -148,7 +148,11 @@ class IvfLayoutStore:
         return os.path.join(self.path, "vectors", f"batch={batch_id}")
 
     def _centroids_dir(self) -> str:
-        return os.path.join(self.path, "centroids")
+        """The CURRENT generation's centroid dir — versioned through the
+        meta so ``rebuild`` can stage new centroids beside the live ones
+        and swap atomically (two-phase, like every store in this repo)."""
+        name = self._read_meta().get("centroids_dir", "centroids")
+        return os.path.join(self.path, name)
 
     def committed_batches(self) -> list[str]:
         return self._read_meta()["batches"]
@@ -173,18 +177,22 @@ class IvfLayoutStore:
         """Full (re)build as generation 0: pin the centroids, assign the
         corpus, write ``batch=base`` partitioned by bucket, record the
         build-time mean assignment similarity the drift guard compares
-        against. Wipes any previous state at this path."""
-        if os.path.isdir(self._centroids_dir()):
-            shutil.rmtree(self._centroids_dir())
-        centroids.select(self.id_col, self.vec_col).write.parquet(
-            self._centroids_dir()
-        )
-        stats = self._write_batch(corpus, "base")
+        against. Wipes any previous state at this path — including
+        stale generation dirs a prior ``rebuild`` may have left."""
+        shutil.rmtree(os.path.join(self.path, "vectors"), ignore_errors=True)
+        for d in os.listdir(self.path):
+            if d.startswith("centroids"):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        cdir = os.path.join(self.path, "centroids")
+        centroids.select(self.id_col, self.vec_col).write.parquet(cdir)
+        cents = self.spark.read.parquet(cdir)
+        stats = self._write_batch(corpus, "base", cents)
         self._write_meta(
             {
                 "batches": ["base"],
                 "committed_ids": ["base"],
                 "generation": 0,
+                "centroids_dir": "centroids",
                 "stats": {"base": stats},
                 "build_mean_sim": stats["mean_sim"],
                 "needs_retrain": False,
@@ -192,12 +200,17 @@ class IvfLayoutStore:
         )
         return self.drift()
 
-    def _write_batch(self, vectors: DataFrame, batch_id: str) -> dict:
+    def _write_batch(
+        self, vectors: DataFrame, batch_id: str, centroids: DataFrame | None = None
+    ) -> dict:
         """Assign + write one batch dir; returns its stats. The
         assignment is cut once (two consumers: the layout write and the
         stats aggregate must not run the kernel twice)."""
         assigned = _assign_with_sim(
-            vectors, self.centroids(), self.id_col, self.vec_col
+            vectors,
+            self.centroids() if centroids is None else centroids,
+            self.id_col,
+            self.vec_col,
         ).localCheckpoint()
         out = self._batch_dir(batch_id)
         if os.path.isdir(out):
@@ -347,25 +360,47 @@ class IvfLayoutStore:
 
     def rebuild(self, centroids: DataFrame) -> dict:
         """The retrain the drift guard asks for: re-assign EVERY stored
-        vector against NEW centroids as a fresh generation-0 build
-        (fresh build stats, ``needs_retrain`` cleared). The replay guard
+        vector against NEW centroids as a fresh generation (fresh build
+        stats, ``needs_retrain`` cleared). Two-phase like ``compact``:
+        the new centroid dir and the new layout dir are STAGED beside
+        the live state, the meta swap makes both visible atomically (a
+        crash mid-rebuild leaves the old generation fully readable),
+        then the old dirs are GC'd best-effort. The replay guard
         survives: ids committed before the rebuild stay committed."""
+        meta = self._read_meta()
         dirs = self.live_dirs()
         if not dirs:
             raise RuntimeError(f"IVF store at {self.path} has no build")
+        gen = meta["generation"] + 1
+        gen_id, cdir_name = f"gen{gen}", f"centroids_gen{gen}"
+        cdir = os.path.join(self.path, cdir_name)
+        if os.path.isdir(cdir):
+            shutil.rmtree(cdir)  # crashed earlier attempt
+        centroids.select(self.id_col, self.vec_col).write.parquet(cdir)
+        cents = self.spark.read.parquet(cdir)
         all_vecs = self.spark.read.parquet(dirs[0]).select(self.id_col, self.vec_col)
         for d in dirs[1:]:
             all_vecs = all_vecs.unionByName(
                 self.spark.read.parquet(d).select(self.id_col, self.vec_col)
             )
-        # the old dirs are inputs to the new build's write: cut them
-        # (batch-dir scan, O(store)) so the rebuild never reads a dir
-        # it is about to delete
-        all_vecs = all_vecs.localCheckpoint()
-        committed = self._read_meta()["committed_ids"]
-        shutil.rmtree(os.path.join(self.path, "vectors"), ignore_errors=True)
-        self.build(all_vecs, centroids)
-        meta = self._read_meta()
-        meta["committed_ids"] = sorted(set(committed) | {"base"})
-        self._write_meta(meta)
+        stats = self._write_batch(all_vecs, gen_id, cents)
+        self._write_meta(
+            {
+                "batches": [gen_id],
+                "committed_ids": meta["committed_ids"],
+                "generation": gen,
+                "centroids_dir": cdir_name,
+                "stats": {gen_id: stats},
+                "build_mean_sim": stats["mean_sim"],
+                "needs_retrain": False,
+            }
+        )
+        # GC everything the new meta doesn't reference
+        base = os.path.join(self.path, "vectors")
+        for d in os.listdir(base) if os.path.isdir(base) else []:
+            if d.startswith("batch=") and d != f"batch={gen_id}":
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        for d in os.listdir(self.path):
+            if d.startswith("centroids") and d != cdir_name:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return self.drift()

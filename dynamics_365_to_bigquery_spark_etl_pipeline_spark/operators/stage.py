@@ -189,6 +189,10 @@ def parquet_stage(df: DataFrame) -> DataFrame:
 
 _BACKENDS = {
     "local": lazy_stage,
+    # the A/B middle arm: executor-pinned like local, but blocks on
+    # executor-local disk — isolates block-manager MEMORY pressure from
+    # durability when chasing staged-pipeline variance (SCALING.md)
+    "local_disk": lambda df: lazy_stage(df, storage_level="DISK_ONLY"),
     "durable": durable_stage,
     "parquet": parquet_stage,
 }

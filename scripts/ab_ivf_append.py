@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""A/B: O(delta) IVF append vs full rebuild (r9 verdict #2 'Done'
-criterion: measured append cost << rebuild at sf1).
+"""A/B: IVF layout append vs full rebuild (r9 verdict #2 done-criterion).
 
-Builds the store on 95% of the sf1 embeddings, then (a) appends the
-remaining 5% as a delta batch and (b) full-rebuilds on 100%, timing
-both; finally proves probe equivalence (append-store top-k == rebuild
-top-k) on a query sample so the speed claim is for the SAME answer.
+The incremental store's claim is O(|delta|) appends: indexing a new
+batch must cost the delta's assignment + one batch-dir write, not a
+re-assignment of the whole corpus. This harness measures, on the real
+embeddings table:
 
-Usage: python scripts/ab_ivf_append.py [sf_dir]  (default localdata/sf1)
+- ``build``   — full layout build over the whole corpus (what a daily
+                ingest pays WITHOUT the store: re-index everything)
+- ``append``  — the store's O(delta) path for a 10% delta against the
+                pinned build centroids
+- ``probe``   — top-k latency over the appended store (fan-in across
+                batch dirs must not degrade the probe)
+
+Expectation: append wall ~= delta-fraction of build wall (plus constant
+job overhead, which dominates at toy scale); record the measured ratio
+in SCALING.md. Usage: python scripts/ab_ivf_append.py [sf_dir] [reps]
+(defaults localdata/sf1, 3).
 """
 
 from __future__ import annotations
@@ -23,57 +32,77 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table  # noqa: E402
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import get_spark  # noqa: E402
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import similarity as S  # noqa: E402
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ivf_store import (  # noqa: E402
     IvfLayoutStore,
 )
-from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+N_CENTROIDS = 64
+DELTA_MOD = 10  # vec_id % 10 == 0 -> the 10% daily-ingest stand-in
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "localdata", "sf1")
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
     spark = get_spark("ab-ivf-append")
     spark.sparkContext.setLogLevel("ERROR")
 
-    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
-    n = emb.count()
-    base = emb.filter(F.col("vec_id") % 20 != 0)
-    delta = emb.filter(F.col("vec_id") % 20 == 0)
-    print(f"corpus {n} vectors; base {base.count()}, delta {delta.count()}")
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    base = emb.filter(F.col("vec_id") % DELTA_MOD != 0).localCheckpoint()
+    delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0).localCheckpoint()
+    n_base, n_delta = base.count(), delta.count()
+    print(f"corpus: base={n_base} delta={n_delta} ({sf_dir})", flush=True)
 
-    seeds = emb.filter(F.col("vec_id") < 64)
-    cents = S.refine_centroids(emb, seeds).localCheckpoint()
+    # Same centroid recipe as the registered layout row: seed from the
+    # corpus, one exact Lloyd refinement. Trained once, shared by both
+    # arms — the A/B measures the INDEXING, not the training.
+    seeds = base.orderBy("vec_id").limit(N_CENTROIDS).select(
+        F.monotonically_increasing_id().alias("vec_id"), "embedding"
+    )
+    centroids = S.refine_centroids(base, seeds).localCheckpoint()
+    queries = base.orderBy("vec_id").limit(200).localCheckpoint()
 
     root = tempfile.mkdtemp(prefix="ab_ivf_append_")
+    builds, appends, probes = [], [], []
     try:
-        inc = IvfLayoutStore(spark, os.path.join(root, "inc"))
-        t0 = time.perf_counter()
-        inc.build(base, cents)
-        t_build_base = time.perf_counter() - t0
+        for rep in range(reps):
+            bpath = os.path.join(root, f"b{rep}")
+            store = IvfLayoutStore(spark, bpath)
 
-        t0 = time.perf_counter()
-        drift = inc.append(delta, "delta")
-        t_append = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            store.build(emb, centroids)  # the no-store arm: index EVERYTHING
+            builds.append(time.perf_counter() - t0)
+            shutil.rmtree(bpath)
 
-        full = IvfLayoutStore(spark, os.path.join(root, "full"))
-        t0 = time.perf_counter()
-        full.build(emb, cents)
-        t_rebuild = time.perf_counter() - t0
+            store = IvfLayoutStore(spark, bpath)
+            store.build(base, centroids)
+            t0 = time.perf_counter()
+            store.append(delta, "daily")
+            appends.append(time.perf_counter() - t0)
 
-        queries = emb.filter(F.col("vec_id") % 500 == 0)
-        a = sorted(tuple(r) for r in inc.topk(queries, k=10, nprobe=4).collect())
-        b = sorted(tuple(r) for r in full.topk(queries, k=10, nprobe=4).collect())
-        print(f"probe rows: append-store {len(a)}, rebuild {len(b)}, "
-              f"equal: {a == b}")
-        print(
-            f"base build {t_build_base:.1f}s | append(5%) {t_append:.1f}s | "
-            f"full rebuild {t_rebuild:.1f}s | rebuild/append = "
-            f"{t_rebuild / t_append:.1f}x | drift {drift['degradation']:.4f} "
-            f"needs_retrain={drift['needs_retrain']}"
-        )
+            t0 = time.perf_counter()
+            n = store.topk(queries, k=10, nprobe=4).count()
+            probes.append(time.perf_counter() - t0)
+            print(
+                f"rep={rep} full_build={builds[-1]:.1f}s append={appends[-1]:.1f}s "
+                f"probe={probes[-1]:.1f}s probe_rows={n}",
+                flush=True,
+            )
+            shutil.rmtree(bpath)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+    b, a, p = min(builds), min(appends), min(probes)
+    print(
+        f"\n@{sf_dir}: full_build={b:.1f}s append(10% delta)={a:.1f}s "
+        f"ratio={b / a:.1f}x (delta fraction would predict {DELTA_MOD}.0x "
+        f"minus constant job overhead) probe={p:.1f}s"
+    )
     spark.stop()
 
 

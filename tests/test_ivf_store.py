@@ -152,6 +152,44 @@ def test_drift_guard_trips_on_a_shifted_corpus(spark, tmp_path):
     assert store.drift()["n_vectors"] == n
 
 
+def test_rebuild_crash_leaves_old_generation_readable(spark, tmp_path, monkeypatch):
+    """rebuild is two-phase: new centroids + new layout staged beside
+    the live state, one meta swap flips both. A crash before the swap
+    must leave the old generation fully readable and the retry must
+    land cleanly."""
+    rng = np.random.default_rng(23)
+    store = IvfLayoutStore(spark, str(tmp_path / "s"))
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 20, b * 1000)]
+    store.build(_frame(spark, base), _centroids(spark))
+    store.append(_frame(spark, _blob_vectors(rng, 1, 10, 7000)), "d1")
+    queries = _frame(spark, base[::7])
+    before = _probe_rows(store, queries)
+
+    real_write = IvfLayoutStore._write_meta
+
+    def crash(self, meta):
+        if meta.get("centroids_dir", "centroids") != "centroids":
+            raise RuntimeError("simulated crash before rebuild meta swap")
+        real_write(self, meta)
+
+    all_vecs = _frame(spark, base + _blob_vectors(rng, 1, 10, 7000))
+    trained = S.refine_centroids(all_vecs, all_vecs.limit(8))
+    monkeypatch.setattr(IvfLayoutStore, "_write_meta", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.rebuild(trained)
+    monkeypatch.setattr(IvfLayoutStore, "_write_meta", real_write)
+
+    # old generation intact: same probe answer, same live state
+    assert store.committed_batches() == ["base", "d1"]
+    assert _probe_rows(store, queries) == before
+
+    # retry completes; one live generation, replay guard intact
+    store.rebuild(trained)
+    assert len(store.committed_batches()) == 1
+    assert "d1" in store.committed_ids()
+    assert store.drift()["n_vectors"] == len(base) + 10
+
+
 def test_compact_folds_batches_probe_unchanged(spark, tmp_path):
     rng = np.random.default_rng(13)
     store = IvfLayoutStore(spark, str(tmp_path / "s"))

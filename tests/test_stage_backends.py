@@ -95,7 +95,7 @@ def test_durable_stage_writes_checkpoint_files_and_reuses_them(spark):
     assert rdd_files() == after_files
 
 
-@pytest.mark.parametrize("backend", ["local", "durable", "parquet"])
+@pytest.mark.parametrize("backend", ["local", "local_disk", "durable", "parquet"])
 def test_backends_are_result_equivalent(spark, backend):
     sub = _subtree(spark)
     staged = ST.stage(sub, backend=backend)

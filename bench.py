@@ -107,16 +107,25 @@ def nearest_host_normalize(parsed: dict, artifacts_dir: str) -> dict | None:
         return {"error": f"{type(exc).__name__}: {exc}"}
 
 
-def _calib_module():
-    import importlib.util
+_CALIB_MOD = None
 
-    spec = importlib.util.spec_from_file_location(
-        "spark_graft_calib_compare",
-        os.path.join(REPO_ROOT, "scripts", "calib_compare.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+
+def _calib_module():
+    # memoized: both normalize blocks need it; re-exec'ing the file (and
+    # its git subprocess scans) twice per bench run is pure waste on the
+    # "must never die to its own bookkeeping" path (review finding)
+    global _CALIB_MOD
+    if _CALIB_MOD is None:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "spark_graft_calib_compare",
+            os.path.join(REPO_ROOT, "scripts", "calib_compare.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _CALIB_MOD = mod
+    return _CALIB_MOD
 
 
 def _normalize_against(

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,43 +62,13 @@ def _assign_with_sim(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """``similarity.assign_ivf_buckets_matmul`` plus the winning cosine
-    (one extra ``max`` over the same BLAS product): the store needs the
-    similarity for its drift stat, the layout write drops it. Same
-    tie-break (lowest centroid id wins via stable argmax over the
-    id-sorted matrix)."""
-    import numpy as np
-
-    cent_rows = sorted(
-        centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    """The layout build's OWN assignment kernel with the winning cosine
+    kept (the store's drift stat needs it) — shared, not forked, so the
+    append==rebuild probe equivalence can never drift from
+    ``similarity.assign_ivf_buckets_matmul``'s tie-break."""
+    return S.assign_ivf_buckets_matmul(
+        corpus, centroids, id_col, vec_col, with_sim=True
     )
-    ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        list(corpus.select(id_col, vec_col).schema.fields)
-        + [
-            T.StructField("bucket_id", T.LongType()),
-            T.StructField("sim", T.DoubleType()),
-        ]
-    )
-
-    def run(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            sims = Xn @ Mn.T
-            pdf = pdf[[id_col, vec_col]].copy()
-            pdf["bucket_id"] = ids[np.argmax(sims, axis=1)]
-            pdf["sim"] = np.max(sims, axis=1)
-            yield pdf
-
-    return corpus.select(id_col, vec_col).mapInPandas(run, schema)
 
 
 class IvfLayoutStore:
@@ -239,6 +210,15 @@ class IvfLayoutStore:
         the store's drift status (the caller's retrain signal). Vector
         ids must be globally unique across batches. Replay of a
         committed id is a no-op."""
+        if batch_id == "base" or re.fullmatch(r"gen\d+", batch_id):
+            # the store's own dir namespace — an append named like the
+            # live generation would pass the replay guard, then rmtree
+            # the generation dir as a "crashed earlier attempt" and
+            # replace the corpus with the delta (review finding)
+            raise ValueError(
+                f"batch_id {batch_id!r} is reserved (the store names its "
+                "build 'base' and compaction/rebuild generations 'gen<N>')"
+            )
         meta = self._read_meta()
         if not meta["batches"]:
             raise RuntimeError(
@@ -272,9 +252,17 @@ class IvfLayoutStore:
         mean = (
             sum(s["mean_sim"] * s["n"] for s in live) / n if n else None
         )
-        degradation = (
-            (build - mean) / build if build and mean is not None else 0.0
-        )
+        if build is None or mean is None:
+            degradation = 0.0
+        elif build != 0:
+            # abs(): a NEGATIVE build mean (corpus anti-aligned with its
+            # centroids) must not flip the sign and mask real
+            # degradation (review finding)
+            degradation = (build - mean) / abs(build)
+        else:
+            # relative change is undefined at build==0 — fall back to
+            # the absolute drop so a degrading store still trips
+            degradation = build - mean
         return {
             "build_mean_sim": build,
             "live_mean_sim": mean,
@@ -348,6 +336,9 @@ class IvfLayoutStore:
             {
                 **meta,
                 "batches": [gen_id],
+                # invariant: every live batch id is committed (belt to
+                # the append() reserved-namespace guard's braces)
+                "committed_ids": meta["committed_ids"] + [gen_id],
                 "generation": gen,
                 "stats": {gen_id: folded},
             }
@@ -387,7 +378,7 @@ class IvfLayoutStore:
         self._write_meta(
             {
                 "batches": [gen_id],
-                "committed_ids": meta["committed_ids"],
+                "committed_ids": meta["committed_ids"] + [gen_id],
                 "generation": gen,
                 "centroids_dir": cdir_name,
                 "stats": {gen_id: stats},

@@ -521,6 +521,7 @@ def assign_ivf_buckets_matmul(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_sim: bool = False,
 ) -> DataFrame:
     """Bucket assignment as ONE argmax kernel per Arrow batch: the
     centroid matrix rides the closure, each batch computes
@@ -530,7 +531,14 @@ def assign_ivf_buckets_matmul(
     returns the first maximum), the same tie-break as the pair-join
     path. Measured at sf10 with 447 centroids: the pair-join assignment
     took ~8 min; this takes seconds — the same row-plumbing-vs-BLAS
-    gap as matmul_topk."""
+    gap as matmul_topk.
+
+    ``with_sim=True`` additionally emits the winning cosine as ``sim``
+    (one extra row-max over the same product — the IVF store's drift
+    stat needs it). ONE kernel serves both shapes so the store's
+    append==rebuild equivalence can never drift from the layout build's
+    tie-break (review finding: a forked copy of this kernel would
+    silently break that contract on any future edit here)."""
     import numpy as np
 
     cent_rows = sorted(
@@ -545,6 +553,7 @@ def assign_ivf_buckets_matmul(
     schema = T.StructType(
         list(corpus.select(id_col, vec_col).schema.fields)
         + [T.StructField("bucket_id", T.LongType())]
+        + ([T.StructField("sim", T.DoubleType())] if with_sim else [])
     )
 
     def run(batches):
@@ -553,8 +562,11 @@ def assign_ivf_buckets_matmul(
                 continue
             X = np.array(list(pdf[vec_col]), dtype=np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sims = Xn @ Mn.T
             pdf = pdf[[id_col, vec_col]].copy()
-            pdf["bucket_id"] = ids[np.argmax(Xn @ Mn.T, axis=1)]
+            pdf["bucket_id"] = ids[np.argmax(sims, axis=1)]
+            if with_sim:
+                pdf["sim"] = np.max(sims, axis=1)
             yield pdf
 
     return corpus.select(id_col, vec_col).mapInPandas(run, schema)

@@ -65,7 +65,8 @@ Three backends, one dispatcher (r9 verdict #1):
 
 ``stage`` dispatches between them per call site: an explicit
 ``backend=`` wins, else ``$SPARK_GRAFT_STAGE_BACKEND`` (``local`` |
-``durable`` | ``parquet``, default ``local``) — so the sf10 A/B
+``local_disk`` | ``durable``, default ``local``; the eager ``parquet``
+backend is explicit-arg-only — see ``stage``) — so the sf10 A/B
 (SCALING.md, r9 verdict #5) flips every staged pipeline with one env
 var and zero plan edits.
 """
@@ -177,7 +178,15 @@ def parquet_stage(df: DataFrame) -> DataFrame:
     registry query function (enumerating the registry would run full
     pipelines, the r7 trap ``lazy_stage`` exists to avoid). In exchange
     the re-reads are parquet: column pruning and predicate pushdown
-    apply downstream, which checkpoint row files cannot offer."""
+    apply downstream, which checkpoint row files cannot offer.
+
+    Each call writes a FULL scratch copy, swept only at process exit —
+    long sessions staging large frames repeatedly should point
+    ``$SPARK_GRAFT_SCRATCH_DIR`` at real disk (the default tmpdir is
+    commonly tmpfs = RAM) and budget for N live copies. The durable
+    backend's checkpoint files, by contrast, are GC'd mid-session with
+    their RDDs (``spark.cleaner.referenceTracking.cleanCheckpoints`` is
+    set by ``session.get_spark``)."""
     spark = df.sparkSession
     root = os.environ.get(SCRATCH_ENV) or tempfile.gettempdir()
     path = tempfile.mkdtemp(prefix="spark_graft_stage_pq_", dir=root)
@@ -202,8 +211,24 @@ def stage(df: DataFrame, backend: str | None = None) -> DataFrame:
     """Stage a multiply-consumed subplan through the selected backend:
     explicit ``backend=`` wins, else ``$SPARK_GRAFT_STAGE_BACKEND``
     (default ``local``). The env knob is read at CALL time so harness
-    sweeps flip every staged pipeline without plan edits."""
+    sweeps flip every staged pipeline without plan edits.
+
+    The env knob only accepts the LAZY backends (``local`` |
+    ``local_disk`` | ``durable``): ``stage()`` sits inside registry
+    query FUNCTIONS, where an eager backend would run full pipeline
+    write jobs at plan-construction time — schema inspection, explain,
+    registry enumeration — the exact r7 trap ``lazy_stage`` exists to
+    avoid (review finding). ``parquet`` remains available per call site
+    via an explicit ``backend="parquet"`` in pipeline code that controls
+    its own timing."""
     name = backend or os.environ.get(BACKEND_ENV) or "local"
+    if backend is None and name == "parquet":
+        raise ValueError(
+            f"{BACKEND_ENV}=parquet is not allowed: the eager parquet "
+            "stage would execute every staged registry subtree at plan-"
+            "construction time; pass backend='parquet' explicitly at a "
+            "call site that controls its own timing"
+        )
     fn = _BACKENDS.get(name)
     if fn is None:
         raise ValueError(

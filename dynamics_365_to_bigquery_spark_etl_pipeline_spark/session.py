@@ -40,6 +40,10 @@ def get_spark(app_name: str = "d365-spark-engine", cpus: str | None = None) -> S
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # reliable-checkpoint files (durable_stage) are deleted when
+        # their RDD is GC'd — default false would accumulate a full
+        # staged copy per call for the whole session (review finding)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     return builder.getOrCreate()
 

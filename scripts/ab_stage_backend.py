@@ -41,25 +41,37 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    sys.path.insert(0, REPO)
     queries = {**entry_mod.queries(), **entry_mod.extra_queries()}
     fn = queries[qname]
 
     spark = get_spark("ab-stage-backend")
     spark.sparkContext.setLogLevel("ERROR")
 
-    results: dict[str, list[float]] = {}
-    for backend in ["local", "local_disk", "durable"]:
-        os.environ["SPARK_GRAFT_STAGE_BACKEND"] = backend
-        walls = []
-        for rep in range(reps):
+    # One untimed warm-up first (JVM code paths + parquet footers + page
+    # cache) — pinned to the first arm's backend so an ambient
+    # $SPARK_GRAFT_STAGE_BACKEND export can't make it eager or
+    # backend-mismatched — then the arms run INTERLEAVED — cycle 0 runs local,
+    # local_disk, durable; cycle 1 runs them again; ... — so monotonic
+    # host drift (cache warming, thermal, co-tenant load) lands on every
+    # arm equally instead of flattering whichever arm ran last (the
+    # first, sequential version of this harness read exactly that
+    # confound: every arm was faster than the arm before it).
+    arms = ["local", "local_disk", "durable"]
+    os.environ["SPARK_GRAFT_STAGE_BACKEND"] = arms[0]
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()
+    print(f"warmup wall={time.perf_counter() - t0:.1f}s", flush=True)
+
+    results: dict[str, list[float]] = {a: [] for a in arms}
+    for rep in range(reps):
+        for backend in arms:
+            os.environ["SPARK_GRAFT_STAGE_BACKEND"] = backend
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             w = time.perf_counter() - t0
-            walls.append(w)
+            results[backend].append(w)
             print(f"{qname} backend={backend} rep={rep} rows={n} wall={w:.1f}s",
                   flush=True)
-        results[backend] = walls
     os.environ.pop("SPARK_GRAFT_STAGE_BACKEND", None)
 
     print(f"\n{qname} @ {sf_dir} ({reps} reps):")

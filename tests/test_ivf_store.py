@@ -260,3 +260,54 @@ def test_guards(spark, tmp_path):
     store.build(_frame(spark, [(1, [1.0] * DIM), (2, [0.9] * DIM)]), _centroids(spark))
     with pytest.raises(ValueError, match="empty"):
         store.append(_frame(spark, []).limit(0), "d0")
+
+
+def test_append_rejects_reserved_batch_ids(spark, tmp_path):
+    """'base' and 'gen<N>' are the store's own dir namespace: an append
+    named like the live generation would pass the replay guard and then
+    rmtree the generation dir as a 'crashed earlier attempt', replacing
+    the corpus with the delta (review finding). The guard makes the
+    collision impossible instead of latent."""
+    rng = np.random.default_rng(29)
+    store = IvfLayoutStore(spark, str(tmp_path / "s"))
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 10, b * 1000)]
+    store.build(_frame(spark, base), _centroids(spark))
+    store.append(_frame(spark, _blob_vectors(rng, 0, 5, 8000)), "d0")
+    assert store.compact()  # live generation is now batch=gen1
+
+    delta = _frame(spark, _blob_vectors(rng, 1, 5, 9000))
+    for reserved in ["base", "gen1", "gen2"]:
+        with pytest.raises(ValueError, match="reserved"):
+            store.append(delta, reserved)
+    # the live generation survived the attempts, and its id is committed
+    assert store.committed_batches() == ["gen1"]
+    assert "gen1" in store.committed_ids()
+    assert store.drift()["n_vectors"] == len(base) + 5
+
+
+def test_drift_guard_sign_with_negative_build_mean(spark, tmp_path):
+    """A corpus whose build-time mean similarity is NEGATIVE must still
+    trip the guard when the live mean degrades further (the unsigned
+    formula (build-mean)/build flips sign for build<0 and would mask it
+    — review finding)."""
+    rng = np.random.default_rng(31)
+    store = IvfLayoutStore(spark, str(tmp_path / "s"), drift_threshold=0.10)
+    # vectors along -(e_0+..+e_3): cosine with EVERY centroid is -1/2,
+    # so even the argmax winner is negative; noise RAISES the winning
+    # cosine (max over jittered values), so less noise = worse corpus
+    anti = -np.eye(DIM)[:N_BLOBS].sum(axis=0)
+
+    def _anti_rows(n, start_id, noise):
+        return [
+            (start_id + i, [float(x) for x in (anti + rng.normal(0, noise, DIM))])
+            for i in range(n)
+        ]
+
+    d = store.build(_frame(spark, _anti_rows(80, 0, 0.15)), _centroids(spark))
+    assert d["build_mean_sim"] < 0
+
+    # tighter delta: winning cosine pinned near the -1/2 floor, live
+    # mean falls BELOW the (negative) build mean
+    d = store.append(_frame(spark, _anti_rows(200, 9000, 0.01)), "worse")
+    assert d["live_mean_sim"] < d["build_mean_sim"]
+    assert d["degradation"] > 0, "degradation must be positive when quality falls"

@@ -148,3 +148,16 @@ def test_stage_dispatcher_env_knob(spark, monkeypatch):
     assert len(calls) == 2
     with pytest.raises(ValueError, match="unknown stage backend"):
         ST.stage(sub, backend="bogus")
+
+
+def test_env_knob_rejects_eager_parquet_backend(spark, monkeypatch):
+    """$SPARK_GRAFT_STAGE_BACKEND only selects LAZY backends: stage()
+    sits inside registry query functions, where an env-selected eager
+    backend would run full pipelines at plan-construction time (the r7
+    trap). Explicit backend='parquet' at a call site stays allowed."""
+    monkeypatch.setenv(ST.BACKEND_ENV, "parquet")
+    with pytest.raises(ValueError, match="not allowed"):
+        ST.stage(_subtree(spark))
+    # explicit arg wins over the env and is allowed to be eager
+    staged = ST.stage(_subtree(spark), backend="parquet")
+    assert {tuple(r) for r in staged.collect()} == _expected(spark)

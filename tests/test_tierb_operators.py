@@ -648,3 +648,43 @@ def test_simhash_arrow_folds_handle_empty_rows(spark):
     }
     assert b64[3] == [7 & 9, 0, 0, 0]  # majority of 2 = both bits set
     assert b64[2] == [0, 0, 0, 0] and b64[4] == [0, 0, 0, 0]
+
+
+@pytest.mark.parametrize("method", ["star", "propagate"])
+def test_connected_components_durable_cut_equivalent(spark, method, monkeypatch, tmp_path):
+    """durable=True routes every round's lineage cut through Spark's
+    RELIABLE checkpoint (files on the checkpoint FS — executor-loss
+    resilience for long iterative runs) with labels identical to the
+    executor-pinned default, and the checkpoint files actually exist."""
+    import glob
+    import os
+
+    # the checkpoint dir is set ONCE per SparkContext (first durable
+    # cut of the session wins), so count rdd-* dirs wherever it
+    # actually points instead of assuming this test's scratch dir
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_DIR", str(tmp_path))
+
+    def rdd_dirs():
+        opt = spark.sparkContext._jsc.sc().checkpointDir()
+        if opt.isEmpty():
+            return set()
+        path = opt.get().replace("file:", "")
+        return set(glob.glob(os.path.join(path, "**", "rdd-*"), recursive=True))
+
+    before = rdd_dirs()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(50, 51), (52, 51)],
+        ["id_a", "id_b"],
+    )
+    durable = {
+        (r.id, r.group_id)
+        for r in D.connected_components(chain, method=method, durable=True).collect()
+    }
+    default = {
+        (r.id, r.group_id)
+        for r in D.connected_components(chain, method=method).collect()
+    }
+    assert durable == default
+    assert {(i, 0) for i in range(21)} <= durable
+    new_dirs = rdd_dirs() - before
+    assert new_dirs, "durable=True must write reliable-checkpoint RDD dirs"

@@ -477,14 +477,25 @@ def _cut(df: DataFrame, durable: bool) -> DataFrame:
     — round frames become files on the (shared) checkpoint filesystem,
     so an executor loss mid-iteration re-reads instead of recomputing
     or failing the whole loop. Same trade as the staging backends
-    (``operators/stage.py``); both cuts are eager, which is free here —
-    every round is materialized by its convergence probe anyway."""
+    (``operators/stage.py``).
+
+    The durable path persists around the checkpoint: an eager
+    ``checkpoint()`` alone runs TWO jobs — the materializing count,
+    then ``doCheckpoint`` re-executing the final stage to write the
+    files (shuffle outputs are reused, post-shuffle work is not; the
+    probe in stage.py measured exactly this). Caching the first job's
+    partitions lets the write job read blocks instead of recomputing;
+    the blocks are released as soon as the files exist (review
+    finding)."""
     if not durable:
         return df.localCheckpoint()
     from .stage import _ensure_checkpoint_dir
 
     _ensure_checkpoint_dir(df.sparkSession)
-    return df.checkpoint()
+    cached = df.persist()
+    out = cached.checkpoint()
+    cached.unpersist()
+    return out
 
 
 def connected_components(

@@ -128,6 +128,18 @@ class IvfLayoutStore:
     def committed_batches(self) -> list[str]:
         return self._read_meta()["batches"]
 
+    def appended_batches(self) -> list[str]:
+        """Live batch ids excluding the build/generation dir — the
+        count a maintenance cadence should key on: the base/gen dir is
+        ALWAYS present, so a cadence counting ``committed_batches()``
+        degenerates from "every N appends" to "every epoch" once a
+        first fold exists (review finding)."""
+        return [
+            b
+            for b in self.committed_batches()
+            if b != "base" and not re.fullmatch(r"gen\d+", b)
+        ]
+
     def committed_ids(self) -> list[str]:
         return self._read_meta()["committed_ids"]
 
@@ -210,6 +222,16 @@ class IvfLayoutStore:
         the store's drift status (the caller's retrain signal). Vector
         ids must be globally unique across batches. Replay of a
         committed id is a no-op."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
+            # allowlist, not blocklist: an id with a path separator
+            # ('2026/08/15', 'x/../batch=gen1') would escape the
+            # batch= dir and can resolve INTO the live generation dir,
+            # which _write_batch would then rmtree as a crashed attempt
+            # (review finding)
+            raise ValueError(
+                f"batch_id {batch_id!r} must match [A-Za-z0-9._-]+ "
+                "(it names a directory under the store)"
+            )
         if batch_id == "base" or re.fullmatch(r"gen\d+", batch_id):
             # the store's own dir namespace — an append named like the
             # live generation would pass the replay guard, then rmtree

@@ -18,7 +18,6 @@ aggregations over event time — the streaming twins of the batch
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +27,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from .. import sinks
 from ..operators import cdc
+from .util import query_id_reader
 
 
 def stream_cdc_merge(
@@ -188,18 +188,7 @@ def stream_dedup_index(
         .parquet(source_dir)
     )
 
-    _qid_cache: list[str] = []
-
-    def _query_id() -> str:
-        # Spark writes {"id": "<uuid>"} here when the query first
-        # starts against this checkpoint dir; the id is stable across
-        # restarts of the same checkpoint and fresh for a rebuilt one —
-        # so read the file ONCE per start()ed query and cache on the
-        # closure instead of re-reading every micro-batch (r8 verdict).
-        if not _qid_cache:
-            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
-                _qid_cache.append(json.load(fh)["id"])
-        return _qid_cache[0]
+    _query_id = query_id_reader(checkpoint_dir)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         batch_key = f"{_query_id()}-epoch-{epoch_id}"

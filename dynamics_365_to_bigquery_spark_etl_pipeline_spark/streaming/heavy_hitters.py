@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.frequent import mg_partition_summaries
+from .util import query_id_reader
 
 META_NAME = "_mg_store.json"
 
@@ -153,13 +154,7 @@ def stream_heavy_hitters(
         .parquet(source_dir)
     )
 
-    _qid_cache: list[str] = []
-
-    def _query_id() -> str:
-        if not _qid_cache:
-            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
-                _qid_cache.append(json.load(fh)["id"])
-        return _qid_cache[0]
+    _query_id = query_id_reader(checkpoint_dir)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{_query_id()}-epoch-{epoch_id}"

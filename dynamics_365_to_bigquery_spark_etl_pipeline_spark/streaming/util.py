@@ -1,0 +1,39 @@
+"""Shared streaming-leg plumbing.
+
+``query_id_reader`` is the exactly-once key ingredient every
+``foreachBatch`` leg in this package uses (dedup index, heavy hitters,
+vector ingest): batch/epoch keys must be namespaced by the streaming
+query's PERSISTED run identity (the ``id`` Spark writes to
+``checkpoint_dir/metadata``), because epoch numbers restart at 0
+whenever a checkpoint dir is rebuilt — a bare ``epoch-<n>`` key would
+make a NEW stream pointed at an EXISTING store silently skip its early
+epochs as "already committed". The id is stable across restarts of the
+same checkpoint (replays stay exactly-once) and fresh for a rebuilt
+one (fresh keys).
+
+One implementation instead of a per-module closure copy (review
+finding: three byte-identical copies of replay-guard-critical logic
+would drift on the next fix)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+
+def query_id_reader(checkpoint_dir: str) -> Callable[[], str]:
+    """Returns a zero-arg reader for the streaming query id persisted
+    under ``checkpoint_dir``. Reads the metadata file ONCE per
+    start()ed query and caches (r8 verdict #7): the file exists from
+    the moment the query starts and its id never changes for the life
+    of the checkpoint, so per-micro-batch re-reads are pure waste."""
+    cache: list[str] = []
+
+    def read() -> str:
+        if not cache:
+            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+                cache.append(json.load(fh)["id"])
+        return cache[0]
+
+    return read

@@ -37,8 +37,6 @@ probe-identical), mirroring the dedup leg's knob.
 
 from __future__ import annotations
 
-import json
-import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +44,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.ivf_store import IvfLayoutStore
+from .util import query_id_reader
 
 
 def stream_ivf_append(
@@ -87,15 +86,7 @@ def stream_ivf_append(
         .parquet(source_dir)
     )
 
-    _qid_cache: list[str] = []
-
-    def _query_id() -> str:
-        # read once per start()ed query; stable across restarts of the
-        # same checkpoint, fresh for a rebuilt one (r8 verdict #7 shape)
-        if not _qid_cache:
-            with open(os.path.join(checkpoint_dir, "metadata")) as fh:
-                _qid_cache.append(json.load(fh)["id"])
-        return _qid_cache[0]
+    _query_id = query_id_reader(checkpoint_dir)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         batch_key = f"{_query_id()}-epoch-{epoch_id}"
@@ -104,7 +95,11 @@ def stream_ivf_append(
         drift = store.append(batch_df.select(id_col, vec_col), batch_key)
         if on_drift is not None:
             on_drift(drift)
-        if compact_every and len(store.committed_batches()) >= compact_every:
+        # cadence keys on APPENDED batches: the build/generation dir is
+        # always live, so counting committed_batches() would compact
+        # the FULL corpus every epoch once a first fold exists (review
+        # finding)
+        if compact_every and len(store.appended_batches()) >= compact_every:
             store.compact()
 
     return (

@@ -279,6 +279,11 @@ def test_append_rejects_reserved_batch_ids(spark, tmp_path):
     for reserved in ["base", "gen1", "gen2"]:
         with pytest.raises(ValueError, match="reserved"):
             store.append(delta, reserved)
+    # ids that would escape the batch= namespace via path separators
+    # (e.g. resolve INTO the live generation dir) are rejected too
+    for traversal in ["x/../batch=gen1", "2026/08/15", "a\\b", ""]:
+        with pytest.raises(ValueError, match="must match"):
+            store.append(delta, traversal)
     # the live generation survived the attempts, and its id is committed
     assert store.committed_batches() == ["gen1"]
     assert "gen1" in store.committed_ids()

@@ -680,11 +680,14 @@ def test_connected_components_durable_cut_equivalent(spark, method, monkeypatch,
         (r.id, r.group_id)
         for r in D.connected_components(chain, method=method, durable=True).collect()
     }
+    # check file presence IMMEDIATELY: cleanCheckpoints=true (session
+    # conf) lets the ContextCleaner delete rdd-* dirs once the round
+    # frames are GC'd, so probing after further heavy work is flaky
+    new_dirs = rdd_dirs() - before
+    assert new_dirs, "durable=True must write reliable-checkpoint RDD dirs"
     default = {
         (r.id, r.group_id)
         for r in D.connected_components(chain, method=method).collect()
     }
     assert durable == default
     assert {(i, 0) for i in range(21)} <= durable
-    new_dirs = rdd_dirs() - before
-    assert new_dirs, "durable=True must write reliable-checkpoint RDD dirs"

@@ -493,9 +493,13 @@ def _cut(df: DataFrame, durable: bool) -> DataFrame:
 
     _ensure_checkpoint_dir(df.sparkSession)
     cached = df.persist()
-    out = cached.checkpoint()
-    cached.unpersist()
-    return out
+    try:
+        return cached.checkpoint()
+    finally:
+        # always release the blocks — a checkpoint failure (FS full,
+        # executor loss mid-write) must not leak the round frame in the
+        # block manager for the rest of the session (review finding)
+        cached.unpersist()
 
 
 def connected_components(

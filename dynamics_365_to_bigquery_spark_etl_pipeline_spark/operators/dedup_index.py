@@ -51,6 +51,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -127,6 +128,18 @@ class LshDedupIndex:
         """Every batch id ever committed (what the replay guard checks);
         survives compaction."""
         return self._read_meta()["committed_ids"]
+
+    def appended_batches(self) -> list[str]:
+        """Live batch ids excluding generation dirs — the count a
+        maintenance cadence should key on: a ``gen<N>`` dir is always
+        live after the first fold, so a cadence counting
+        ``committed_batches()`` degenerates from "every N ingests" to
+        "every ingest" (review finding, shared with the IVF store)."""
+        return [
+            b
+            for b in self.committed_batches()
+            if not re.fullmatch(r"gen\d+", b)
+        ]
 
     def _commit(self, batch_id: str, n_buckets: int) -> None:
         meta = self._read_meta()
@@ -270,6 +283,24 @@ class LshDedupIndex:
         pairs, overwritten in place); a crash after commit is caught by
         the ``committed_batches`` guard with the pairs already on
         disk."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
+            # allowlist, not blocklist: an id with a path separator
+            # ('2026/08/15', 'x/../batch=gen1') escapes the batch=
+            # namespace and can resolve INTO the live generation dir,
+            # which the store writes would rmtree as a crashed attempt
+            # (review finding, shared with the IVF store)
+            raise ValueError(
+                f"batch_id {batch_id!r} must match [A-Za-z0-9._-]+ "
+                "(it names directories under the index)"
+            )
+        if re.fullmatch(r"gen\d+", batch_id):
+            # the index's own compaction namespace — an ingest named
+            # like the live generation would rmtree and replace the
+            # whole compacted corpus
+            raise ValueError(
+                f"batch_id {batch_id!r} is reserved (compaction names "
+                "generations 'gen<N>')"
+            )
         sh = (
             docs.select(
                 F.col(id_col).alias("doc_id"),
@@ -443,6 +474,10 @@ class LshDedupIndex:
         self._write_meta(
             {
                 "batches": [gen_id],
+                # committed_ids stays INGEST ids only (the replay
+                # guard's semantics); the generation namespace cannot
+                # collide with an ingest because prepare_batch rejects
+                # 'gen<N>' batch ids outright
                 "committed_ids": meta["committed_ids"],
                 "generation": gen,
                 "buckets_n": {gen_id: n_buckets},

@@ -164,10 +164,11 @@ def stream_dedup_index(
     checkpoint_dir — a fresh checkpoint needs a fresh pairs_dir.
 
     ``compact_every`` > 0 folds index maintenance into the stream:
-    after every N committed batches the per-batch store dirs are merged
-    into one generation dir (``LshDedupIndex.compact`` — crash-safe,
-    probe-identical), bounding probe fan-in at O(N) dirs instead of
-    O(#epochs) on a long-running ingest.
+    after every N APPENDED batches (the generation dir a previous fold
+    left is excluded from the count) the per-batch store dirs are
+    merged into one generation dir (``LshDedupIndex.compact`` —
+    crash-safe, probe-identical), bounding probe fan-in at O(N) dirs
+    instead of O(#epochs) on a long-running ingest.
 
     ``max_files_per_trigger`` sets the ingestion rate (source files per
     micro-batch). It TRADES AGAINST ``compact_every``: a larger trigger
@@ -199,7 +200,11 @@ def stream_dedup_index(
             os.path.join(pairs_dir, f"epoch={epoch_id}")
         )
         commit()
-        if compact_every and len(idx.committed_batches()) >= compact_every:
+        # cadence keys on APPENDED batches: a gen<N> dir is always live
+        # after the first fold, so counting committed_batches() would
+        # rewrite the FULL index every epoch from then on (review
+        # finding, shared with the IVF ingest leg)
+        if compact_every and len(idx.appended_batches()) >= compact_every:
             idx.compact()
 
     return (

@@ -31,7 +31,9 @@ centroids), exactly like the batch API.
 
 ``compact_every`` bounds probe fan-in on a long-running ingest by
 folding the per-epoch batch dirs into one generation dir after every N
-committed batches (``IvfLayoutStore.compact`` — crash-safe,
+APPENDED batches — the always-live build/generation dir is excluded
+from the count, or the cadence would degenerate to a full-corpus
+rewrite every epoch (``IvfLayoutStore.compact`` — crash-safe,
 probe-identical), mirroring the dedup leg's knob.
 """
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
@@ -429,3 +430,64 @@ def test_table_names_unique_for_colliding_batch_ids(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="batch_buckets"):
         LshDedupIndex(spark, str(tmp_path / "idx2"), batch_buckets=0)
+
+
+def test_add_batch_rejects_reserved_and_traversal_ids(spark, tmp_path):
+    """'gen<N>' is the index's compaction namespace and ids are dir
+    names: an ingest named like the live generation — or carrying a
+    path separator that resolves into it — would rmtree and replace the
+    whole compacted corpus as a 'crashed earlier attempt' (review
+    finding, shared with the IVF store)."""
+    corpus = _corpus(spark)
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), jaccard_min=JMIN)
+    idx.add_batch(corpus.filter(F.col("doc_id") % 2 == 0), "b0")
+    idx.add_batch(corpus.filter(F.col("doc_id") % 2 == 1), "b1")
+    assert idx.compact()  # live store is now batch=gen1
+
+    delta = corpus.limit(5)
+    for reserved in ["gen1", "gen2"]:
+        with pytest.raises(ValueError, match="reserved"):
+            idx.add_batch(delta, reserved)
+    for traversal in ["x/../batch=gen1", "2026/08/15", ""]:
+        with pytest.raises(ValueError, match="must match"):
+            idx.add_batch(delta, traversal)
+    # the live generation survived the attempts
+    assert idx.committed_batches() == ["gen1"]
+    assert set(idx.committed_ids()) == {"b0", "b1"}
+
+
+def test_stream_compact_cadence_counts_appended_not_live(spark, tmp_path):
+    """Cadence regression pin (review finding): 4 epochs at
+    compact_every=2 must fold TWICE — counting committed_batches()
+    (which always includes the gen dir after the first fold) rewrote
+    the FULL index every epoch (generation would reach 3 here)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_dedup_index,
+    )
+
+    corpus = _corpus(spark)
+    src = str(tmp_path / "src")
+    for e in range(4):
+        corpus.filter(F.col("doc_id") % 4 == e).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = stream_dedup_index(
+        spark, src, corpus.schema,
+        index_path=str(tmp_path / "idx"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        jaccard_min=JMIN,
+        compact_every=2,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"))
+    assert idx._read_meta()["generation"] == 2
+    assert len(idx.committed_ids()) == 4
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert _norm(got) == _norm(_full_pairs(spark, corpus))

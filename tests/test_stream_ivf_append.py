@@ -160,6 +160,11 @@ def test_compact_every_bounds_fanin_probe_unchanged(spark, tmp_path):
     store = IvfLayoutStore(spark, str(tmp_path / "s"))
     # fan-in bounded: compaction folded the per-epoch dirs
     assert len(store.committed_batches()) <= 2
+    # cadence regression pin (review finding): 4 epochs at
+    # compact_every=2 must fold TWICE (after k0,k1 and after k2,k3) —
+    # the old committed_batches() count folded the full corpus EVERY
+    # epoch once a generation existed (generation would be 4 here)
+    assert store._read_meta()["generation"] == 2
     assert store.drift()["n_vectors"] == len(all_rows)
 
     # probe equals a from-scratch rebuild of the same corpus

@@ -58,6 +58,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import dedup as D
+from . import ledger
+from .store_lock import store_write_lock
 
 META_NAME = "_index_meta.json"
 
@@ -92,13 +94,17 @@ class LshDedupIndex:
 
     def _read_meta(self) -> dict:
         """Meta carries two distinct sets: ``batches`` = the LIVE store
-        dirs to read (compaction shrinks this to one), and
-        ``committed_ids`` = every batch id EVER ingested (the replay
-        guard — compaction must not forget ids, or a replayed old batch
-        would double its postings). ``buckets_n`` maps a live batch id
+        dirs to read (compaction shrinks this to one), and the replay
+        ledger — ``committed_ids`` for batch-API ids plus the bounded
+        ``epoch_hwm`` high-water map for the streaming leg's
+        ``<query-id>-epoch-<n>`` keys (``operators/ledger.py``, r10
+        verdict #2: the flat list grew and was rewritten O(#epochs));
+        compaction must not forget either, or a replayed old batch
+        would double its postings. ``buckets_n`` maps a live batch id
         to its postings dir's bucket count (absent = pre-r8 plain
         parquet, read via the legacy leg). Older metas carry only
-        ``batches``; treat that as both."""
+        ``batches``; treat that as both. Pre-r11 metas carry epoch keys
+        in the flat list; ``ledger.migrate`` folds them."""
         try:
             with open(self._meta_path()) as fh:
                 meta = json.load(fh)
@@ -106,12 +112,14 @@ class LshDedupIndex:
             return {
                 "batches": [],
                 "committed_ids": [],
+                "epoch_hwm": {},
                 "generation": 0,
                 "buckets_n": {},
             }
         meta.setdefault("committed_ids", list(meta.get("batches", [])))
         meta.setdefault("generation", 0)
         meta.setdefault("buckets_n", {})
+        ledger.migrate(meta)
         return meta
 
     def _write_meta(self, meta: dict) -> None:
@@ -125,9 +133,21 @@ class LshDedupIndex:
         return self._read_meta()["batches"]
 
     def committed_ids(self) -> list[str]:
-        """Every batch id ever committed (what the replay guard checks);
-        survives compaction."""
+        """Every NON-epoch batch id ever committed; survives
+        compaction. Streaming epoch keys live in the bounded high-water
+        map — use ``is_committed`` for the replay check."""
         return self._read_meta()["committed_ids"]
+
+    def epoch_high_water(self) -> dict[str, int]:
+        """``{query_id: max committed epoch}`` — the streaming leg's
+        bounded replay ledger."""
+        return dict(self._read_meta()["epoch_hwm"])
+
+    def is_committed(self, batch_id: str) -> bool:
+        """Replay guard: True when the index already reflects this
+        batch id (exact membership for batch ids, high-water for
+        ``<query-id>-epoch-<n>`` keys)."""
+        return ledger.is_committed(self._read_meta(), batch_id)
 
     def appended_batches(self) -> list[str]:
         """Live batch ids excluding generation dirs — the count a
@@ -142,9 +162,14 @@ class LshDedupIndex:
         ]
 
     def _commit(self, batch_id: str, n_buckets: int) -> None:
+        # caller holds the store write lock; re-check the ledger under
+        # it — two same-id ingests that both passed the unlocked replay
+        # check must not double the batches list
         meta = self._read_meta()
+        if ledger.is_committed(meta, batch_id):
+            return
         meta["batches"] = meta["batches"] + [batch_id]
-        meta["committed_ids"] = meta["committed_ids"] + [batch_id]
+        ledger.record(meta, batch_id)
         meta["buckets_n"][batch_id] = n_buckets
         self._write_meta(meta)
 
@@ -256,11 +281,13 @@ class LshDedupIndex:
         """Index a new batch and return its near-dup pairs: (id_a, id_b,
         jacc) for every pair with Jaccard >= jaccard_min where at least
         one side is in this batch (new-vs-corpus AND new-vs-new).
-        Doc ids must be globally unique across batches."""
+        Doc ids must be globally unique across batches. Batch ids
+        shaped ``*-epoch-<n>`` are the streaming leg's and carry
+        monotonic per-prefix replay semantics (``operators/ledger.py``)."""
         empty = self.spark.createDataFrame(
             [], "id_a long, id_b long, jacc double"
         )
-        if batch_id in self.committed_ids():
+        if self.is_committed(batch_id):
             return empty  # replay: state already reflects this batch
         pairs, commit = self.prepare_batch(docs, batch_id, id_col, text_col)
         commit()
@@ -368,13 +395,17 @@ class LshDedupIndex:
             # append-only state: one new dir per store (postings as a
             # bucketed table), then the meta commit makes both visible
             # atomically (crash before commit -> orphan dirs + catalog
-            # entries are overwritten on retry, never read)
-            self._write_bucketed(banded, batch_id, self.batch_buckets)
-            out = self._store("shingles", batch_id)
-            if os.path.isdir(out):
-                shutil.rmtree(out)  # crashed earlier attempt
-            sh.write.parquet(out)
-            self._commit(batch_id, self.batch_buckets)
+            # entries are overwritten on retry, never read). The write
+            # lock spans the DIR writes too: a concurrent compact()'s
+            # GC sweep would rmtree an uncommitted in-flight dir
+            # (store_lock module docstring; r10 verdict #6).
+            with store_write_lock(self.path):
+                self._write_bucketed(banded, batch_id, self.batch_buckets)
+                out = self._store("shingles", batch_id)
+                if os.path.isdir(out):
+                    shutil.rmtree(out)  # crashed earlier attempt
+                sh.write.parquet(out)
+                self._commit(batch_id, self.batch_buckets)
 
         return pairs, commit
 
@@ -419,78 +450,82 @@ class LshDedupIndex:
 
         Returns True if a compaction ran, False if there was nothing to
         merge (0 or 1 live dir)."""
-        meta = self._read_meta()
-        live = meta["batches"]
-        if len(live) <= 1:
-            return False
-        gen = meta["generation"] + 1
-        gen_id = f"gen{gen}"
+        with store_write_lock(self.path):
+            meta = self._read_meta()
+            live = meta["batches"]
+            if len(live) <= 1:
+                return False
+            gen = meta["generation"] + 1
+            gen_id = f"gen{gen}"
 
-        # postings: union every live leg (bucketed or legacy) and
-        # rewrite as one bucketed generation table. Size output files by
-        # DATA, not a constant: a store of N tiny batch files must
-        # compact DOWN (a fixed fan-out re-fragmented small stores —
-        # measured), a large store splits into ~64 MiB buckets.
-        n_buckets = target_files or max(
-            1, -(-self._store_bytes("buckets", live) // self.COMPACT_TARGET_BYTES)
-        )
-        # Reads tolerate missing live dirs (they skip them), but a
-        # compaction folding a PARTIAL store would swap the meta to a
-        # generation that permanently erases the missing batches'
-        # postings/shingles — committed_ids still blocks re-ingest, so
-        # the loss would be silent and unrecoverable. Require EVERY live
-        # batch dir of BOTH stores on disk before merging; fail loudly
-        # naming what's missing (r8 advice + r9 review finding: the
-        # first guard only caught the all-missing case).
-        missing = [
-            self._store(name, b)
-            for name in self.STORE_SCHEMAS
-            for b in live
-            if not os.path.isdir(self._store(name, b))
-        ]
-        if missing:
-            raise RuntimeError(
-                f"dedup index at {self.path} is corrupt: meta lists live "
-                f"batches {live} but these store dirs are missing on "
-                f"disk: {missing}; restore them or rebuild the index "
-                "before compacting"
+            # postings: union every live leg (bucketed or legacy) and
+            # rewrite as one bucketed generation table. Size output files by
+            # DATA, not a constant: a store of N tiny batch files must
+            # compact DOWN (a fixed fan-out re-fragmented small stores —
+            # measured), a large store splits into ~64 MiB buckets.
+            n_buckets = target_files or max(
+                1, -(-self._store_bytes("buckets", live) // self.COMPACT_TARGET_BYTES)
             )
-        legs = self._postings_legs()
-        merged = legs[0]
-        for leg in legs[1:]:
-            merged = merged.unionByName(leg)
-        self._write_bucketed(merged, gen_id, n_buckets)
+            # Reads tolerate missing live dirs (they skip them), but a
+            # compaction folding a PARTIAL store would swap the meta to a
+            # generation that permanently erases the missing batches'
+            # postings/shingles — committed_ids still blocks re-ingest, so
+            # the loss would be silent and unrecoverable. Require EVERY live
+            # batch dir of BOTH stores on disk before merging; fail loudly
+            # naming what's missing (r8 advice + r9 review finding: the
+            # first guard only caught the all-missing case).
+            missing = [
+                self._store(name, b)
+                for name in self.STORE_SCHEMAS
+                for b in live
+                if not os.path.isdir(self._store(name, b))
+            ]
+            if missing:
+                raise RuntimeError(
+                    f"dedup index at {self.path} is corrupt: meta lists live "
+                    f"batches {live} but these store dirs are missing on "
+                    f"disk: {missing}; restore them or rebuild the index "
+                    "before compacting"
+                )
+            legs = self._postings_legs()
+            merged = legs[0]
+            for leg in legs[1:]:
+                merged = merged.unionByName(leg)
+            self._write_bucketed(merged, gen_id, n_buckets)
 
-        n_sh_files = target_files or max(
-            1, -(-self._store_bytes("shingles", live) // self.COMPACT_TARGET_BYTES)
-        )
-        out = self._store("shingles", gen_id)
-        if os.path.isdir(out):
-            shutil.rmtree(out)  # crashed earlier attempt
-        self._read_committed_shingles().repartition(
-            n_sh_files, "doc_id"
-        ).write.parquet(out)
+            n_sh_files = target_files or max(
+                1, -(-self._store_bytes("shingles", live) // self.COMPACT_TARGET_BYTES)
+            )
+            out = self._store("shingles", gen_id)
+            if os.path.isdir(out):
+                shutil.rmtree(out)  # crashed earlier attempt
+            self._read_committed_shingles().repartition(
+                n_sh_files, "doc_id"
+            ).write.parquet(out)
 
-        self._write_meta(
-            {
-                "batches": [gen_id],
-                # committed_ids stays INGEST ids only (the replay
-                # guard's semantics); the generation namespace cannot
-                # collide with an ingest because prepare_batch rejects
-                # 'gen<N>' batch ids outright
-                "committed_ids": meta["committed_ids"],
-                "generation": gen,
-                "buckets_n": {gen_id: n_buckets},
-            }
-        )
-        # GC everything the new meta doesn't reference — the just-merged
-        # live dirs AND any orphans from a previous compact that crashed
-        # between ITS meta swap and ITS sweep (reads never see either)
-        for name in self.STORE_SCHEMAS:
-            base = os.path.join(self.path, name)
-            for d in os.listdir(base) if os.path.isdir(base) else []:
-                if d.startswith("batch=") and d != f"batch={gen_id}":
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-                    if name == "buckets":
-                        self._drop_table(d[len("batch=") :])
-        return True
+            self._write_meta(
+                {
+                    "batches": [gen_id],
+                    # the replay ledger stays INGEST ids only (the
+                    # guard's semantics) and must survive compaction —
+                    # BOTH halves, the batch-id list and the epoch
+                    # high-water map; the generation namespace cannot
+                    # collide with an ingest because prepare_batch
+                    # rejects 'gen<N>' batch ids outright
+                    "committed_ids": meta["committed_ids"],
+                    "epoch_hwm": meta["epoch_hwm"],
+                    "generation": gen,
+                    "buckets_n": {gen_id: n_buckets},
+                }
+            )
+            # GC everything the new meta doesn't reference — the just-merged
+            # live dirs AND any orphans from a previous compact that crashed
+            # between ITS meta swap and ITS sweep (reads never see either)
+            for name in self.STORE_SCHEMAS:
+                base = os.path.join(self.path, name)
+                for d in os.listdir(base) if os.path.isdir(base) else []:
+                    if d.startswith("batch=") and d != f"batch={gen_id}":
+                        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                        if name == "buckets":
+                            self._drop_table(d[len("batch=") :])
+            return True

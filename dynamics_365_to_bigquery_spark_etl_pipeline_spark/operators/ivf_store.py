@@ -16,8 +16,13 @@ State on disk (under ``path/``):
 - ``vectors/batch=<id>/``  — per-batch layout dirs, each written
   ``partitionBy(bucket_id)`` exactly like the full layout, so the probe
   partition-prunes every live dir
-- ``_ivf_meta.json``       — live batch ids, every-ever committed ids
-  (replay guard), per-batch assignment stats, generation counter
+- ``_ivf_meta.json``       — live batch ids, the replay-guard ledger
+  (bounded: a ``{query_id: max_epoch}`` high-water map for the
+  streaming legs' epoch keys + an exact list for batch-API ids —
+  ``operators/ledger.py``), per-batch assignment stats, generation
+  counter, and the store's IDENTITY (``drift_threshold`` / ``id_col``
+  / ``vec_col`` are pinned at build; a mismatched open fails loudly,
+  mirroring the MG store's k check — r10 verdict #3)
 
 Per ``append``, the work is O(|delta|): the new vectors are assigned to
 their argmax bucket by the same BLAS kernel the full build uses
@@ -51,9 +56,14 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import ledger
 from . import similarity as S
+from .store_lock import store_write_lock
 
 META_NAME = "_ivf_meta.json"
+
+# meta keys pinned at build() and validated on every open
+IDENTITY_KEYS = ("drift_threshold", "id_col", "vec_col")
 
 
 def _assign_with_sim(
@@ -95,19 +105,45 @@ class IvfLayoutStore:
     def _meta_path(self) -> str:
         return os.path.join(self.path, META_NAME)
 
+    def _identity(self) -> dict:
+        return {k: getattr(self, k) for k in IDENTITY_KEYS}
+
     def _read_meta(self) -> dict:
+        """Load + migrate the meta. The replay ledger is folded to the
+        bounded shape (``ledger.migrate`` — pre-r11 metas carried epoch
+        keys in the flat list); the store IDENTITY is validated against
+        this instance's knobs and a mismatch fails loudly — a stream
+        opened at a different ``drift_threshold`` would silently move
+        the retrain line, different columns would break the probe
+        (r10 verdict #3). Pre-r11 metas carry no identity keys: the
+        instance's values are adopted and persisted on the next
+        write."""
         try:
             with open(self._meta_path()) as fh:
-                return json.load(fh)
+                meta = json.load(fh)
         except FileNotFoundError:
             return {
                 "batches": [],
                 "committed_ids": [],
+                "epoch_hwm": {},
                 "generation": 0,
                 "stats": {},
                 "build_mean_sim": None,
                 "needs_retrain": False,
+                **self._identity(),
             }
+        ledger.migrate(meta)
+        for key, mine in self._identity().items():
+            theirs = meta.setdefault(key, mine)
+            if theirs != mine:
+                raise ValueError(
+                    f"IVF store at {self.path} was built with "
+                    f"{key}={theirs!r}, opened with {key}={mine!r} — "
+                    "identity knobs are per-store (pinned at build()); "
+                    "open with the build values, or build() afresh to "
+                    "re-pin them"
+                )
+        return meta
 
     def _write_meta(self, meta: dict) -> None:
         tmp = self._meta_path() + ".tmp"
@@ -141,14 +177,22 @@ class IvfLayoutStore:
         ]
 
     def committed_ids(self) -> list[str]:
+        """The NON-epoch ids ever committed (batch-API ids, ``base``,
+        ``gen<N>``). Streaming epoch keys live in the bounded
+        high-water map instead — use ``is_committed`` for the replay
+        check (r10 verdict #2)."""
         return self._read_meta()["committed_ids"]
 
-    def live_dirs(self) -> list[str]:
-        return [
-            self._batch_dir(b)
-            for b in self.committed_batches()
-            if os.path.isdir(self._batch_dir(b))
-        ]
+    def epoch_high_water(self) -> dict[str, int]:
+        """``{query_id: max committed epoch}`` — the streaming legs'
+        bounded replay ledger."""
+        return dict(self._read_meta()["epoch_hwm"])
+
+    def is_committed(self, batch_id: str) -> bool:
+        """Replay guard: True when the store's state already reflects
+        this batch id (exact membership for batch ids, high-water for
+        ``<query-id>-epoch-<n>`` keys)."""
+        return ledger.is_committed(self._read_meta(), batch_id)
 
     def centroids(self) -> DataFrame:
         """The PINNED centroid frame every batch in the current
@@ -161,26 +205,30 @@ class IvfLayoutStore:
         corpus, write ``batch=base`` partitioned by bucket, record the
         build-time mean assignment similarity the drift guard compares
         against. Wipes any previous state at this path — including
-        stale generation dirs a prior ``rebuild`` may have left."""
-        shutil.rmtree(os.path.join(self.path, "vectors"), ignore_errors=True)
-        for d in os.listdir(self.path):
-            if d.startswith("centroids"):
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        cdir = os.path.join(self.path, "centroids")
-        centroids.select(self.id_col, self.vec_col).write.parquet(cdir)
-        cents = self.spark.read.parquet(cdir)
-        stats = self._write_batch(corpus, "base", cents)
-        self._write_meta(
-            {
-                "batches": ["base"],
-                "committed_ids": ["base"],
-                "generation": 0,
-                "centroids_dir": "centroids",
-                "stats": {"base": stats},
-                "build_mean_sim": stats["mean_sim"],
-                "needs_retrain": False,
-            }
-        )
+        stale generation dirs a prior ``rebuild`` may have left — and
+        (re)pins the store's identity knobs in the meta."""
+        with store_write_lock(self.path):
+            shutil.rmtree(os.path.join(self.path, "vectors"), ignore_errors=True)
+            for d in os.listdir(self.path):
+                if d.startswith("centroids"):
+                    shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            cdir = os.path.join(self.path, "centroids")
+            centroids.select(self.id_col, self.vec_col).write.parquet(cdir)
+            cents = self.spark.read.parquet(cdir)
+            stats = self._write_batch(corpus, "base", cents)
+            self._write_meta(
+                {
+                    "batches": ["base"],
+                    "committed_ids": ["base"],
+                    "epoch_hwm": {},
+                    "generation": 0,
+                    "centroids_dir": "centroids",
+                    "stats": {"base": stats},
+                    "build_mean_sim": stats["mean_sim"],
+                    "needs_retrain": False,
+                    **self._identity(),
+                }
+            )
         return self.drift()
 
     def _write_batch(
@@ -221,7 +269,12 @@ class IvfLayoutStore:
         build centroids, append one ``batch=<id>`` dir, commit. Returns
         the store's drift status (the caller's retrain signal). Vector
         ids must be globally unique across batches. Replay of a
-        committed id is a no-op."""
+        committed id is a no-op; ids shaped ``*-epoch-<n>`` are the
+        streaming leg's and carry monotonic per-prefix replay semantics
+        (``operators/ledger.py``). The whole append holds the store's
+        write lock — see ``store_lock.store_write_lock`` for why the
+        dir write is inside it (a concurrent compact's GC would sweep
+        an uncommitted in-flight dir)."""
         if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
             # allowlist, not blocklist: an id with a path separator
             # ('2026/08/15', 'x/../batch=gen1') would escape the
@@ -241,25 +294,29 @@ class IvfLayoutStore:
                 f"batch_id {batch_id!r} is reserved (the store names its "
                 "build 'base' and compaction/rebuild generations 'gen<N>')"
             )
-        meta = self._read_meta()
-        if not meta["batches"]:
-            raise RuntimeError(
-                f"IVF store at {self.path} has no build — call build() "
-                "before append()"
-            )
-        if batch_id in meta["committed_ids"]:
-            return self.drift()  # replay: state already reflects this batch
-        stats = self._write_batch(vectors, batch_id)
-        # re-read: the meta may have moved while the batch wrote
-        meta = self._read_meta()
-        meta["batches"] = meta["batches"] + [batch_id]
-        meta["committed_ids"] = meta["committed_ids"] + [batch_id]
-        meta["stats"][batch_id] = stats
-        self._write_meta(meta)
-        drift = self.drift()
-        if drift["needs_retrain"] and not meta.get("needs_retrain"):
-            meta["needs_retrain"] = True
+        with store_write_lock(self.path):
+            # replay check INSIDE the lock: a concurrent writer may have
+            # committed this id while we waited
+            meta = self._read_meta()
+            if not meta["batches"]:
+                raise RuntimeError(
+                    f"IVF store at {self.path} has no build — call build() "
+                    "before append()"
+                )
+            if ledger.is_committed(meta, batch_id):
+                return self.drift()  # replay: state already reflects it
+            stats = self._write_batch(vectors, batch_id)
+            # the lock freezes the meta — no re-read needed between the
+            # batch write and the commit (pre-r11 this was an unlocked
+            # RMW that could lose a concurrent writer's entry)
+            meta["batches"] = meta["batches"] + [batch_id]
+            ledger.record(meta, batch_id)
+            meta["stats"][batch_id] = stats
             self._write_meta(meta)
+            drift = self.drift()
+            if drift["needs_retrain"] and not meta.get("needs_retrain"):
+                meta["needs_retrain"] = True
+                self._write_meta(meta)
         return drift
 
     # -- drift guard -------------------------------------------------------
@@ -296,15 +353,40 @@ class IvfLayoutStore:
             ),
         }
 
+    def _require_live_dirs(self, meta: dict, verb: str) -> list[str]:
+        """Every meta-listed live batch dir, failing LOUDLY if any is
+        missing on disk: any committed state has all its live dirs (the
+        two-phase swaps guarantee it), so a hole is corruption — and
+        silently skipping it would drop committed vectors from a probe
+        result or, worse, rebuild a new generation from a partial
+        corpus with ``committed_ids`` still blocking re-ingest
+        (r10 advice: compact() had this check, rebuild()/topk()
+        didn't)."""
+        live = meta["batches"]
+        missing = [
+            self._batch_dir(b)
+            for b in live
+            if not os.path.isdir(self._batch_dir(b))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"IVF store at {self.path} is corrupt: meta lists live "
+                f"batches {live} but these dirs are missing on disk: "
+                f"{missing}; restore them or rebuild from source before "
+                f"{verb}"
+            )
+        return [self._batch_dir(b) for b in live]
+
     # -- probe -------------------------------------------------------------
     def topk(self, queries: DataFrame, k: int = 10, nprobe: int = 4) -> DataFrame:
         """ANN top-k over every live batch dir — the partition-pruned
         matmul probe (``similarity.matmul_topk_from_layout``) with one
         filtered leg per dir; per-query cost is O(probed fraction) of
         the whole store, independent of how many appends built it."""
-        dirs = self.live_dirs()
-        if not dirs:
+        meta = self._read_meta()
+        if not meta["batches"]:
             raise RuntimeError(f"IVF store at {self.path} has no build")
+        dirs = self._require_live_dirs(meta, "probing")
         return S.matmul_topk_from_layout(
             self.spark,
             dirs,
@@ -325,50 +407,43 @@ class IvfLayoutStore:
         Assignments are already on disk, so compaction is a shuffle-free
         re-write, not a re-assignment. Returns False when there is
         nothing to fold."""
-        meta = self._read_meta()
-        live = meta["batches"]
-        if len(live) <= 1:
-            return False
-        missing = [
-            self._batch_dir(b) for b in live if not os.path.isdir(self._batch_dir(b))
-        ]
-        if missing:
-            raise RuntimeError(
-                f"IVF store at {self.path} is corrupt: meta lists live "
-                f"batches {live} but these dirs are missing on disk: "
-                f"{missing}; restore them or rebuild() before compacting"
-            )
-        gen = meta["generation"] + 1
-        gen_id = f"gen{gen}"
-        merged = self.spark.read.parquet(self._batch_dir(live[0]))
-        for b in live[1:]:
-            merged = merged.unionByName(self.spark.read.parquet(self._batch_dir(b)))
-        out = self._batch_dir(gen_id)
-        if os.path.isdir(out):
-            shutil.rmtree(out)  # crashed earlier attempt
-        merged.write.partitionBy("bucket_id").parquet(out)
-        # fold the stats the same way the data folded (weighted mean)
-        live_stats = [meta["stats"][b] for b in live if b in meta["stats"]]
-        n = sum(s["n"] for s in live_stats)
-        folded = {
-            "n": n,
-            "mean_sim": sum(s["mean_sim"] * s["n"] for s in live_stats) / n,
-        }
-        self._write_meta(
-            {
-                **meta,
-                "batches": [gen_id],
-                # invariant: every live batch id is committed (belt to
-                # the append() reserved-namespace guard's braces)
-                "committed_ids": meta["committed_ids"] + [gen_id],
-                "generation": gen,
-                "stats": {gen_id: folded},
+        with store_write_lock(self.path):
+            meta = self._read_meta()
+            live = meta["batches"]
+            if len(live) <= 1:
+                return False
+            dirs = self._require_live_dirs(meta, "compacting")
+            gen = meta["generation"] + 1
+            gen_id = f"gen{gen}"
+            merged = self.spark.read.parquet(dirs[0])
+            for d in dirs[1:]:
+                merged = merged.unionByName(self.spark.read.parquet(d))
+            out = self._batch_dir(gen_id)
+            if os.path.isdir(out):
+                shutil.rmtree(out)  # crashed earlier attempt
+            merged.write.partitionBy("bucket_id").parquet(out)
+            # fold the stats the same way the data folded (weighted mean)
+            live_stats = [meta["stats"][b] for b in live if b in meta["stats"]]
+            n = sum(s["n"] for s in live_stats)
+            folded = {
+                "n": n,
+                "mean_sim": sum(s["mean_sim"] * s["n"] for s in live_stats) / n,
             }
-        )
-        base = os.path.join(self.path, "vectors")
-        for d in os.listdir(base) if os.path.isdir(base) else []:
-            if d.startswith("batch=") and d != f"batch={gen_id}":
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            # invariant: every live batch id is committed (belt to the
+            # append() reserved-namespace guard's braces)
+            ledger.record(meta, gen_id)
+            self._write_meta(
+                {
+                    **meta,
+                    "batches": [gen_id],
+                    "generation": gen,
+                    "stats": {gen_id: folded},
+                }
+            )
+            base = os.path.join(self.path, "vectors")
+            for d in os.listdir(base) if os.path.isdir(base) else []:
+                if d.startswith("batch=") and d != f"batch={gen_id}":
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         return True
 
     def rebuild(self, centroids: DataFrame) -> dict:
@@ -379,41 +454,51 @@ class IvfLayoutStore:
         the live state, the meta swap makes both visible atomically (a
         crash mid-rebuild leaves the old generation fully readable),
         then the old dirs are GC'd best-effort. The replay guard
-        survives: ids committed before the rebuild stay committed."""
-        meta = self._read_meta()
-        dirs = self.live_dirs()
-        if not dirs:
-            raise RuntimeError(f"IVF store at {self.path} has no build")
-        gen = meta["generation"] + 1
-        gen_id, cdir_name = f"gen{gen}", f"centroids_gen{gen}"
-        cdir = os.path.join(self.path, cdir_name)
-        if os.path.isdir(cdir):
-            shutil.rmtree(cdir)  # crashed earlier attempt
-        centroids.select(self.id_col, self.vec_col).write.parquet(cdir)
-        cents = self.spark.read.parquet(cdir)
-        all_vecs = self.spark.read.parquet(dirs[0]).select(self.id_col, self.vec_col)
-        for d in dirs[1:]:
-            all_vecs = all_vecs.unionByName(
-                self.spark.read.parquet(d).select(self.id_col, self.vec_col)
+        survives: ids committed before the rebuild stay committed.
+        Requires EVERY meta-listed live dir on disk — a rebuild from a
+        partial corpus would silently and permanently drop the missing
+        batches' vectors while the ledger still blocks re-ingesting
+        them (r10 advice; same guard compact() always had)."""
+        with store_write_lock(self.path):
+            meta = self._read_meta()
+            if not meta["batches"]:
+                raise RuntimeError(f"IVF store at {self.path} has no build")
+            dirs = self._require_live_dirs(meta, "rebuilding")
+            gen = meta["generation"] + 1
+            gen_id, cdir_name = f"gen{gen}", f"centroids_gen{gen}"
+            cdir = os.path.join(self.path, cdir_name)
+            if os.path.isdir(cdir):
+                shutil.rmtree(cdir)  # crashed earlier attempt
+            centroids.select(self.id_col, self.vec_col).write.parquet(cdir)
+            cents = self.spark.read.parquet(cdir)
+            all_vecs = self.spark.read.parquet(dirs[0]).select(
+                self.id_col, self.vec_col
             )
-        stats = self._write_batch(all_vecs, gen_id, cents)
-        self._write_meta(
-            {
-                "batches": [gen_id],
-                "committed_ids": meta["committed_ids"] + [gen_id],
-                "generation": gen,
-                "centroids_dir": cdir_name,
-                "stats": {gen_id: stats},
-                "build_mean_sim": stats["mean_sim"],
-                "needs_retrain": False,
-            }
-        )
-        # GC everything the new meta doesn't reference
-        base = os.path.join(self.path, "vectors")
-        for d in os.listdir(base) if os.path.isdir(base) else []:
-            if d.startswith("batch=") and d != f"batch={gen_id}":
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-        for d in os.listdir(self.path):
-            if d.startswith("centroids") and d != cdir_name:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            for d in dirs[1:]:
+                all_vecs = all_vecs.unionByName(
+                    self.spark.read.parquet(d).select(self.id_col, self.vec_col)
+                )
+            stats = self._write_batch(all_vecs, gen_id, cents)
+            ledger.record(meta, gen_id)
+            self._write_meta(
+                {
+                    "batches": [gen_id],
+                    "committed_ids": meta["committed_ids"],
+                    "epoch_hwm": meta["epoch_hwm"],
+                    "generation": gen,
+                    "centroids_dir": cdir_name,
+                    "stats": {gen_id: stats},
+                    "build_mean_sim": stats["mean_sim"],
+                    "needs_retrain": False,
+                    **self._identity(),
+                }
+            )
+            # GC everything the new meta doesn't reference
+            base = os.path.join(self.path, "vectors")
+            for d in os.listdir(base) if os.path.isdir(base) else []:
+                if d.startswith("batch=") and d != f"batch={gen_id}":
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            for d in os.listdir(self.path):
+                if d.startswith("centroids") and d != cdir_name:
+                    shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return self.drift()

@@ -1,0 +1,105 @@
+"""Single-writer lock for the incremental stores (r10 verdict #6).
+
+The three stores (``LshDedupIndex``, ``IvfLayoutStore``,
+``MgSummaryStore``) commit through a read-modify-write of one meta
+JSON. Within one driver the ``foreachBatch`` legs serialize epochs, but
+a batch append racing a streaming append on the SAME store (two
+sessions, or a maintenance job beside a live stream) could (a) lose a
+ledger update — defeating the replay guard — and (b) worse: a
+concurrent ``compact()``'s GC sweep would ``rmtree`` an in-flight
+append's not-yet-committed batch dir, leaving the append's meta commit
+pointing at a missing directory. So the lock is held for the WHOLE
+mutating operation (dir writes included), not just the meta swap:
+concurrent writers serialize; that IS the single-writer contract,
+enforced instead of assumed.
+
+Scope and staleness (the honest notes):
+
+- The lock is an ``O_CREAT|O_EXCL`` file beside the meta — atomic on
+  POSIX local filesystems and on NFS for file CREATION. It is a
+  SAME-HOST lock in its staleness handling: the holder's pid is
+  written into the file, and a contender that finds the pid dead
+  (``kill(pid, 0)`` -> ESRCH) steals the lock. Cross-host writers get
+  mutual exclusion but a crashed remote holder looks alive forever —
+  on a multi-host deployment, keep the documented single-writer
+  contract (one driver owns a store) and treat a timeout as the signal
+  to go look.
+- Pid reuse can make a dead holder look alive; the timeout error names
+  the lock path and pid so an operator can remove a provably stale
+  lock by hand.
+- The steal has a small race: between reading a dead pid and
+  unlinking, a third writer may have stolen + re-locked, and the
+  unlink would remove the NEW holder's file. The window is
+  microseconds, requires a writer to have CRASHED first, and the
+  consequence is two writers serialized by the meta's atomic
+  ``os.replace`` — the dir-sweep hazard needs a compact racing an
+  append in exactly that window. Accepted and documented rather than
+  escalating to fcntl record locks (not atomic over NFS).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+LOCK_NAME = "_write.lock"
+
+
+class StoreLockHeld(RuntimeError):
+    """Another writer holds the store's write lock (and looks alive)."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+@contextlib.contextmanager
+def store_write_lock(
+    store_dir: str, timeout: float = 60.0, poll: float = 0.05
+):
+    """Hold ``store_dir/_write.lock`` for the duration of one mutating
+    store operation. Blocks up to ``timeout`` seconds waiting for a
+    live holder, steals from a dead same-host holder, raises
+    ``StoreLockHeld`` (naming path and pid) past the deadline."""
+    lock_path = os.path.join(store_dir, LOCK_NAME)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, str(os.getpid()).encode())
+            finally:
+                os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                with open(lock_path) as fh:
+                    holder = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0  # mid-write or vanished; re-poll
+            if holder and holder != os.getpid() and not _pid_alive(holder):
+                # dead same-host holder: steal (see module docstring for
+                # the accepted read-then-unlink race window)
+                with contextlib.suppress(OSError):
+                    os.unlink(lock_path)
+                continue
+            if time.monotonic() >= deadline:
+                raise StoreLockHeld(
+                    f"store at {store_dir} is write-locked by pid "
+                    f"{holder or '<unknown>'} ({lock_path}); waited "
+                    f"{timeout:g}s — stores are single-writer, and a "
+                    "provably stale lock can be removed by hand"
+                ) from None
+            time.sleep(poll)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock_path)

@@ -193,7 +193,7 @@ def stream_dedup_index(
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         batch_key = f"{_query_id()}-epoch-{epoch_id}"
-        if batch_df.isEmpty() or batch_key in idx.committed_ids():
+        if batch_df.isEmpty() or idx.is_committed(batch_key):
             return
         pairs, commit = idx.prepare_batch(batch_df, batch_key)
         pairs.write.mode("overwrite").parquet(

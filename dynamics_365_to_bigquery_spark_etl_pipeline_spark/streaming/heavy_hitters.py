@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators import ledger
 from ..operators.frequent import mg_partition_summaries
+from ..operators.store_lock import store_write_lock
 from .util import query_id_reader
 
 META_NAME = "_mg_store.json"
@@ -65,13 +67,22 @@ class MgSummaryStore:
             with open(self._meta_path()) as fh:
                 meta = json.load(fh)
         except FileNotFoundError:
-            return {"k": self.k, "summary": {}, "total_w": 0, "committed_ids": []}
+            return {
+                "k": self.k,
+                "summary": {},
+                "total_w": 0,
+                "committed_ids": [],
+                "epoch_hwm": {},
+            }
         if meta["k"] != self.k:
             raise ValueError(
                 f"MG store at {self.path} was built with k={meta['k']}, "
                 f"opened with k={self.k} — the merge bound W/(k+1) is "
                 "per-store; rebuild instead of mixing k"
             )
+        # pre-r11 metas carry epoch keys in the flat list; fold them
+        # into the bounded {query_id: max_epoch} map (r10 verdict #2)
+        ledger.migrate(meta)
         return meta
 
     def _write(self, meta: dict) -> None:
@@ -81,7 +92,17 @@ class MgSummaryStore:
         os.replace(tmp, self._meta_path())
 
     def committed_ids(self) -> list[str]:
+        """NON-epoch ids only; the streaming epoch keys live in the
+        bounded high-water map — use ``is_committed`` (r10 verdict #2)."""
         return self._read()["committed_ids"]
+
+    def epoch_high_water(self) -> dict[str, int]:
+        """``{query_id: max committed epoch}`` — the bounded replay
+        ledger (O(#query restarts) entries, not O(#epochs))."""
+        return dict(self._read()["epoch_hwm"])
+
+    def is_committed(self, epoch_key: str) -> bool:
+        return ledger.is_committed(self._read(), epoch_key)
 
     def merge_epoch(
         self, summary_rows: list, batch_w: int, epoch_key: str
@@ -90,24 +111,30 @@ class MgSummaryStore:
         running summary, then compress back to ≤ k counters by
         subtracting the (k+1)-th largest and dropping non-positives —
         each compress removes ≥ (k+1)·cut total mass, so cumulative
-        cuts stay ≤ W/(k+1) (PODS'12). Replayed epochs are no-ops."""
-        meta = self._read()
-        if epoch_key in meta["committed_ids"]:
-            return
-        summary = dict(meta["summary"])
-        for item, c in summary_rows:
-            summary[item] = summary.get(item, 0) + int(c)
-        if len(summary) > self.k:
-            cut = sorted(summary.values(), reverse=True)[self.k]
-            summary = {i: c - cut for i, c in summary.items() if c > cut}
-        self._write(
-            {
-                "k": self.k,
-                "summary": summary,
-                "total_w": meta["total_w"] + int(batch_w),
-                "committed_ids": meta["committed_ids"] + [epoch_key],
-            }
-        )
+        cuts stay ≤ W/(k+1) (PODS'12). Replayed epochs are no-ops
+        (keys shaped ``*-epoch-<n>`` get the monotonic high-water
+        treatment). Single-writer: the whole read-merge-write holds the
+        store's write lock (r10 verdict #6)."""
+        with store_write_lock(self.path):
+            meta = self._read()
+            if ledger.is_committed(meta, epoch_key):
+                return
+            summary = dict(meta["summary"])
+            for item, c in summary_rows:
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > self.k:
+                cut = sorted(summary.values(), reverse=True)[self.k]
+                summary = {i: c - cut for i, c in summary.items() if c > cut}
+            ledger.record(meta, epoch_key)
+            self._write(
+                {
+                    "k": self.k,
+                    "summary": summary,
+                    "total_w": meta["total_w"] + int(batch_w),
+                    "committed_ids": meta["committed_ids"],
+                    "epoch_hwm": meta["epoch_hwm"],
+                }
+            )
 
     def candidates(self) -> dict:
         """Items-so-far with their lower-bound counts: a guaranteed
@@ -158,7 +185,7 @@ def stream_heavy_hitters(
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         epoch_key = f"{_query_id()}-epoch-{epoch_id}"
-        if epoch_key in store.committed_ids():
+        if store.is_committed(epoch_key):
             return
         # Two actions (summary rows + exact batch weight) over one
         # cached scan: without the persist each action re-reads the

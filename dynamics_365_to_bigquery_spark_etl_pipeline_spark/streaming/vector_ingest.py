@@ -65,9 +65,11 @@ def stream_ivf_append(
     """Fold a vector stream into a PRE-BUILT ``IvfLayoutStore`` one
     append per micro-batch. ``on_drift`` (optional) receives each
     epoch's drift status dict — e.g. to page a retrain scheduler the
-    moment ``needs_retrain`` trips. ``drift_threshold`` is the store
-    constructor's knob (it is per-instance, not persisted in the meta —
-    pass the same value the batch side uses)."""
+    moment ``needs_retrain`` trips. ``drift_threshold``/``id_col``/
+    ``vec_col`` must match the build: they are PINNED in the store's
+    meta and a mismatched open fails loudly at stream setup (r10
+    verdict #3 — a stream opened at a different threshold would
+    silently move the retrain line)."""
     store = IvfLayoutStore(
         spark,
         store_path,
@@ -92,7 +94,7 @@ def stream_ivf_append(
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         batch_key = f"{_query_id()}-epoch-{epoch_id}"
-        if batch_df.isEmpty() or batch_key in store.committed_ids():
+        if batch_df.isEmpty() or store.is_committed(batch_key):
             return
         drift = store.append(batch_df.select(id_col, vec_col), batch_key)
         if on_drift is not None:

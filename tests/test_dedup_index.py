@@ -326,7 +326,9 @@ def test_fresh_checkpoint_on_existing_index_does_not_skip_epochs(spark, tmp_path
     }
     assert len(got) > 0
     idx = LshDedupIndex(spark, idx_path)
-    assert len(idx.committed_ids()) == 2
+    # two distinct checkpoints -> two query ids in the bounded epoch
+    # ledger, each with high-water epoch 0
+    assert sorted(idx.epoch_high_water().values()) == [0, 0]
 
 
 def test_streaming_auto_compact_bounds_dirs_keeps_pairs_exact(spark, tmp_path):
@@ -356,7 +358,14 @@ def test_streaming_auto_compact_bounds_dirs_keeps_pairs_exact(spark, tmp_path):
     idx = LshDedupIndex(spark, str(tmp_path / "idx"))
     assert len(idx.committed_batches()) == 1
     assert idx.committed_batches()[0].startswith("gen")
-    assert len(idx.committed_ids()) == 2
+    # the replay guard still knows both epochs: one query id at
+    # high-water 1 (the bounded ledger survives compaction)
+    assert list(idx.epoch_high_water().values()) == [1]
+    (qid,) = idx.epoch_high_water()
+    assert idx.is_committed(f"{qid}-epoch-0") and idx.is_committed(
+        f"{qid}-epoch-1"
+    )
+    assert not idx.is_committed(f"{qid}-epoch-2")
     assert len(os.listdir(str(tmp_path / "idx" / "buckets"))) == 1
 
     got = {
@@ -485,9 +494,40 @@ def test_stream_compact_cadence_counts_appended_not_live(spark, tmp_path):
 
     idx = LshDedupIndex(spark, str(tmp_path / "idx"))
     assert idx._read_meta()["generation"] == 2
-    assert len(idx.committed_ids()) == 4
+    assert list(idx.epoch_high_water().values()) == [3]  # 4 epochs, one query
     got = {
         (r.id_a, r.id_b)
         for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
     }
     assert _norm(got) == _norm(_full_pairs(spark, corpus))
+
+
+def test_pre_r11_meta_migrates_epoch_ids_to_bounded_ledger(spark, tmp_path):
+    """A pre-r11 index meta (epoch keys in the flat committed_ids list)
+    must keep its replay guard through migration, and the next commit
+    persists the bounded shape (r10 verdict #2)."""
+    import json
+
+    corpus = _corpus(spark)
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), jaccard_min=JMIN)
+    idx.add_batch(corpus.filter(F.col("doc_id") % 2 == 0), "q-epoch-0")
+
+    # rewrite the meta to the pre-r11 shape by hand
+    with open(idx._meta_path()) as fh:
+        meta = json.load(fh)
+    meta["committed_ids"] = ["q-epoch-0"]
+    del meta["epoch_hwm"]
+    with open(idx._meta_path(), "w") as fh:
+        json.dump(meta, fh)
+
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), jaccard_min=JMIN)
+    assert idx.is_committed("q-epoch-0")
+    # replay of the migrated epoch returns the empty frame, no re-ingest
+    assert idx.add_batch(corpus.limit(5), "q-epoch-0").count() == 0
+    assert idx.committed_batches() == ["q-epoch-0"]
+
+    idx.add_batch(corpus.filter(F.col("doc_id") % 2 == 1), "q-epoch-1")
+    with open(idx._meta_path()) as fh:
+        meta = json.load(fh)
+    assert meta["epoch_hwm"] == {"q": 1}
+    assert meta["committed_ids"] == []

@@ -316,3 +316,85 @@ def test_drift_guard_sign_with_negative_build_mean(spark, tmp_path):
     d = store.append(_frame(spark, _anti_rows(200, 9000, 0.01)), "worse")
     assert d["live_mean_sim"] < d["build_mean_sim"]
     assert d["degradation"] > 0, "degradation must be positive when quality falls"
+
+
+def test_identity_knobs_pinned_in_meta(spark, tmp_path):
+    """r10 verdict #3: drift_threshold / id_col / vec_col are pinned at
+    build(); a mismatched open fails loudly naming both values (the MG
+    store's k-check, mirrored) — a stream opened at a different
+    threshold would silently move the retrain line."""
+    rng = np.random.default_rng(41)
+    p = str(tmp_path / "s")
+    store = IvfLayoutStore(spark, p, drift_threshold=0.10)
+    store.build(_frame(spark, _blob_vectors(rng, 0, 10, 0)), _centroids(spark))
+
+    with pytest.raises(ValueError, match="drift_threshold=0.1.*0.2"):
+        IvfLayoutStore(spark, p, drift_threshold=0.20).committed_batches()
+    with pytest.raises(ValueError, match="id_col='vec_id'.*'doc_id'"):
+        IvfLayoutStore(spark, p, drift_threshold=0.10, id_col="doc_id").drift()
+    with pytest.raises(ValueError, match="vec_col"):
+        IvfLayoutStore(spark, p, drift_threshold=0.10, vec_col="emb").drift()
+
+    # matching knobs open fine; a fresh build() re-pins new knobs
+    assert IvfLayoutStore(spark, p, drift_threshold=0.10).drift()["n_vectors"] == 10
+    store2 = IvfLayoutStore(spark, p, drift_threshold=0.20)
+    store2.build(_frame(spark, _blob_vectors(rng, 1, 8, 100)), _centroids(spark))
+    assert store2.drift()["n_vectors"] == 8
+
+
+def test_pre_r11_meta_migrates_ledger_and_adopts_identity(spark, tmp_path):
+    """A pre-r11 meta (epoch keys in the flat list, no identity keys)
+    must keep its replay guard and adopt the opener's knobs; the next
+    commit persists the bounded shape + identity."""
+    import json
+
+    rng = np.random.default_rng(43)
+    p = str(tmp_path / "s")
+    store = IvfLayoutStore(spark, p)
+    store.build(_frame(spark, _blob_vectors(rng, 0, 10, 0)), _centroids(spark))
+    store.append(_frame(spark, _blob_vectors(rng, 1, 5, 100)), "qid-epoch-0")
+
+    # rewrite the meta to the pre-r11 shape by hand
+    with open(store._meta_path()) as fh:
+        meta = json.load(fh)
+    meta["committed_ids"] = meta["committed_ids"] + ["qid-epoch-0"]
+    del meta["epoch_hwm"]
+    for k in ("drift_threshold", "id_col", "vec_col"):
+        del meta[k]
+    with open(store._meta_path(), "w") as fh:
+        json.dump(meta, fh)
+
+    store = IvfLayoutStore(spark, p)  # defaults adopted, no error
+    assert store.is_committed("qid-epoch-0")
+    n = store.drift()["n_vectors"]
+    store.append(_frame(spark, _blob_vectors(rng, 1, 5, 100)), "qid-epoch-0")
+    assert store.drift()["n_vectors"] == n  # replay stayed a no-op
+    store.append(_frame(spark, _blob_vectors(rng, 2, 4, 200)), "qid-epoch-1")
+    with open(store._meta_path()) as fh:
+        meta = json.load(fh)
+    assert meta["epoch_hwm"] == {"qid": 1}
+    assert "qid-epoch-0" not in meta["committed_ids"]
+    assert meta["drift_threshold"] == 0.05
+
+
+def test_rebuild_and_topk_refuse_partial_store(spark, tmp_path):
+    """r10 advice: compact() raised on meta-listed dirs missing from
+    disk but rebuild() (and topk) silently skipped them — a rebuild
+    from a partial corpus permanently drops committed vectors while the
+    ledger still blocks re-ingest. All three now fail loudly."""
+    import shutil
+
+    rng = np.random.default_rng(53)
+    store = IvfLayoutStore(spark, str(tmp_path / "s"))
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 10, b * 1000)]
+    store.build(_frame(spark, base), _centroids(spark))
+    store.append(_frame(spark, _blob_vectors(rng, 1, 5, 9000)), "d1")
+    shutil.rmtree(store._batch_dir("d1"))
+
+    queries = _frame(spark, base[::9])
+    with pytest.raises(RuntimeError, match="missing on disk.*probing"):
+        store.topk(queries)
+    with pytest.raises(RuntimeError, match="missing on disk.*rebuilding"):
+        store.rebuild(_centroids(spark))
+    with pytest.raises(RuntimeError, match="missing on disk.*compacting"):
+        store.compact()

@@ -1,0 +1,125 @@
+"""Bounded exactly-once ledger (r10 verdict #2): epoch-shaped ids fold
+into a {query_id: max_epoch} high-water map instead of a forever-growing
+flat list; batch ids keep exact membership; pre-r11 metas migrate.
+
+Pure driver-side — no Spark needed: the ledger and the MG store are the
+components whose per-epoch cost the verdict flagged, and both are
+exercised here at 600 epochs to pin the O(#query ids) size bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import ledger
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.heavy_hitters import (
+    MgSummaryStore,
+)
+
+QID = "8c1f2a3b-4d5e-6789-abcd-ef0123456789"  # realistic: hyphens inside
+
+
+def test_split_epoch_shapes():
+    assert ledger.split_epoch(f"{QID}-epoch-42") == (QID, 42)
+    assert ledger.split_epoch("run-epoch-0") == ("run", 0)
+    # NOT epoch-shaped: no suffix, non-digit epoch, bare marker
+    for bid in ["b1", "base", "gen3", "x-epoch-", "x-epoch-3a", "-epoch-3"]:
+        assert ledger.split_epoch(bid) is None, bid
+    # greedy prefix: a query id that itself contains '-epoch-' still
+    # parses to the LAST marker (epoch must be the trailing integer)
+    assert ledger.split_epoch("a-epoch-3-epoch-7") == ("a-epoch-3", 7)
+
+
+def test_record_and_is_committed_both_shapes():
+    meta = {"committed_ids": [], "epoch_hwm": {}}
+    ledger.record(meta, "b1")
+    ledger.record(meta, f"{QID}-epoch-0")
+    ledger.record(meta, f"{QID}-epoch-3")
+    assert meta["committed_ids"] == ["b1"]
+    assert meta["epoch_hwm"] == {QID: 3}
+    assert ledger.is_committed(meta, "b1")
+    assert not ledger.is_committed(meta, "b2")
+    # monotonic: every epoch at or below the high-water mark is
+    # committed (epochs commit in order; skipped ones were empty)
+    for n in range(4):
+        assert ledger.is_committed(meta, f"{QID}-epoch-{n}")
+    assert not ledger.is_committed(meta, f"{QID}-epoch-4")
+    # a different query id is a different ledger line
+    assert not ledger.is_committed(meta, "other-epoch-0")
+    # out-of-order record never regresses the mark
+    ledger.record(meta, f"{QID}-epoch-1")
+    assert meta["epoch_hwm"] == {QID: 3}
+
+
+def test_migrate_folds_old_flat_list():
+    meta = {
+        "committed_ids": ["b0", f"{QID}-epoch-0", f"{QID}-epoch-1", "gen1"],
+    }
+    ledger.migrate(meta)
+    assert meta["committed_ids"] == ["b0", "gen1"]
+    assert meta["epoch_hwm"] == {QID: 1}
+    assert ledger.is_committed(meta, f"{QID}-epoch-1")
+    assert ledger.is_committed(meta, "b0")
+    # idempotent
+    ledger.migrate(meta)
+    assert meta["epoch_hwm"] == {QID: 1}
+
+
+def test_mg_store_600_epochs_meta_stays_small(tmp_path):
+    """The verdict's size bound, end to end on a real store: 600
+    streaming epochs must leave a meta that is O(k + #query ids) bytes,
+    not O(#epochs) — and every epoch must still read as committed."""
+    store = MgSummaryStore(str(tmp_path / "mg"), k=5)
+    for epoch in range(600):
+        store.merge_epoch([(f"item{epoch % 3}", 1)], 1, f"{QID}-epoch-{epoch}")
+    assert store.total_weight() == 600
+    assert store.epoch_high_water() == {QID: 599}
+    assert store.committed_ids() == []  # nothing leaked into the list
+    for epoch in (0, 123, 599):
+        assert store.is_committed(f"{QID}-epoch-{epoch}")
+    assert not store.is_committed(f"{QID}-epoch-600")
+    meta_bytes = os.path.getsize(tmp_path / "mg" / "_mg_store.json")
+    assert meta_bytes < 2048, f"meta grew to {meta_bytes} bytes over 600 epochs"
+    # replays (below the mark) are no-ops
+    w = store.total_weight()
+    store.merge_epoch([("item0", 999)], 999, f"{QID}-epoch-42")
+    assert store.total_weight() == w
+
+
+def test_mg_store_migrates_pre_r11_meta(tmp_path):
+    """A pre-r11 meta (epoch keys in the flat committed_ids list) must
+    keep its replay guard through migration, and the first new commit
+    persists the bounded shape."""
+    p = tmp_path / "mg"
+    os.makedirs(p)
+    old = {
+        "k": 5,
+        "summary": {"hot": 7},
+        "total_w": 10,
+        "committed_ids": [f"{QID}-epoch-0", f"{QID}-epoch-1"],
+    }
+    with open(p / "_mg_store.json", "w") as fh:
+        json.dump(old, fh)
+
+    store = MgSummaryStore(str(p), k=5)
+    assert store.is_committed(f"{QID}-epoch-1")
+    # replay of a migrated epoch is still a no-op
+    store.merge_epoch([("hot", 999)], 999, f"{QID}-epoch-0")
+    assert store.total_weight() == 10 and store.candidates() == {"hot": 7}
+    # a new epoch commits and the persisted meta is in the new shape
+    store.merge_epoch([("hot", 1)], 1, f"{QID}-epoch-2")
+    with open(p / "_mg_store.json") as fh:
+        meta = json.load(fh)
+    assert meta["committed_ids"] == []
+    assert meta["epoch_hwm"] == {QID: 2}
+    assert store.total_weight() == 11
+
+
+def test_mg_store_k_mismatch_still_loud(tmp_path):
+    store = MgSummaryStore(str(tmp_path / "mg"), k=5)
+    store.merge_epoch([("a", 1)], 1, "b1")
+    with pytest.raises(ValueError, match="was built with k="):
+        MgSummaryStore(str(tmp_path / "mg"), k=7).candidates()

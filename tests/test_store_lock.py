@@ -1,0 +1,151 @@
+"""Single-writer store lock (r10 verdict #6): mutual exclusion, loud
+timeout naming the holder, dead-holder steal, and the store-level
+contract — two concurrent appends to one store both commit (no lost
+meta update) because each holds the lock for its whole operation."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ivf_store import (
+    IvfLayoutStore,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.store_lock import (
+    LOCK_NAME,
+    StoreLockHeld,
+    store_write_lock,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.heavy_hitters import (
+    MgSummaryStore,
+)
+
+from tests.test_ivf_store import _blob_vectors, _centroids, _frame
+
+
+def test_lock_is_released_on_exit_and_on_error(tmp_path):
+    lock = tmp_path / LOCK_NAME
+    with store_write_lock(str(tmp_path)):
+        assert lock.exists()
+        assert int(lock.read_text()) == os.getpid()
+    assert not lock.exists()
+    with pytest.raises(RuntimeError, match="boom"):
+        with store_write_lock(str(tmp_path)):
+            raise RuntimeError("boom")
+    assert not lock.exists()
+
+
+def test_contention_times_out_loudly_naming_holder(tmp_path):
+    with store_write_lock(str(tmp_path)):
+        # same-pid holder looks alive -> the contender must wait, then
+        # raise naming the path and pid (locks are NOT reentrant: a
+        # nested acquire from the holder is the same loud timeout)
+        t0 = time.monotonic()
+        with pytest.raises(StoreLockHeld, match=str(os.getpid())):
+            with store_write_lock(str(tmp_path), timeout=0.3, poll=0.02):
+                pass
+        assert time.monotonic() - t0 >= 0.3
+
+
+def test_dead_holder_lock_is_stolen(tmp_path):
+    # a real process that has exited: its pid provably fails kill(pid,0)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    (tmp_path / LOCK_NAME).write_text(str(proc.pid))
+    with store_write_lock(str(tmp_path), timeout=2.0):
+        assert int((tmp_path / LOCK_NAME).read_text()) == os.getpid()
+    assert not (tmp_path / LOCK_NAME).exists()
+
+
+def test_writers_serialize_no_overlap(tmp_path):
+    """Two threads through the lock never overlap their critical
+    sections, and both complete (blocking acquire, not failure)."""
+    active, max_active, done = [0], [0], []
+    lk = threading.Lock()
+
+    def writer(i):
+        with store_write_lock(str(tmp_path), timeout=30.0, poll=0.01):
+            with lk:
+                active[0] += 1
+                max_active[0] = max(max_active[0], active[0])
+            time.sleep(0.15)
+            with lk:
+                active[0] -= 1
+        done.append(i)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert max_active[0] == 1
+    assert sorted(done) == [0, 1, 2]
+
+
+def test_concurrent_ivf_appends_lose_nothing(spark, tmp_path):
+    """The r10 advice scenario: a batch append racing a streaming
+    append on one store. Pre-r11 the unlocked meta read-modify-write
+    could drop one writer's ledger entry; now each append holds the
+    store lock for its whole operation, so both ids commit and the
+    vector count is exact."""
+    rng = np.random.default_rng(97)
+    store_path = str(tmp_path / "s")
+    base = [r for b in range(4) for r in _blob_vectors(rng, b, 10, b * 1000)]
+    IvfLayoutStore(spark, store_path).build(_frame(spark, base), _centroids(spark))
+
+    d1 = _frame(spark, _blob_vectors(rng, 0, 7, 5000))
+    d2 = _frame(spark, _blob_vectors(rng, 1, 9, 6000))
+    errs = []
+
+    def run(delta, bid):
+        try:
+            # each thread opens its own handle, like two writers would
+            IvfLayoutStore(spark, store_path).append(delta, bid)
+        except Exception as e:  # surfaced below — a thread must not die
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(d1, "race-a"))
+    t2 = threading.Thread(target=run, args=(d2, "race-b"))
+    t1.start(); t2.start()
+    t1.join(); t2.join()
+    assert not errs, errs
+
+    store = IvfLayoutStore(spark, store_path)
+    assert set(store.committed_batches()) == {"base", "race-a", "race-b"}
+    assert store.drift()["n_vectors"] == len(base) + 7 + 9
+
+
+def test_mg_merge_waits_for_external_holder(tmp_path):
+    """merge_epoch blocks while another writer holds the lock, then
+    completes — the single-writer contract is enforced, not assumed."""
+    store = MgSummaryStore(str(tmp_path), k=3)
+    release = threading.Event()
+    entered = threading.Event()
+
+    def hold():
+        with store_write_lock(str(tmp_path)):
+            entered.set()
+            release.wait(5.0)
+
+    holder = threading.Thread(target=hold)
+    holder.start()
+    assert entered.wait(5.0)
+
+    merged = threading.Event()
+
+    def merge():
+        store.merge_epoch([("a", 1)], 1, "q-epoch-0")
+        merged.set()
+
+    merger = threading.Thread(target=merge)
+    merger.start()
+    assert not merged.wait(0.3), "merge ran while the lock was held"
+    release.set()
+    assert merged.wait(10.0)
+    holder.join(); merger.join()
+    assert store.total_weight() == 1

@@ -112,15 +112,25 @@ def test_epoch_replay_is_exactly_once(spark, tmp_path):
             str(source), mode="append"
         )
     store = _drain(spark, source, store_p, ck)
-    w1, cands1, ids1 = store.total_weight(), store.candidates(), store.committed_ids()
-    assert len(ids1) >= 1
+    w1, cands1, hwm1 = (
+        store.total_weight(),
+        store.candidates(),
+        store.epoch_high_water(),
+    )
+    # epoch keys live in the BOUNDED ledger: one query id, not a flat
+    # per-epoch list (r10 verdict #2)
+    assert len(hwm1) == 1 and store.committed_ids() == []
+    (qid,) = hwm1
 
     # restart against the SAME checkpoint: no new files -> no new epochs
     store = _drain(spark, source, store_p, ck)
     assert store.total_weight() == w1 and store.candidates() == cands1
+    assert store.epoch_high_water() == hwm1
 
-    # a replayed epoch key is a hard no-op even if fed fresh rows
-    store.merge_epoch([("hot_a", 999)], 999, ids1[0])
+    # a replayed epoch key is a hard no-op even if fed fresh rows —
+    # including epochs BELOW the high-water mark (monotonic semantics)
+    for epoch in range(hwm1[qid] + 1):
+        store.merge_epoch([("hot_a", 999)], 999, f"{qid}-epoch-{epoch}")
     assert store.total_weight() == w1 and store.candidates() == cands1
 
     # k mismatch on an existing store fails loudly, never merges wrong

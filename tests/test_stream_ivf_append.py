@@ -106,11 +106,12 @@ def test_restart_replays_nothing(spark, tmp_path):
         str(source), mode="append"
     )
     _drain(spark, source, tmp_path / "s", tmp_path / "ck")
-    committed = IvfLayoutStore(spark, str(tmp_path / "s")).committed_ids()
+    hwm = IvfLayoutStore(spark, str(tmp_path / "s")).epoch_high_water()
+    assert len(hwm) == 1  # the stream's epochs sit in the bounded ledger
 
     _drain(spark, source, tmp_path / "s", tmp_path / "ck")  # restart, no new files
-    after = IvfLayoutStore(spark, str(tmp_path / "s")).committed_ids()
-    assert after == committed
+    after = IvfLayoutStore(spark, str(tmp_path / "s")).epoch_high_water()
+    assert after == hwm
     assert IvfLayoutStore(spark, str(tmp_path / "s")).drift()["n_vectors"] == 40 + 6
 
 
@@ -134,11 +135,23 @@ def test_drift_guard_trips_through_the_stream(spark, tmp_path):
     ]
     _frame(spark, shifted).coalesce(1).write.parquet(str(source), mode="append")
 
+    # the build pinned drift_threshold=0.10 in the meta: a stream opened
+    # at the default 0.05 now fails loudly instead of silently moving
+    # the retrain line (r10 verdict #3) — exactly the bug class this
+    # test used to carry
+    with pytest.raises(ValueError, match="drift_threshold"):
+        _drain(spark, source, tmp_path / "s", tmp_path / "ck0")
+
     seen = []
-    _drain(spark, source, tmp_path / "s", tmp_path / "ck", on_drift=seen.append)
+    _drain(
+        spark, source, tmp_path / "s", tmp_path / "ck",
+        drift_threshold=0.10, on_drift=seen.append,
+    )
     assert len(seen) >= 1  # availableNow may batch both files into one epoch
     assert seen[-1]["needs_retrain"]
-    assert IvfLayoutStore(spark, str(tmp_path / "s")).drift()["needs_retrain"]
+    assert IvfLayoutStore(
+        spark, str(tmp_path / "s"), drift_threshold=0.10
+    ).drift()["needs_retrain"]
 
 
 def test_compact_every_bounds_fanin_probe_unchanged(spark, tmp_path):

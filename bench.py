@@ -1,16 +1,27 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "spread": {name: [min, max]}, "reps": N,
-"sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "reps": N, "sf": ..., "calib": {...},
+"detail": "BENCH_detail_r{N}.json", slim normalized blocks}.
+
+The driver captures only a bounded tail of stdout, and r10's committed
+artifact lost its raw medians when the single line outgrew that capture
+(r10 verdict #1). So the final line is SLIM — medians, calib, and each
+normalized block's verdict fields only — asserted under ~1800 chars by
+``tests/test_bench_normalize.py``; the FULL document (per-query [min,
+max] spreads, complete ratio maps) goes to a committed sidecar
+``BENCH_detail_r{N}.json`` named in the line's ``detail`` key.
+``calib_compare.load`` re-merges a sidecar's spreads when reading a
+slim artifact, so cross-round robust flags keep working.
 
 Variance-aware: each query runs $SPARK_GRAFT_BENCH_REPS times (default
-3) and reports the per-query MEDIAN; "spread" carries min/max so noise
-is visible in the artifact instead of masquerading as regression (a
-single-rep bench once read a 34% environment blip as a real 34%
-slowdown). The JVM warm-up query is NON-headline (q_rollup_sales) so no
-timed query gets a warm-up advantage over the others.
+3) and reports the per-query MEDIAN; the sidecar's "spread" carries
+min/max so noise is visible in the artifact instead of masquerading as
+regression (a single-rep bench once read a 34% environment blip as a
+real 34% slowdown). The JVM warm-up query is NON-headline
+(q_rollup_sales) so no timed query gets a warm-up advantage over the
+others.
 
 Each query is forced through full materialization with the noop sink
 (count() alone can let Catalyst skip column evaluation).
@@ -63,6 +74,108 @@ HEADLINE = [
     "q_fuzzy_join_d1",
     "q_decontaminate_ngram",
 ]
+
+# r11 (r10 verdict #4): the four foreachBatch legs had equivalence tests
+# but no per-round perf row — a choreography regression (like the
+# heavy-hitters double-scan r10's review caught) would never surface in
+# a committed artifact. One fixed streaming workload, timed like any
+# other row: drain the second half of the embeddings table into a
+# pre-built IvfLayoutStore as 4 one-file micro-batches (per-epoch cost
+# is dominated by the fixed assign + two-phase-commit choreography,
+# which is exactly what regresses). Store build and source-file writes
+# are untimed setup.
+STREAM_ROW = "q_stream_ivf_append_4ep"
+
+
+def bench_stream_ivf(spark, sf_dir: str, reps: int) -> list[float]:
+    """Wall seconds per drain of the fixed 4-epoch IVF ingest."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ivf_store import (
+        IvfLayoutStore,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.vector_ingest import (
+        stream_ivf_append,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_total = emb.count()
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    # raw first-16 seeds as pinned centroids: the row measures append
+    # CHOREOGRAPHY (assign + dir write + locked meta commit per epoch),
+    # not recall — training would only add untimed setup noise
+    cents = emb.filter(F.col("vec_id") < 16)
+    samples = []
+    for _ in range(reps):
+        work = tempfile.mkdtemp(prefix="bench_stream_ivf_")
+        try:
+            store = IvfLayoutStore(spark, os.path.join(work, "store"))
+            store.build(base, cents)
+            src = os.path.join(work, "src")
+            delta = emb.filter(F.col("vec_id") % 2 == 1)
+            for i in range(4):
+                delta.filter(F.col("vec_id") % 8 == 2 * i + 1).coalesce(
+                    1
+                ).write.mode("append").parquet(src)
+            t0 = time.perf_counter()
+            q = stream_ivf_append(
+                spark, src, delta.schema, os.path.join(work, "store"),
+                os.path.join(work, "ck"), max_files_per_trigger=1,
+            )
+            q.awaitTermination(600)
+            samples.append(time.perf_counter() - t0)
+            n_vecs = store.drift()["n_vectors"]
+            if n_vecs != n_total:
+                raise RuntimeError(
+                    f"stream bench drained {n_vecs}/{n_total} vectors — "
+                    "the ingest choreography is broken, not slow"
+                )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return samples
+
+
+def next_round_number(repo_dir: str) -> int:
+    """1 + the highest on-disk ``BENCH_r{N}.json`` round (glob, not
+    git: the detail sidecar must name the round being PRODUCED, which
+    by definition is not committed yet)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def slim_final_line(result: dict, detail_name: str) -> str:
+    """The one printed JSON line, shaped to survive the driver's
+    bounded tail capture (r10 verdict #1): every headline median, the
+    calib block, and each normalized block's VERDICT fields (reference
+    artifact, jvm host factor, total ratio, flag lists, warnings) —
+    the full ratio maps and rep spreads live in the sidecar named by
+    ``detail``."""
+    slim = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "queries", "reps", "sf", "calib")
+    }
+    slim["detail"] = detail_name
+    for key in ("normalized_vs_prev", "normalized_vs_nearest_host"):
+        block = result.get(key)
+        if isinstance(block, dict):
+            block = {
+                k2: v
+                for k2, v in block.items()
+                if k2 not in ("ratios", "host_factor_python")
+            }
+        slim[key] = block
+    return json.dumps(slim, separators=(",", ":"))
 
 
 def self_normalize(parsed: dict, artifacts_dir: str) -> dict | None:
@@ -142,7 +255,7 @@ def _normalize_against(
         # would flag (review finding, r9)
         return None
     out = mod.compare(ref, parsed)
-    return {
+    block = {
         key: os.path.basename(ref_path),
         "host_factor_jvm": out["host_factor_jvm"],
         "host_factor_python": out["host_factor_python"],
@@ -156,6 +269,18 @@ def _normalize_against(
         # the list a reader should actually chase
         "flagged_robust": out["flagged_robust"],
     }
+    if ref.get("queries") == parsed.get("queries"):
+        # r10 advice: without git, round_artifacts falls back to every
+        # on-disk artifact, and a mid-round re-run can pick up the
+        # current round's own file — a ~1.0 comparison that adjudicates
+        # nothing. Identical median maps are that degenerate case (two
+        # real runs never tie every median to the ms); make it visible
+        # instead of letting it read as "no regressions".
+        block["warning"] = (
+            "reference medians identical to this run — degenerate "
+            "self-comparison (uncommitted current-round artifact?)"
+        )
+    return block
 
 
 def main() -> None:
@@ -246,6 +371,15 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
 
+    # the streaming row (r10 verdict #4): capped at 2 reps — each rep
+    # drains a fresh store, and the row tracks fixed per-epoch
+    # choreography whose variance is small next to its cost
+    s_samples = bench_stream_ivf(spark, sf_dir, min(reps, 2))
+    timings[STREAM_ROW] = round(statistics.median(s_samples), 3)
+    spread[STREAM_ROW] = [
+        round(min(s_samples), 3), round(max(s_samples), 3)
+    ]
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
@@ -259,13 +393,19 @@ def main() -> None:
     }
     result["normalized_vs_prev"] = self_normalize(result, REPO_ROOT)
     result["normalized_vs_nearest_host"] = nearest_host_normalize(result, REPO_ROOT)
+    # full document -> the committed round sidecar; slim line -> stdout
+    # (r10 verdict #1: the single line outgrew the driver's tail capture
+    # and the committed artifact lost its medians)
+    detail_name = f"BENCH_detail_r{next_round_number(REPO_ROOT)}.json"
+    with open(os.path.join(REPO_ROOT, detail_name), "w") as fh:
+        json.dump(result, fh, indent=1)
     # Leading newline: Spark's console progress / log lines end in '\r'
     # or partial fragments on the same tty; a tail-capture of merged
     # output must still see the JSON on a line of its own (r9 verdict
     # nit: a truncated DAGScheduler fragment rode the artifact's tail).
     sys.stderr.flush()
     sys.stdout.flush()
-    print("\n" + json.dumps(result), flush=True)
+    print("\n" + slim_final_line(result, detail_name), flush=True)
     spark.stop()
 
 

@@ -25,11 +25,12 @@ import os
 import shutil
 import sys
 import tempfile
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import ab_lib  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import get_spark  # noqa: E402
@@ -68,32 +69,47 @@ def main() -> None:
     queries = base.orderBy("vec_id").limit(200).localCheckpoint()
 
     root = tempfile.mkdtemp(prefix="ab_ivf_append_")
-    builds, appends, probes = [], [], []
+
+    # r10 verdict #5 retrofit: the arms now run through the shared
+    # interleaved schedule (scripts/ab_lib.py) with one UNTIMED warm-up
+    # cycle — the original loop already alternated build/append/probe
+    # per rep but had no warm-up, so cycle 0 carried the cold parquet /
+    # JVM cost on whichever arm ran first. Per-cycle setup (untimed):
+    # wipe the previous cycle's dirs and pre-build the append arm's
+    # base store, so each arm measures only its own work.
+    def setup(rep):
+        full_path = os.path.join(root, "full")
+        inc_path = os.path.join(root, "inc")
+        for p in (full_path, inc_path):
+            shutil.rmtree(p, ignore_errors=True)
+        inc = IvfLayoutStore(spark, inc_path)
+        inc.build(base, centroids)
+        return {"full_path": full_path, "inc": inc}
+
+    def arm_full_build(ctx):
+        IvfLayoutStore(spark, ctx["full_path"]).build(emb, centroids)
+
+    def arm_append(ctx):
+        ctx["inc"].append(delta, "daily")
+
+    def arm_probe(ctx):
+        return ctx["inc"].topk(queries, k=10, nprobe=4).count()
+
     try:
-        for rep in range(reps):
-            bpath = os.path.join(root, f"b{rep}")
-            store = IvfLayoutStore(spark, bpath)
-
-            t0 = time.perf_counter()
-            store.build(emb, centroids)  # the no-store arm: index EVERYTHING
-            builds.append(time.perf_counter() - t0)
-            shutil.rmtree(bpath)
-
-            store = IvfLayoutStore(spark, bpath)
-            store.build(base, centroids)
-            t0 = time.perf_counter()
-            store.append(delta, "daily")
-            appends.append(time.perf_counter() - t0)
-
-            t0 = time.perf_counter()
-            n = store.topk(queries, k=10, nprobe=4).count()
-            probes.append(time.perf_counter() - t0)
-            print(
-                f"rep={rep} full_build={builds[-1]:.1f}s append={appends[-1]:.1f}s "
-                f"probe={probes[-1]:.1f}s probe_rows={n}",
-                flush=True,
-            )
-            shutil.rmtree(bpath)
+        timings, last = ab_lib.warmup_interleaved(
+            {
+                "full_build": arm_full_build,
+                "append": arm_append,
+                "probe": arm_probe,
+            },
+            reps,
+            setup=setup,
+        )
+        builds, appends, probes = (
+            timings["full_build"], timings["append"], timings["probe"]
+        )
+        print(f"probe_rows={last['probe']}", flush=True)
+        print(ab_lib.summarize(timings), flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

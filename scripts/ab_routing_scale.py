@@ -24,11 +24,12 @@ import argparse
 import json
 import statistics
 import sys
-import time
 import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import ab_lib  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import get_spark  # noqa: E402
@@ -113,18 +114,25 @@ def main() -> None:
     }
 
     out = {"sf_dir": sf, "reps": args.reps}
+    arms = {}
     for name, (build, cols, raw_family) in legs.items():
         if raw_family in args.skip_raw:
             out[name] = {"skipped": "prohibitive at this scale by design"}
             continue
-        times = []
-        n = h = None
-        for i in range(args.reps + 1):  # rep 0 is warm-up
-            t0 = time.perf_counter()
-            n, h = fingerprint(build(), cols)
-            dt = time.perf_counter() - t0
-            if i:
-                times.append(dt)
+        arms[name] = lambda _ctx, b=build, c=cols: fingerprint(b(), c)
+
+    # r10 verdict #5 retrofit: the per-leg rep loop above used to run
+    # each leg's reps back to back — on this drifting host, sequential
+    # arms flatter whichever ran later (the ab_stage_backend run-1/run-2
+    # contrast, SCALING.md). One untimed warm-up cycle + per-cycle
+    # interleaving lands drift on every leg equally.
+    timings, last = ab_lib.warmup_interleaved(
+        arms,
+        args.reps,
+        log=lambda m: print(f"# {m}", file=sys.stderr),
+    )
+    for name, times in timings.items():
+        n, h = last[name]
         out[name] = {
             "median_s": round(statistics.median(times), 2),
             "min_s": round(min(times), 2),

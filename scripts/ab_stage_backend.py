@@ -26,10 +26,12 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import ab_lib  # noqa: E402
 
 from dynamics_365_to_bigquery_spark_etl_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -47,32 +49,30 @@ def main() -> None:
     spark = get_spark("ab-stage-backend")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # One untimed warm-up first (JVM code paths + parquet footers + page
-    # cache) — pinned to the first arm's backend so an ambient
-    # $SPARK_GRAFT_STAGE_BACKEND export can't make it eager or
-    # backend-mismatched — then the arms run INTERLEAVED — cycle 0 runs local,
-    # local_disk, durable; cycle 1 runs them again; ... — so monotonic
-    # host drift (cache warming, thermal, co-tenant load) lands on every
-    # arm equally instead of flattering whichever arm ran last (the
-    # first, sequential version of this harness read exactly that
-    # confound: every arm was faster than the arm before it).
-    arms = ["local", "local_disk", "durable"]
-    os.environ["SPARK_GRAFT_STAGE_BACKEND"] = arms[0]
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).count()
-    print(f"warmup wall={time.perf_counter() - t0:.1f}s", flush=True)
-
-    results: dict[str, list[float]] = {a: [] for a in arms}
-    for rep in range(reps):
-        for backend in arms:
+    # Schedule via the shared harness (scripts/ab_lib.py, extracted
+    # FROM this script's run-1/run-2 contrast — r10 verdict #5): one
+    # untimed warm-up cycle (each backend warms its own code paths),
+    # then the arms INTERLEAVED per cycle so monotonic host drift
+    # (cache warming, thermal, co-tenant load) lands on every arm
+    # equally instead of flattering whichever ran last (the first,
+    # sequential version of this harness read exactly that confound:
+    # every arm was faster than the arm before it).
+    def run_backend(backend):
+        def arm(_ctx):
             os.environ["SPARK_GRAFT_STAGE_BACKEND"] = backend
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            w = time.perf_counter() - t0
-            results[backend].append(w)
-            print(f"{qname} backend={backend} rep={rep} rows={n} wall={w:.1f}s",
-                  flush=True)
-    os.environ.pop("SPARK_GRAFT_STAGE_BACKEND", None)
+            try:
+                return fn(spark, sf_dir).count()
+            finally:
+                os.environ.pop("SPARK_GRAFT_STAGE_BACKEND", None)
+
+        return arm
+
+    arms = ["local", "local_disk", "durable"]
+    results, _rows = ab_lib.warmup_interleaved(
+        {a: run_backend(a) for a in arms},
+        reps,
+        log=lambda m: print(f"{qname} {m}", flush=True),
+    )
 
     print(f"\n{qname} @ {sf_dir} ({reps} reps):")
     for backend, walls in results.items():

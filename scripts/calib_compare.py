@@ -30,9 +30,38 @@ PYTHON_BOUND = {"q_sim_topk_matmul", "q_sim_ivf_layout_topk", "q_multimodal_feat
 
 
 def load(path: str) -> dict:
+    """Parsed bench document from either format. Tolerates the driver's
+    ``parsed: null`` (r10's artifact lost its medians to tail-capture
+    truncation — callers see a block with no ``queries``/``calib`` and
+    skip it). For a SLIM artifact (r11+: the printed line drops the rep
+    spreads to stay under the tail capture), the committed sidecar it
+    names in ``detail`` — or the conventional ``BENCH_detail_r{N}.json``
+    beside it — is re-merged for its ``spread`` block, but only when the
+    sidecar's medians are identical to the artifact's (a sidecar from a
+    DIFFERENT run of the same round must not lend its spreads)."""
+    import os
+    import re
+
     with open(path) as f:
         doc = json.load(f)
-    return doc.get("parsed", doc)
+    parsed = doc.get("parsed") or doc
+    if "spread" in parsed or "queries" not in parsed:
+        return parsed
+    name = os.path.basename(path)
+    m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
+    candidates = [parsed.get("detail")] if parsed.get("detail") else []
+    if m:
+        candidates.append(f"BENCH_detail_r{m.group(1)}.json")
+    for cand in candidates:
+        detail_path = os.path.join(os.path.dirname(path) or ".", cand)
+        try:
+            with open(detail_path) as f:
+                detail = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if detail.get("queries") == parsed["queries"] and "spread" in detail:
+            return {**parsed, "spread": detail["spread"]}
+    return parsed
 
 
 def round_artifacts(repo_dir: str) -> list[tuple[int, str]]:
@@ -77,14 +106,27 @@ def round_artifacts(repo_dir: str) -> list[tuple[int, str]]:
 
 
 def latest_round_artifact(repo_dir: str) -> str | None:
-    """Path of the highest-numbered COMMITTED ``BENCH_r{N}.json``.
+    """Path of the highest-numbered COMMITTED ``BENCH_r{N}.json`` that
+    is actually USABLE as a comparison reference (has medians + calib —
+    r10's artifact has ``parsed: null``, and normalizing against it
+    would silently break the cross-round chain; skip to the newest
+    round that carries data).
 
     Used by ``bench.py`` to self-normalize each round's artifact against
     the previous round's committed one (round-8 verdict #1). Returns
-    None when no prior artifact exists (round 1).
+    None when no usable prior artifact exists (round 1).
     """
-    arts = round_artifacts(repo_dir)
-    return arts[-1][1] if arts else None
+    for _n, path in reversed(round_artifacts(repo_dir)):
+        try:
+            doc = load(path)
+        except (OSError, ValueError):
+            # malformed file: return it anyway — the caller's error
+            # stub SURFACES the defect (pinned behavior); silently
+            # skipping would hide a corrupted latest artifact
+            return path
+        if doc.get("queries") and doc.get("calib"):
+            return path
+    return None
 
 
 def nearest_host_artifact(

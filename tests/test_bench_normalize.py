@@ -231,3 +231,105 @@ def test_nearest_host_artifact_requires_calib_and_matching_sf(tmp_path):
     )
     got = calib.nearest_host_artifact(str(tmp_path), 0.10, 0.1)
     assert got.endswith("BENCH_r3.json")  # only sf-matched calib-bearing one
+
+
+def _full_headline_result() -> dict:
+    """A realistic r11-shaped result: every committed headline row plus
+    the streaming row, worst-case float widths, two normalized blocks
+    with full ratio maps and flags — the shape whose single-line JSON
+    outgrew the driver's 2000-char tail capture in r10."""
+    names = list(bench.HEADLINE) + [bench.STREAM_ROW]
+    queries = {n: 12.345 for n in names}
+    spread = {n: [11.111, 13.999] for n in names}
+    block = {
+        "prev_artifact": "BENCH_r10.json",
+        "host_factor_jvm": 1.234,
+        "host_factor_python": 1.345,
+        "ratios": {n: 1.23 for n in names},
+        "total_norm_ratio": 1.23,
+        "flagged": names[:4],
+        "flagged_robust": names[:2],
+        "warning": (
+            "reference medians identical to this run — degenerate "
+            "self-comparison (uncommitted current-round artifact?)"
+        ),
+    }
+    result = dict(
+        _artifact(queries, jvm=0.1234, py=0.1234),
+        spread=spread,
+        normalized_vs_prev=block,
+        normalized_vs_nearest_host=dict(block, nearest_artifact="BENCH_r06.json"),
+    )
+    return result
+
+
+def test_final_line_fits_the_drivers_tail_capture():
+    """r10 verdict #1: the committed artifact lost its medians when the
+    printed line outgrew the driver's 2000-char tail. The slim line
+    must stay under 1800 chars WITH the full headline set + streaming
+    row + both normalized blocks carrying flags and a warning, and must
+    still parse back to every median + each block's verdict fields."""
+    result = _full_headline_result()
+    line = bench.slim_final_line(result, "BENCH_detail_r11.json")
+    assert len(line) < 1800, f"final line is {len(line)} chars"
+    parsed = json.loads(line)
+    assert parsed["queries"] == result["queries"]  # every median survives
+    assert parsed["detail"] == "BENCH_detail_r11.json"
+    assert "spread" not in parsed  # bulk fields live in the sidecar
+    for key in ("normalized_vs_prev", "normalized_vs_nearest_host"):
+        blk = parsed[key]
+        assert "ratios" not in blk
+        assert blk["total_norm_ratio"] == 1.23
+        assert blk["flagged_robust"] == result[key]["flagged_robust"]
+        assert "warning" in blk
+    # a None block (round 1 / cross-sf) passes through unchanged
+    r2 = dict(result, normalized_vs_prev=None)
+    assert json.loads(bench.slim_final_line(r2, "d.json"))["normalized_vs_prev"] is None
+
+
+def test_load_merges_detail_sidecar_spread(tmp_path):
+    """r11+ committed artifacts are slim (no spread); calib_compare
+    re-merges the round's committed detail sidecar so cross-round
+    robust flags keep working — but only when the sidecar's medians
+    match the artifact's (a different run's spreads must not leak)."""
+    slim = {k: v for k, v in REF.items()}
+    slim["detail"] = "BENCH_detail_r11.json"
+    (tmp_path / "BENCH_r11.json").write_text(json.dumps({"parsed": slim}))
+    detail = dict(REF, spread={"q_jvm_steady": [0.9, 1.1]})
+    (tmp_path / "BENCH_detail_r11.json").write_text(json.dumps(detail))
+    doc = calib.load(str(tmp_path / "BENCH_r11.json"))
+    assert doc["spread"] == {"q_jvm_steady": [0.9, 1.1]}
+
+    # mismatched medians (sidecar from a different run): no merge
+    other = dict(
+        _artifact({"q_jvm_steady": 9.9}, jvm=0.10, py=0.10),
+        spread={"q_jvm_steady": [9.0, 10.0]},
+    )
+    (tmp_path / "BENCH_detail_r11.json").write_text(json.dumps(other))
+    doc = calib.load(str(tmp_path / "BENCH_r11.json"))
+    assert "spread" not in doc
+
+
+def test_latest_round_artifact_skips_parsed_null(tmp_path):
+    """r10's committed artifact has ``parsed: null`` (tail truncation).
+    The chain must normalize against the newest round WITH data instead
+    of silently dying on the defective one."""
+    (tmp_path / "BENCH_r9.json").write_text(json.dumps({"parsed": REF}))
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"parsed": None, "tail": "…truncated…"})
+    )
+    assert calib.latest_round_artifact(str(tmp_path)).endswith("BENCH_r9.json")
+    block = bench.self_normalize(NEW, str(tmp_path))
+    assert block["prev_artifact"] == "BENCH_r9.json"
+    assert "warning" not in block
+
+
+def test_degenerate_self_comparison_carries_warning(tmp_path):
+    """r10 advice: without git, a mid-round re-run can normalize against
+    the current round's own on-disk artifact. Identical median maps are
+    flagged with a warning key instead of reading as 'no regressions'."""
+    (tmp_path / "BENCH_r8.json").write_text(json.dumps({"parsed": NEW}))
+    block = bench.self_normalize(NEW, str(tmp_path))
+    assert block["prev_artifact"] == "BENCH_r8.json"
+    assert "self-comparison" in block["warning"]
+    assert block["total_norm_ratio"] == 1.0

@@ -424,3 +424,4 @@ def test_cli_compact_buckets_flag(spark, zone, capsys):
 
     rc = main([str(landing), str(sink), str(state), "--compact-buckets", "2"])
     assert rc == 1
+

@@ -26,6 +26,15 @@ contract). For exact current counts, join the candidates back against
 the drained corpus — ``frequent.heavy_hitters_exact`` is that second
 pass in batch form, and ``test_stream_heavy_hitters.py`` asserts the
 drained-stream store reproduces it exactly.
+
+Tie-break note (r10 verdict nit): when the compress step's (k+1)-th
+largest count ties several candidates, which of the tied ones survive
+follows dict insertion order — correct per the MG contract (ANY ≤ k
+superset satisfying the error bound is valid), but it means two
+ingests that merged epochs in different orders can carry DIFFERENT
+candidate sets for the same data. The exact second pass downstream
+absorbs the difference; anything comparing raw ``candidates()`` across
+stores must not expect set equality near the cut line.
 """
 
 from __future__ import annotations

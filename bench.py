@@ -126,7 +126,19 @@ def bench_stream_ivf(spark, sf_dir: str, reps: int) -> list[float]:
                 spark, src, delta.schema, os.path.join(work, "store"),
                 os.path.join(work, "ck"), max_files_per_trigger=1,
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                # timed out with the query STILL RUNNING: recording
+                # ~600 s as a sample would be a bogus data point, and
+                # the n_vectors check below would misdiagnose a slow
+                # drain as broken choreography while the finally-block
+                # rmtree raced the live query (r11 review). Stop it,
+                # then fail as what it is: slow.
+                q.stop()
+                raise RuntimeError(
+                    "stream bench did not drain within 600 s — the "
+                    "ingest is too slow for this host, not broken "
+                    "(no sample recorded)"
+                )
             samples.append(time.perf_counter() - t0)
             n_vecs = store.drift()["n_vectors"]
             if n_vecs != n_total:
@@ -140,18 +152,56 @@ def bench_stream_ivf(spark, sf_dir: str, reps: int) -> list[float]:
 
 
 def next_round_number(repo_dir: str) -> int:
-    """1 + the highest on-disk ``BENCH_r{N}.json`` round (glob, not
-    git: the detail sidecar must name the round being PRODUCED, which
-    by definition is not committed yet)."""
+    """1 + the highest COMMITTED ``BENCH_r{N}.json`` round. Committed,
+    not on-disk: the round being PRODUCED drops its artifact into the
+    working tree before the close-out commit, so an on-disk max would
+    name the sidecar one round ahead for any bench re-run in that
+    window — the sidecar then misses its conventional name and the
+    round's robust flags silently degrade to median-only (r11 review).
+    Outside a git repo (unit tests feed tmp dirs) on-disk counts."""
     import glob
     import re
+    import subprocess
+
+    tracked: set[str] | None = None
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "ls-files", "--", "BENCH_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            tracked = {ln.strip() for ln in out.stdout.splitlines() if ln.strip()}
+    except (OSError, subprocess.SubprocessError):
+        tracked = None
 
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
         if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
+        and (tracked is None or os.path.basename(p) in tracked)
     ]
     return max(rounds, default=0) + 1
+
+
+def detail_sidecar_name(repo_dir: str, sf: float) -> str:
+    """Where this run's full result document goes. The conventional
+    ``BENCH_detail_r{N}.json`` is the round's official sidecar — when
+    one already exists at a DIFFERENT sf, divert to an sf-suffixed name
+    so an off-SF smoke run can't clobber it (a /verify contract check
+    at sf0.01 destroyed the committed sf0.1 detail mid-round — r11);
+    same-sf re-runs legitimately refresh it (``calib_compare.load``'s
+    medians-match guard rejects a stale one)."""
+    name = f"BENCH_detail_r{next_round_number(repo_dir)}.json"
+    try:
+        with open(os.path.join(repo_dir, name)) as fh:
+            existing_sf = json.load(fh).get("sf")
+    except (OSError, ValueError):
+        existing_sf = None
+    if existing_sf is not None and existing_sf != sf:
+        name = name[: -len(".json")] + f"_sf{sf}.json"
+    return name
 
 
 def slim_final_line(result: dict, detail_name: str) -> str:
@@ -396,7 +446,7 @@ def main() -> None:
     # full document -> the committed round sidecar; slim line -> stdout
     # (r10 verdict #1: the single line outgrew the driver's tail capture
     # and the committed artifact lost its medians)
-    detail_name = f"BENCH_detail_r{next_round_number(REPO_ROOT)}.json"
+    detail_name = detail_sidecar_name(REPO_ROOT, result["sf"])
     with open(os.path.join(REPO_ROOT, detail_name), "w") as fh:
         json.dump(result, fh, indent=1)
     # Leading newline: Spark's console progress / log lines end in '\r'

@@ -76,10 +76,15 @@ class LshDedupIndex:
         jaccard_min: float = 0.5,
         fast: bool = False,
         batch_buckets: int | None = None,
+        lock_timeout: float = 60.0,
     ) -> None:
         self.spark = spark
         self.path = path
         self.jaccard_min = jaccard_min
+        # write-lock wait budget, not identity — size it to the longest
+        # mutating op a writer may queue behind (a compact() is a
+        # full-corpus rewrite; see IvfLayoutStore.__init__'s note)
+        self.lock_timeout = lock_timeout
         self.sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
         if batch_buckets is not None and batch_buckets < 1:
             # same falsy-zero trap the CLI rejects: 0 must be an error,
@@ -104,7 +109,10 @@ class LshDedupIndex:
         to its postings dir's bucket count (absent = pre-r8 plain
         parquet, read via the legacy leg). Older metas carry only
         ``batches``; treat that as both. Pre-r11 metas carry epoch keys
-        in the flat list; ``ledger.migrate`` folds them."""
+        in the flat list; they keep exact membership there and fold
+        away via ``ledger.record``'s pruning (``operators/ledger.py``
+        — retroactive folding would impose ordering semantics historic
+        batch ids never had, r11 review)."""
         try:
             with open(self._meta_path()) as fh:
                 meta = json.load(fh)
@@ -399,7 +407,15 @@ class LshDedupIndex:
             # lock spans the DIR writes too: a concurrent compact()'s
             # GC sweep would rmtree an uncommitted in-flight dir
             # (store_lock module docstring; r10 verdict #6).
-            with store_write_lock(self.path):
+            with store_write_lock(self.path, timeout=self.lock_timeout):
+                # replay re-check FIRST, inside the lock: the lock loser
+                # of two same-id ingests must not reach the dir rewrites
+                # below — they rmtree + DROP the winner's just-committed
+                # postings table before _commit would no-op, a window a
+                # concurrent reader sees as a vanished table (r11
+                # review; IvfLayoutStore.append has the same ordering)
+                if ledger.is_committed(self._read_meta(), batch_id):
+                    return
                 self._write_bucketed(banded, batch_id, self.batch_buckets)
                 out = self._store("shingles", batch_id)
                 if os.path.isdir(out):
@@ -450,7 +466,7 @@ class LshDedupIndex:
 
         Returns True if a compaction ran, False if there was nothing to
         merge (0 or 1 live dir)."""
-        with store_write_lock(self.path):
+        with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
             live = meta["batches"]
             if len(live) <= 1:

@@ -89,6 +89,7 @@ class IvfLayoutStore:
         drift_threshold: float = 0.05,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        lock_timeout: float = 60.0,
     ) -> None:
         if not 0 < drift_threshold < 1:
             raise ValueError(
@@ -99,6 +100,13 @@ class IvfLayoutStore:
         self.drift_threshold = drift_threshold
         self.id_col = id_col
         self.vec_col = vec_col
+        # how long a mutating op waits for the write lock. NOT part of
+        # the store identity: it sizes the WAIT, not the data. The 60 s
+        # default suits append-vs-append contention; a stream expected
+        # to ride out a concurrent compact()/rebuild() (minutes of
+        # full-corpus rewrite at scale) must size this to that window
+        # or the foreachBatch epoch dies in StoreLockHeld (r11 review)
+        self.lock_timeout = lock_timeout
         os.makedirs(path, exist_ok=True)
 
     # -- state ------------------------------------------------------------
@@ -109,9 +117,10 @@ class IvfLayoutStore:
         return {k: getattr(self, k) for k in IDENTITY_KEYS}
 
     def _read_meta(self) -> dict:
-        """Load + migrate the meta. The replay ledger is folded to the
-        bounded shape (``ledger.migrate`` — pre-r11 metas carried epoch
-        keys in the flat list); the store IDENTITY is validated against
+        """Load + migrate the meta. The replay ledger gains the bounded
+        high-water key (``ledger.migrate``; pre-r11 flat-list ids keep
+        exact membership and fold away through ``ledger.record``'s
+        pruning); the store IDENTITY is validated against
         this instance's knobs and a mismatch fails loudly — a stream
         opened at a different ``drift_threshold`` would silently move
         the retrain line, different columns would break the probe
@@ -207,7 +216,7 @@ class IvfLayoutStore:
         against. Wipes any previous state at this path — including
         stale generation dirs a prior ``rebuild`` may have left — and
         (re)pins the store's identity knobs in the meta."""
-        with store_write_lock(self.path):
+        with store_write_lock(self.path, timeout=self.lock_timeout):
             shutil.rmtree(os.path.join(self.path, "vectors"), ignore_errors=True)
             for d in os.listdir(self.path):
                 if d.startswith("centroids"):
@@ -294,7 +303,7 @@ class IvfLayoutStore:
                 f"batch_id {batch_id!r} is reserved (the store names its "
                 "build 'base' and compaction/rebuild generations 'gen<N>')"
             )
-        with store_write_lock(self.path):
+        with store_write_lock(self.path, timeout=self.lock_timeout):
             # replay check INSIDE the lock: a concurrent writer may have
             # committed this id while we waited
             meta = self._read_meta()
@@ -407,7 +416,7 @@ class IvfLayoutStore:
         Assignments are already on disk, so compaction is a shuffle-free
         re-write, not a re-assignment. Returns False when there is
         nothing to fold."""
-        with store_write_lock(self.path):
+        with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
             live = meta["batches"]
             if len(live) <= 1:
@@ -459,7 +468,7 @@ class IvfLayoutStore:
         partial corpus would silently and permanently drop the missing
         batches' vectors while the ledger still blocks re-ingesting
         them (r10 advice; same guard compact() always had)."""
-        with store_write_lock(self.path):
+        with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
             if not meta["batches"]:
                 raise RuntimeError(f"IVF store at {self.path} has no build")

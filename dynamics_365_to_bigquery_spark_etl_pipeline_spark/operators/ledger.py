@@ -29,10 +29,21 @@ reserved shape; batch callers should not use it unless they want
 exactly those semantics — the stores' docstrings say so.
 
 Migration: pre-r11 metas carry epoch-shaped ids inside
-``committed_ids``. ``migrate()`` folds them into the high-water map at
-read time (idempotent; monotonicity makes the fold exact — every epoch
-below a committed one was itself committed in order or was empty and
-committed nothing), and the next meta write persists the new shape.
+``committed_ids``. Those ids were committed under the old
+EXACT-MEMBERSHIP contract — a pre-r11 batch caller could legally use
+``nightly-epoch-5`` with no ordering meaning, so folding historical
+ids into the high-water map would silently mark a never-ingested
+``nightly-epoch-3`` as replayed (r11 review finding). ``migrate()``
+therefore only ensures the meta carries both keys; pre-existing
+epoch-shaped ids KEEP exact membership in the list, and only ids
+committed through ``record()`` from now on advance the high-water map.
+The list still converges to the bounded shape: when ``record()``
+advances a query id's high-water mark, every listed id of that prefix
+at or below the mark is pruned (it is implied by the mark from then
+on) — one post-migration epoch folds a pre-r11 streaming history away,
+while a batch caller's epoch-shaped ids survive untouched until the
+caller itself opts into the monotonic semantics by committing a newer
+epoch under the same prefix.
 """
 
 from __future__ import annotations
@@ -53,40 +64,50 @@ def split_epoch(batch_id: str) -> tuple[str, int] | None:
 
 
 def migrate(meta: dict) -> dict:
-    """Fold epoch-shaped ids out of ``committed_ids`` into the
-    high-water map, in place; ensure both keys exist. Idempotent —
-    call from every ``_read_meta``."""
-    hwm = meta.setdefault(HWM_KEY, {})
-    ids = meta.get(IDS_KEY, [])
-    keep: list[str] = []
-    for bid in ids:
-        parts = split_epoch(bid)
-        if parts is None:
-            keep.append(bid)
-        else:
-            qid, n = parts
-            hwm[qid] = max(hwm.get(qid, -1), n)
-    meta[IDS_KEY] = keep
+    """Ensure the meta carries both ledger keys, in place. Idempotent —
+    call from every ``_read_meta``. Pre-existing ids — epoch-shaped or
+    not — stay in the exact-membership list (module docstring: folding
+    historical ids would impose ordering semantics their committers
+    never chose); they fold away through ``record()``'s pruning once a
+    newer epoch commits under the same prefix."""
+    meta.setdefault(HWM_KEY, {})
+    meta.setdefault(IDS_KEY, [])
     return meta
 
 
 def is_committed(meta: dict, batch_id: str) -> bool:
-    """Replay-guard check against a migrated meta."""
+    """Replay-guard check against a migrated meta. Epoch-shaped ids are
+    committed when at-or-under their prefix's high-water mark OR listed
+    exactly (the pre-r11 membership that migration preserves)."""
     parts = split_epoch(batch_id)
     if parts is not None:
         qid, n = parts
-        return n <= meta.get(HWM_KEY, {}).get(qid, -1)
+        if n <= meta.get(HWM_KEY, {}).get(qid, -1):
+            return True
     return batch_id in meta.get(IDS_KEY, [])
 
 
 def record(meta: dict, batch_id: str) -> None:
     """Mark a batch id committed, in place (caller persists the meta).
-    Epoch-shaped ids advance their query id's high-water mark; others
-    append to the exact-membership list."""
+    Epoch-shaped ids advance their query id's high-water mark and prune
+    now-implied list entries of the same prefix; others append to the
+    exact-membership list."""
     parts = split_epoch(batch_id)
     if parts is not None:
         qid, n = parts
         hwm = meta.setdefault(HWM_KEY, {})
         hwm[qid] = max(hwm.get(qid, -1), n)
+        # convergence: listed ids now implied by the mark are redundant
+        # — dropping them is what bounds a migrated pre-r11 streaming
+        # history to O(#query ids) after its first post-migration epoch
+        meta[IDS_KEY] = [
+            bid
+            for bid in meta.get(IDS_KEY, [])
+            if not (
+                (p := split_epoch(bid)) is not None
+                and p[0] == qid
+                and p[1] <= hwm[qid]
+            )
+        ]
     else:
         meta[IDS_KEY] = meta.get(IDS_KEY, []) + [batch_id]

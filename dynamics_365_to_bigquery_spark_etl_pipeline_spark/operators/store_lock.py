@@ -15,8 +15,11 @@ enforced instead of assumed.
 
 Scope and staleness (the honest notes):
 
-- The lock is an ``O_CREAT|O_EXCL`` file beside the meta — atomic on
-  POSIX local filesystems and on NFS for file CREATION. It is a
+- The lock is a pid file beside the meta, made visible by ``os.link``
+  of a fully-written private temp file — atomic on POSIX local
+  filesystems and on NFS, and never observable empty (an ``O_CREAT|
+  O_EXCL``-then-write shape would leave an unstealable empty lock if
+  the holder dies between the two calls). It is a
   SAME-HOST lock in its staleness handling: the holder's pid is
   written into the file, and a contender that finds the pid dead
   (``kill(pid, 0)`` -> ESRCH) steals the lock. Cross-host writers get
@@ -42,6 +45,7 @@ from __future__ import annotations
 import contextlib
 import os
 import time
+import uuid
 
 LOCK_NAME = "_write.lock"
 
@@ -70,34 +74,50 @@ def store_write_lock(
     ``StoreLockHeld`` (naming path and pid) past the deadline."""
     lock_path = os.path.join(store_dir, LOCK_NAME)
     deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    # the pid goes into a private temp file FIRST, then os.link makes it
+    # the lock atomically (fails if one exists) — creating the lock with
+    # O_CREAT|O_EXCL and writing the pid afterwards left a window where
+    # a holder killed between the two calls leaves an EMPTY lock no
+    # contender can ever steal (holder reads as 0, the dead-pid check
+    # never fires, every writer blocks until a human deletes the file —
+    # r11 review finding). link() is also the classic NFS-safe shape.
+    tmp_path = os.path.join(
+        store_dir, f".{LOCK_NAME}.{os.getpid()}.{uuid.uuid4().hex}"
+    )
+    with open(tmp_path, "w") as fh:
+        fh.write(str(os.getpid()))
+    try:
+        while True:
             try:
-                os.write(fd, str(os.getpid()).encode())
-            finally:
-                os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                with open(lock_path) as fh:
-                    holder = int(fh.read().strip() or "0")
-            except (OSError, ValueError):
-                holder = 0  # mid-write or vanished; re-poll
-            if holder and holder != os.getpid() and not _pid_alive(holder):
-                # dead same-host holder: steal (see module docstring for
-                # the accepted read-then-unlink race window)
-                with contextlib.suppress(OSError):
-                    os.unlink(lock_path)
-                continue
-            if time.monotonic() >= deadline:
-                raise StoreLockHeld(
-                    f"store at {store_dir} is write-locked by pid "
-                    f"{holder or '<unknown>'} ({lock_path}); waited "
-                    f"{timeout:g}s — stores are single-writer, and a "
-                    "provably stale lock can be removed by hand"
-                ) from None
-            time.sleep(poll)
+                os.link(tmp_path, lock_path)
+                break
+            except FileExistsError:
+                try:
+                    with open(lock_path) as fh:
+                        holder = int(fh.read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0  # vanished or hand-made junk; re-poll
+                if (
+                    holder
+                    and holder != os.getpid()
+                    and not _pid_alive(holder)
+                ):
+                    # dead same-host holder: steal (see module docstring
+                    # for the accepted read-then-unlink race window)
+                    with contextlib.suppress(OSError):
+                        os.unlink(lock_path)
+                    continue
+                if time.monotonic() >= deadline:
+                    raise StoreLockHeld(
+                        f"store at {store_dir} is write-locked by pid "
+                        f"{holder or '<unknown>'} ({lock_path}); waited "
+                        f"{timeout:g}s — stores are single-writer, and a "
+                        "provably stale lock can be removed by hand"
+                    ) from None
+                time.sleep(poll)
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp_path)
     try:
         yield
     finally:

@@ -137,6 +137,7 @@ def stream_dedup_index(
     jaccard_min: float = 0.5,
     compact_every: int = 0,
     max_files_per_trigger: int = 1,
+    lock_timeout: float = 60.0,
 ) -> StreamingQuery:
     """Near-dup detection AT INGEST: file-source stream of documents ->
     per-micro-batch probe of the incremental LSH index
@@ -182,7 +183,9 @@ def stream_dedup_index(
     SCALING.md (scripts/bench_stream_index.py --max-files)."""
     from ..operators.dedup_index import LshDedupIndex
 
-    idx = LshDedupIndex(spark, index_path, jaccard_min=jaccard_min)
+    idx = LshDedupIndex(
+        spark, index_path, jaccard_min=jaccard_min, lock_timeout=lock_timeout
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -27,14 +27,18 @@ the drained corpus — ``frequent.heavy_hitters_exact`` is that second
 pass in batch form, and ``test_stream_heavy_hitters.py`` asserts the
 drained-stream store reproduces it exactly.
 
-Tie-break note (r10 verdict nit): when the compress step's (k+1)-th
-largest count ties several candidates, which of the tied ones survive
-follows dict insertion order — correct per the MG contract (ANY ≤ k
-superset satisfying the error bound is valid), but it means two
-ingests that merged epochs in different orders can carry DIFFERENT
-candidate sets for the same data. The exact second pass downstream
-absorbs the difference; anything comparing raw ``candidates()`` across
-stores must not expect set equality near the cut line.
+Determinism note (r10 verdict nit): the compress step keeps only
+counts STRICTLY above the (k+1)-th largest, so every candidate tied
+with the cut drops — deterministically, regardless of dict insertion
+order (the summary after a compress can hold fewer than k counters).
+The candidate set is still not canonical across stores: MG merging is
+epoch-ORDER-dependent (intermediate compresses see different counts
+under different merge orders), so two ingests of the same data along
+different epoch interleavings can carry different candidate sets near
+the cut line — each a valid ≤ k superset per the MG contract. The
+exact second pass downstream absorbs the difference; anything
+comparing raw ``candidates()`` across stores must not expect set
+equality near the cut line.
 """
 
 from __future__ import annotations
@@ -61,11 +65,16 @@ class MgSummaryStore:
     JSON file: a crash can only lose the in-flight epoch, which the
     stream replays (uncommitted) on restart."""
 
-    def __init__(self, path: str, k: int) -> None:
+    def __init__(
+        self, path: str, k: int, lock_timeout: float = 60.0
+    ) -> None:
         if k < 1:
             raise ValueError(f"k must be >= 1 (got {k})")
         self.path = path
         self.k = k
+        # write-lock wait budget (not identity — contrast k); see
+        # IvfLayoutStore.__init__'s sizing note
+        self.lock_timeout = lock_timeout
         os.makedirs(path, exist_ok=True)
 
     def _meta_path(self) -> str:
@@ -89,8 +98,9 @@ class MgSummaryStore:
                 f"opened with k={self.k} — the merge bound W/(k+1) is "
                 "per-store; rebuild instead of mixing k"
             )
-        # pre-r11 metas carry epoch keys in the flat list; fold them
-        # into the bounded {query_id: max_epoch} map (r10 verdict #2)
+        # ensure the bounded-ledger keys exist; pre-r11 flat-list ids
+        # keep exact membership and fold away via record()'s pruning
+        # (ledger module docstring — r10 verdict #2, r11 review)
         ledger.migrate(meta)
         return meta
 
@@ -124,7 +134,7 @@ class MgSummaryStore:
         (keys shaped ``*-epoch-<n>`` get the monotonic high-water
         treatment). Single-writer: the whole read-merge-write holds the
         store's write lock (r10 verdict #6)."""
-        with store_write_lock(self.path):
+        with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read()
             if ledger.is_committed(meta, epoch_key):
                 return
@@ -171,6 +181,7 @@ def stream_heavy_hitters(
     k: int,
     weight_col: str | None = None,
     max_files_per_trigger: int = 1,
+    lock_timeout: float = 60.0,
 ) -> StreamingQuery:
     """Heavy-hitter candidates AT INGEST: file-source stream ->
     per-micro-batch MG partition summaries -> driver-side mergeable
@@ -183,7 +194,7 @@ def stream_heavy_hitters(
     from the checkpoint metadata), committed atomically WITH the merged
     summary — a replayed epoch is skipped, a fresh checkpoint gets
     fresh keys."""
-    store = MgSummaryStore(store_path, k)
+    store = MgSummaryStore(store_path, k, lock_timeout=lock_timeout)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

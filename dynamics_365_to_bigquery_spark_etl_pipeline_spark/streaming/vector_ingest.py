@@ -61,6 +61,7 @@ def stream_ivf_append(
     compact_every: int = 0,
     max_files_per_trigger: int = 1,
     on_drift: Optional[Callable[[dict], None]] = None,
+    lock_timeout: float = 60.0,
 ) -> StreamingQuery:
     """Fold a vector stream into a PRE-BUILT ``IvfLayoutStore`` one
     append per micro-batch. ``on_drift`` (optional) receives each
@@ -76,6 +77,7 @@ def stream_ivf_append(
         drift_threshold=drift_threshold,
         id_col=id_col,
         vec_col=vec_col,
+        lock_timeout=lock_timeout,
     )
     if not store.committed_batches():
         raise RuntimeError(

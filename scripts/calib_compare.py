@@ -73,7 +73,12 @@ def round_artifacts(repo_dir: str) -> list[tuple[int, str]]:
     close-out commit: a bench re-run in that window would otherwise
     normalize against the current round's own file and degenerate to a
     ~1.0 self-comparison (r9 advice). Outside a git repo (unit tests
-    feed tmp dirs) every on-disk artifact counts.
+    feed tmp dirs) every on-disk artifact counts — but when we ARE in a
+    git repo and ``ls-files`` itself failed (git binary missing), the
+    on-disk fallback drops the single highest-numbered artifact: it may
+    be the in-flight round's uncommitted file, and counting it would
+    quietly reintroduce the self-comparison the committed-only filter
+    exists to prevent (r10 advice).
     """
     import glob
     import os
@@ -102,7 +107,16 @@ def round_artifacts(repo_dir: str) -> list[tuple[int, str]]:
         if tracked is not None and name not in tracked:
             continue
         found.append((int(m.group(1)), path))
-    return sorted(found)
+    found.sort()
+    if (
+        tracked is None
+        and found
+        and os.path.isdir(os.path.join(repo_dir, ".git"))
+    ):
+        # git repo but ls-files failed: the max-round on-disk artifact
+        # may be the in-flight round's (docstring) — drop it
+        found.pop()
+    return found
 
 
 def latest_round_artifact(repo_dir: str) -> str | None:

@@ -333,3 +333,92 @@ def test_degenerate_self_comparison_carries_warning(tmp_path):
     assert block["prev_artifact"] == "BENCH_r8.json"
     assert "self-comparison" in block["warning"]
     assert block["total_norm_ratio"] == 1.0
+
+
+def _mini_git(tmp_path):
+    import subprocess
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *args],
+            check=True,
+            capture_output=True,
+            env={
+                "GIT_AUTHOR_NAME": "t",
+                "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t",
+                "GIT_COMMITTER_EMAIL": "t@t",
+                "HOME": str(tmp_path),
+                "PATH": os.environ["PATH"],
+            },
+        )
+
+    return git
+
+
+def test_next_round_number_is_committed_only(tmp_path):
+    """r11 review: the sidecar must name the round being PRODUCED.
+    On-disk counting named it one round ahead whenever the driver's
+    uncommitted artifact was already in the tree (the exact window
+    round_artifacts' committed-only filter exists for)."""
+    git = _mini_git(tmp_path)
+    git("init", "-q")
+    (tmp_path / "BENCH_r7.json").write_text("{}")
+    git("add", "BENCH_r7.json")
+    git("commit", "-qm", "r7")
+    assert bench.next_round_number(str(tmp_path)) == 8
+    # the driver drops r8 into the working tree before the commit: a
+    # bench re-run in that window still names its sidecar for round 8
+    (tmp_path / "BENCH_r8.json").write_text("{}")
+    assert bench.next_round_number(str(tmp_path)) == 8
+    git("add", "BENCH_r8.json")
+    git("commit", "-qm", "r8")
+    assert bench.next_round_number(str(tmp_path)) == 9
+    # outside a repo: on-disk fallback (unit-test tmp dirs). A subdir
+    # of tmp_path would still resolve to the repo above, so use a
+    # genuinely repo-free dir.
+    import shutil
+    import tempfile
+
+    plain = tempfile.mkdtemp(prefix="bench_round_plain_")
+    try:
+        with open(os.path.join(plain, "BENCH_r3.json"), "w") as fh:
+            fh.write("{}")
+        assert bench.next_round_number(plain) == 4
+    finally:
+        shutil.rmtree(plain, ignore_errors=True)
+
+
+def test_round_artifacts_git_failure_fallback_drops_inflight_round(tmp_path):
+    """r10 advice: in a git repo whose ls-files FAILS (git missing or
+    broken), the on-disk fallback must not count the max-round artifact
+    — it may be the in-flight round's uncommitted file, and normalizing
+    against it reintroduces the ~1.0 self-comparison. A plain dir (no
+    .git) keeps counting everything: unit tests rely on that."""
+    (tmp_path / ".git").mkdir()  # looks like a repo; ls-files errors
+    (tmp_path / "BENCH_r7.json").write_text(json.dumps({"parsed": REF}))
+    (tmp_path / "BENCH_r8.json").write_text(json.dumps({"parsed": NEW}))
+    got = [n for n, _p in calib.round_artifacts(str(tmp_path))]
+    assert got == [7]
+    # no .git: every on-disk artifact counts
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    (plain / "BENCH_r7.json").write_text(json.dumps({"parsed": REF}))
+    (plain / "BENCH_r8.json").write_text(json.dumps({"parsed": NEW}))
+    assert [n for n, _p in calib.round_artifacts(str(plain))] == [7, 8]
+
+
+def test_detail_sidecar_diverts_off_sf_runs(tmp_path):
+    """r11: an off-SF smoke run must not clobber the round's official
+    sidecar — it diverts to an sf-suffixed name; a same-sf re-run
+    refreshes the conventional one."""
+    (tmp_path / "BENCH_detail_r1.json").write_text(json.dumps({"sf": 0.1}))
+    assert bench.detail_sidecar_name(str(tmp_path), 0.1) == "BENCH_detail_r1.json"
+    assert (
+        bench.detail_sidecar_name(str(tmp_path), 0.01)
+        == "BENCH_detail_r1_sf0.01.json"
+    )
+    # no existing sidecar: conventional name either way
+    empty = tmp_path / "e"
+    empty.mkdir()
+    assert bench.detail_sidecar_name(str(empty), 0.01) == "BENCH_detail_r1.json"

@@ -531,3 +531,39 @@ def test_pre_r11_meta_migrates_epoch_ids_to_bounded_ledger(spark, tmp_path):
         meta = json.load(fh)
     assert meta["epoch_hwm"] == {"q": 1}
     assert meta["committed_ids"] == []
+
+
+def test_replayed_commit_never_rewrites_committed_dirs(spark, tmp_path):
+    """r11 review: the lock loser of two same-id ingests (both passed
+    the unlocked replay check) must not reach the postings rewrite —
+    pre-fix, commit() rmtree'd + re-wrote the winner's just-committed
+    dirs before _commit's ledger no-op, a window where a concurrent
+    reader sees a dropped catalog table. The replay re-check now runs
+    FIRST inside the lock, so a replayed commit touches no files."""
+    corpus = _corpus(spark)
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), jaccard_min=JMIN)
+    pairs, commit = idx.prepare_batch(corpus.filter(F.col("doc_id") % 2 == 0), "b1")
+    pairs.count()
+    commit()
+
+    def snapshot():
+        out = {}
+        for name in ("buckets", "shingles"):
+            root = idx._store(name, "b1")
+            for dp, _d, fs in os.walk(root):
+                for f in fs:
+                    p = os.path.join(dp, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_ino, st.st_mtime_ns, st.st_size)
+        return out
+
+    before = snapshot()
+    assert before, "committed batch dirs should exist"
+    # same closure again = the loser's replayed commit
+    commit()
+    assert snapshot() == before
+    # and a fresh prepare with the same id replays at commit too
+    pairs2, commit2 = idx.prepare_batch(corpus.limit(4), "b1")
+    pairs2.count()
+    commit2()
+    assert snapshot() == before

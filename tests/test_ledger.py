@@ -54,18 +54,49 @@ def test_record_and_is_committed_both_shapes():
     assert meta["epoch_hwm"] == {QID: 3}
 
 
-def test_migrate_folds_old_flat_list():
+def test_migrate_preserves_exact_membership():
+    """Migration must NOT impose monotonic semantics on historical ids
+    (r11 review finding): a pre-r11 batch caller could legally commit
+    'nightly-epoch-5' with no ordering meaning, so folding it into the
+    high-water map would silently replay-skip a never-ingested
+    'nightly-epoch-3'."""
     meta = {
         "committed_ids": ["b0", f"{QID}-epoch-0", f"{QID}-epoch-1", "gen1"],
     }
     ledger.migrate(meta)
-    assert meta["committed_ids"] == ["b0", "gen1"]
-    assert meta["epoch_hwm"] == {QID: 1}
-    assert ledger.is_committed(meta, f"{QID}-epoch-1")
+    # nothing folded: the list keeps exact membership, hwm starts empty
+    assert meta["committed_ids"] == [
+        "b0", f"{QID}-epoch-0", f"{QID}-epoch-1", "gen1"
+    ]
+    assert meta["epoch_hwm"] == {}
+    assert ledger.is_committed(meta, f"{QID}-epoch-1")  # via the list
     assert ledger.is_committed(meta, "b0")
+    # the finding's scenario: a BELOW-listed, never-committed epoch id
+    # must NOT read as committed after migration
+    assert not ledger.is_committed(meta, f"{QID}-epoch-2")
+    meta2 = ledger.migrate({"committed_ids": ["nightly-epoch-5"]})
+    assert not ledger.is_committed(meta2, "nightly-epoch-3")
     # idempotent
     ledger.migrate(meta)
-    assert meta["epoch_hwm"] == {QID: 1}
+    assert meta["epoch_hwm"] == {}
+
+
+def test_record_prunes_implied_migrated_ids():
+    """Convergence: the first post-migration commit under a prefix
+    folds that prefix's listed history into the mark — the list stays
+    bounded without retroactive semantics."""
+    meta = ledger.migrate(
+        {"committed_ids": ["b0", f"{QID}-epoch-0", f"{QID}-epoch-1"]}
+    )
+    ledger.record(meta, f"{QID}-epoch-2")
+    assert meta["committed_ids"] == ["b0"]
+    assert meta["epoch_hwm"] == {QID: 2}
+    for n in range(3):
+        assert ledger.is_committed(meta, f"{QID}-epoch-{n}")
+    # a different prefix's listed ids are untouched
+    meta3 = ledger.migrate({"committed_ids": ["nightly-epoch-5"]})
+    ledger.record(meta3, f"{QID}-epoch-0")
+    assert meta3["committed_ids"] == ["nightly-epoch-5"]
 
 
 def test_mg_store_600_epochs_meta_stays_small(tmp_path):

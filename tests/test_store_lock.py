@@ -149,3 +149,69 @@ def test_mg_merge_waits_for_external_holder(tmp_path):
     assert merged.wait(10.0)
     holder.join(); merger.join()
     assert store.total_weight() == 1
+
+def test_lock_never_observable_empty(tmp_path):
+    """r11 review: the pre-fix O_CREAT|O_EXCL-then-write acquisition
+    could leave an EMPTY lock if the holder died between the calls —
+    unstealable forever (holder parses to 0, the dead-pid check never
+    fires). The link-based acquire makes the pid visible atomically
+    WITH the lock: whenever the file exists, it parses to a live pid."""
+    stop = threading.Event()
+    lock = tmp_path / LOCK_NAME
+
+    def cycler():
+        for _ in range(300):
+            with store_write_lock(str(tmp_path), poll=0.001):
+                pass
+        stop.set()
+
+    t = threading.Thread(target=cycler)
+    t.start()
+    while not stop.is_set():
+        try:
+            content = lock.read_text()
+        except OSError:
+            continue  # between unlink and next link — absent is fine
+        # present -> complete: pid already written when it became visible
+        assert content == str(os.getpid()), f"observable lock: {content!r}"
+    t.join()
+
+
+def test_no_stray_tmp_files_after_exit_error_or_timeout(tmp_path):
+    """The private pid temp file behind the link acquire must not
+    accumulate across normal exits, error exits, or lost contention."""
+    with store_write_lock(str(tmp_path)):
+        pass
+    with pytest.raises(RuntimeError, match="boom"):
+        with store_write_lock(str(tmp_path)):
+            raise RuntimeError("boom")
+    with store_write_lock(str(tmp_path)):
+        with pytest.raises(StoreLockHeld):
+            with store_write_lock(str(tmp_path), timeout=0.2, poll=0.02):
+                pass
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_store_lock_timeout_is_plumbed(tmp_path):
+    """r11 review (r10 verdict #3's sibling): the stores expose
+    ``lock_timeout`` so a stream expected to queue behind a long
+    compact()/rebuild() can size its wait — the 60 s hardwired default
+    would kill the foreachBatch epoch in StoreLockHeld."""
+    store = MgSummaryStore(str(tmp_path), k=3, lock_timeout=0.25)
+    release = threading.Event()
+    entered = threading.Event()
+
+    def hold():
+        with store_write_lock(str(tmp_path)):
+            entered.set()
+            release.wait(5.0)
+
+    holder = threading.Thread(target=hold)
+    holder.start()
+    assert entered.wait(5.0)
+    t0 = time.monotonic()
+    with pytest.raises(StoreLockHeld):
+        store.merge_epoch([("a", 1)], 1, "q-epoch-0")
+    assert time.monotonic() - t0 < 5.0  # the caller's budget, not 60 s
+    release.set()
+    holder.join()

@@ -158,50 +158,34 @@ def next_round_number(repo_dir: str) -> int:
     name the sidecar one round ahead for any bench re-run in that
     window — the sidecar then misses its conventional name and the
     round's robust flags silently degrade to median-only (r11 review).
-    Outside a git repo (unit tests feed tmp dirs) on-disk counts."""
-    import glob
-    import re
-    import subprocess
+    Delegates to ``calib_compare.round_artifacts`` — ONE committed-only
+    filter, one git-failure fallback (drop the possibly-in-flight max
+    round), instead of a second copy that can drift (r11 review #2)."""
+    arts = _calib_module().round_artifacts(repo_dir)
+    return (arts[-1][0] if arts else 0) + 1
 
-    tracked: set[str] | None = None
-    try:
-        out = subprocess.run(
-            ["git", "-C", repo_dir, "ls-files", "--", "BENCH_r*.json"],
-            capture_output=True,
-            text=True,
-            timeout=10,
-        )
-        if out.returncode == 0:
-            tracked = {ln.strip() for ln in out.stdout.splitlines() if ln.strip()}
-    except (OSError, subprocess.SubprocessError):
-        tracked = None
 
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p)))
-        and (tracked is None or os.path.basename(p) in tracked)
-    ]
-    return max(rounds, default=0) + 1
+# the sf the driver's per-round bench runs at (BASELINE.md cadence);
+# the conventional sidecar name is reserved for runs at exactly this sf
+OFFICIAL_SF = 0.1
 
 
 def detail_sidecar_name(repo_dir: str, sf: float) -> str:
     """Where this run's full result document goes. The conventional
-    ``BENCH_detail_r{N}.json`` is the round's official sidecar — when
-    one already exists at a DIFFERENT sf, divert to an sf-suffixed name
-    so an off-SF smoke run can't clobber it (a /verify contract check
-    at sf0.01 destroyed the committed sf0.1 detail mid-round — r11);
-    same-sf re-runs legitimately refresh it (``calib_compare.load``'s
-    medians-match guard rejects a stale one)."""
-    name = f"BENCH_detail_r{next_round_number(repo_dir)}.json"
-    try:
-        with open(os.path.join(repo_dir, name)) as fh:
-            existing_sf = json.load(fh).get("sf")
-    except (OSError, ValueError):
-        existing_sf = None
-    if existing_sf is not None and existing_sf != sf:
-        name = name[: -len(".json")] + f"_sf{sf}.json"
-    return name
+    ``BENCH_detail_r{N}.json`` is reserved for OFFICIAL_SF runs; any
+    other sf gets an sf-suffixed name. Deterministic by sf — not
+    first-writer-wins against an existing file — so an off-SF smoke run
+    can neither clobber the official sidecar (a /verify contract check
+    at sf0.01 destroyed the committed sf0.1 detail mid-round — r11) nor
+    squat the conventional name before the official run lands (review
+    of the first fix). Same-sf re-runs legitimately refresh it
+    (``calib_compare.load``'s medians-match guard rejects a stale one);
+    should the driver ever run at another sf, ``load`` still finds the
+    suffixed sidecar through the artifact's ``detail`` field."""
+    name = f"BENCH_detail_r{next_round_number(repo_dir)}"
+    if sf != OFFICIAL_SF:
+        name += f"_sf{sf}"
+    return name + ".json"
 
 
 def slim_final_line(result: dict, detail_name: str) -> str:

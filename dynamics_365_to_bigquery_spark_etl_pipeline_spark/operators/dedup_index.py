@@ -141,9 +141,13 @@ class LshDedupIndex:
         return self._read_meta()["batches"]
 
     def committed_ids(self) -> list[str]:
-        """Every NON-epoch batch id ever committed; survives
-        compaction. Streaming epoch keys live in the bounded high-water
-        map — use ``is_committed`` for the replay check."""
+        """The exact-membership ledger half: batch-API ids, plus — on a
+        migrated pre-r11 store, until a newer epoch commits under the
+        same prefix — historical epoch-shaped ids (migration preserves
+        their membership rather than imposing ordering semantics; see
+        ``operators/ledger.py``). New streaming epoch keys go to the
+        bounded high-water map — use ``is_committed`` for the replay
+        check."""
         return self._read_meta()["committed_ids"]
 
     def epoch_high_water(self) -> dict[str, int]:

@@ -186,10 +186,12 @@ class IvfLayoutStore:
         ]
 
     def committed_ids(self) -> list[str]:
-        """The NON-epoch ids ever committed (batch-API ids, ``base``,
-        ``gen<N>``). Streaming epoch keys live in the bounded
-        high-water map instead — use ``is_committed`` for the replay
-        check (r10 verdict #2)."""
+        """The exact-membership ledger half (batch-API ids, ``base``,
+        ``gen<N>`` — plus, on a migrated pre-r11 store, historical
+        epoch-shaped ids until a newer epoch commits under the same
+        prefix: see ``operators/ledger.py``). New streaming epoch keys
+        go to the bounded high-water map instead — use ``is_committed``
+        for the replay check (r10 verdict #2)."""
         return self._read_meta()["committed_ids"]
 
     def epoch_high_water(self) -> dict[str, int]:

@@ -19,9 +19,15 @@ Scope and staleness (the honest notes):
   of a fully-written private temp file — atomic on POSIX local
   filesystems and on NFS, and never observable empty (an ``O_CREAT|
   O_EXCL``-then-write shape would leave an unstealable empty lock if
-  the holder dies between the two calls). It is a
-  SAME-HOST lock in its staleness handling: the holder's pid is
-  written into the file, and a contender that finds the pid dead
+  the holder dies between the two calls). A lost ``link`` reply (NFS:
+  the server applied it, the client retry sees EEXIST) is detected by
+  the classic ``st_nlink == 2`` check on the temp file, so a writer
+  never times out on a lock it actually holds. Filesystems WITHOUT
+  hard links (some FUSE/SMB mounts) fall back to the ``O_CREAT|
+  O_EXCL``-then-write shape: mutual exclusion intact, at the cost of
+  re-opening the empty-lock crash window on those mounts only.
+- It is a SAME-HOST lock in its staleness handling: the holder's pid
+  is written into the file, and a contender that finds the pid dead
   (``kill(pid, 0)`` -> ESRCH) steals the lock. Cross-host writers get
   mutual exclusion but a crashed remote holder looks alive forever —
   on a multi-host deployment, keep the documented single-writer
@@ -30,6 +36,10 @@ Scope and staleness (the honest notes):
 - Pid reuse can make a dead holder look alive; the timeout error names
   the lock path and pid so an operator can remove a provably stale
   lock by hand.
+- A contender hard-killed while WAITING leaves its private temp pid
+  file behind (its ``finally`` never ran); every acquisition sweeps
+  temp files whose embedded pid is dead, so crash-prone stores don't
+  accumulate dot-files.
 - The steal has a small race: between reading a dead pid and
   unlinking, a third writer may have stolen + re-locked, and the
   unlink would remove the NEW holder's file. The window is
@@ -64,6 +74,27 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _sweep_dead_tmp_files(store_dir: str) -> None:
+    """GC private temp pid files (``.{LOCK_NAME}.<pid>.<hex>``) left by
+    contenders hard-killed while waiting — their cleanup never ran, and
+    nothing else would ever remove them (r11 review)."""
+    prefix = f".{LOCK_NAME}."
+    try:
+        names = os.listdir(store_dir)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        try:
+            pid = int(name[len(prefix) :].split(".", 1)[0])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not _pid_alive(pid):
+            with contextlib.suppress(OSError):
+                os.unlink(os.path.join(store_dir, name))
+
+
 @contextlib.contextmanager
 def store_write_lock(
     store_dir: str, timeout: float = 60.0, poll: float = 0.05
@@ -74,6 +105,7 @@ def store_write_lock(
     ``StoreLockHeld`` (naming path and pid) past the deadline."""
     lock_path = os.path.join(store_dir, LOCK_NAME)
     deadline = time.monotonic() + timeout
+    _sweep_dead_tmp_files(store_dir)
     # the pid goes into a private temp file FIRST, then os.link makes it
     # the lock atomically (fails if one exists) — creating the lock with
     # O_CREAT|O_EXCL and writing the pid afterwards left a window where
@@ -86,35 +118,64 @@ def store_write_lock(
     )
     with open(tmp_path, "w") as fh:
         fh.write(str(os.getpid()))
+    link_works = True
     try:
         while True:
-            try:
-                os.link(tmp_path, lock_path)
-                break
-            except FileExistsError:
+            acquired = False
+            if link_works:
                 try:
-                    with open(lock_path) as fh:
-                        holder = int(fh.read().strip() or "0")
-                except (OSError, ValueError):
-                    holder = 0  # vanished or hand-made junk; re-poll
-                if (
-                    holder
-                    and holder != os.getpid()
-                    and not _pid_alive(holder)
-                ):
-                    # dead same-host holder: steal (see module docstring
-                    # for the accepted read-then-unlink race window)
-                    with contextlib.suppress(OSError):
-                        os.unlink(lock_path)
+                    os.link(tmp_path, lock_path)
+                    acquired = True
+                except FileExistsError:
+                    # NFS lost-reply: the server may have applied our
+                    # link and dropped the response, so the client retry
+                    # sees EEXIST for a lock we HOLD. st_nlink == 2 on
+                    # the temp proves ownership (the classic recipe) —
+                    # without it we'd poll our own pid to a timeout and
+                    # leak a lock owned by a live process (r11 review).
+                    try:
+                        if os.stat(tmp_path).st_nlink == 2:
+                            acquired = True
+                    except OSError:
+                        pass
+                except OSError:
+                    # no hard-link support on this mount: fall back to
+                    # the O_CREAT|O_EXCL shape (module docstring)
+                    link_works = False
                     continue
-                if time.monotonic() >= deadline:
-                    raise StoreLockHeld(
-                        f"store at {store_dir} is write-locked by pid "
-                        f"{holder or '<unknown>'} ({lock_path}); waited "
-                        f"{timeout:g}s — stores are single-writer, and a "
-                        "provably stale lock can be removed by hand"
-                    ) from None
-                time.sleep(poll)
+            else:
+                try:
+                    fd = os.open(
+                        lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    try:
+                        os.write(fd, str(os.getpid()).encode())
+                    finally:
+                        os.close(fd)
+                    acquired = True
+                except FileExistsError:
+                    pass
+            if acquired:
+                break
+            try:
+                with open(lock_path) as fh:
+                    holder = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0  # vanished or hand-made junk; re-poll
+            if holder and holder != os.getpid() and not _pid_alive(holder):
+                # dead same-host holder: steal (see module docstring
+                # for the accepted read-then-unlink race window)
+                with contextlib.suppress(OSError):
+                    os.unlink(lock_path)
+                continue
+            if time.monotonic() >= deadline:
+                raise StoreLockHeld(
+                    f"store at {store_dir} is write-locked by pid "
+                    f"{holder or '<unknown>'} ({lock_path}); waited "
+                    f"{timeout:g}s — stores are single-writer, and a "
+                    "provably stale lock can be removed by hand"
+                ) from None
+            time.sleep(poll)
     finally:
         with contextlib.suppress(OSError):
             os.unlink(tmp_path)

@@ -111,8 +111,11 @@ class MgSummaryStore:
         os.replace(tmp, self._meta_path())
 
     def committed_ids(self) -> list[str]:
-        """NON-epoch ids only; the streaming epoch keys live in the
-        bounded high-water map — use ``is_committed`` (r10 verdict #2)."""
+        """The exact-membership ledger half: batch-API ids, plus — on a
+        migrated pre-r11 store, until a newer epoch commits under the
+        same prefix — historical epoch-shaped ids (``operators/
+        ledger.py``). New epoch keys go to the bounded high-water map —
+        use ``is_committed`` (r10 verdict #2)."""
         return self._read()["committed_ids"]
 
     def epoch_high_water(self) -> dict[str, int]:

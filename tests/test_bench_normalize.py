@@ -409,16 +409,19 @@ def test_round_artifacts_git_failure_fallback_drops_inflight_round(tmp_path):
 
 
 def test_detail_sidecar_diverts_off_sf_runs(tmp_path):
-    """r11: an off-SF smoke run must not clobber the round's official
-    sidecar — it diverts to an sf-suffixed name; a same-sf re-run
-    refreshes the conventional one."""
+    """r11: the conventional sidecar name is reserved for OFFICIAL_SF
+    runs — deterministic by sf, NOT first-writer-wins, so an off-SF
+    smoke run can neither clobber the official sidecar nor squat its
+    name by landing first in a fresh round window."""
+    assert bench.detail_sidecar_name(str(tmp_path), 0.1) == "BENCH_detail_r1.json"
+    # off-sf diverts even with no sidecar on disk yet (order-independent)
+    assert (
+        bench.detail_sidecar_name(str(tmp_path), 0.01)
+        == "BENCH_detail_r1_sf0.01.json"
+    )
     (tmp_path / "BENCH_detail_r1.json").write_text(json.dumps({"sf": 0.1}))
     assert bench.detail_sidecar_name(str(tmp_path), 0.1) == "BENCH_detail_r1.json"
     assert (
         bench.detail_sidecar_name(str(tmp_path), 0.01)
         == "BENCH_detail_r1_sf0.01.json"
     )
-    # no existing sidecar: conventional name either way
-    empty = tmp_path / "e"
-    empty.mkdir()
-    assert bench.detail_sidecar_name(str(empty), 0.01) == "BENCH_detail_r1.json"

@@ -215,3 +215,62 @@ def test_store_lock_timeout_is_plumbed(tmp_path):
     assert time.monotonic() - t0 < 5.0  # the caller's budget, not 60 s
     release.set()
     holder.join()
+
+
+def test_dead_waiters_tmp_files_are_swept(tmp_path):
+    """A contender hard-killed while WAITING leaks its private temp pid
+    file (its cleanup never runs); the next acquisition sweeps temps
+    whose embedded pid is dead — and leaves a LIVE waiter's alone."""
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    dead = tmp_path / f".{LOCK_NAME}.{proc.pid}.deadbeef"
+    dead.write_text(str(proc.pid))
+    live = tmp_path / f".{LOCK_NAME}.{os.getpid()}.cafebabe"
+    live.write_text(str(os.getpid()))
+    junk = tmp_path / f".{LOCK_NAME}.notapid.ffff"
+    junk.write_text("junk")
+    with store_write_lock(str(tmp_path)):
+        pass
+    assert not dead.exists()
+    assert live.exists()   # live pid: not ours to sweep
+    assert junk.exists()   # unparsable: left for a human
+    live.unlink(); junk.unlink()
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_lost_link_reply_detected_by_nlink(tmp_path, monkeypatch):
+    """NFS lost-reply shape: the link is APPLIED but the caller sees
+    EEXIST. st_nlink==2 on the private temp proves ownership — without
+    the check the writer polls its own pid to a timeout and leaks a
+    live-pid lock every later writer waits on."""
+    real_link = os.link
+    calls = []
+
+    def lossy_link(src, dst, **kw):
+        real_link(src, dst, **kw)
+        calls.append(dst)
+        raise FileExistsError(dst)
+
+    monkeypatch.setattr(os, "link", lossy_link)
+    with store_write_lock(str(tmp_path), timeout=1.0):
+        assert (tmp_path / LOCK_NAME).read_text() == str(os.getpid())
+    assert not (tmp_path / LOCK_NAME).exists()
+    assert len(calls) == 1  # acquired on the first (lost-reply) attempt
+
+
+def test_no_hardlink_filesystem_falls_back(tmp_path, monkeypatch):
+    """Mounts without hard links (some FUSE/SMB): os.link raises a
+    non-EEXIST OSError; acquisition falls back to O_CREAT|O_EXCL
+    instead of crashing every mutating store operation."""
+    def no_link(src, dst, **kw):
+        raise PermissionError("hard links not supported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    with store_write_lock(str(tmp_path), timeout=1.0):
+        assert (tmp_path / LOCK_NAME).read_text() == str(os.getpid())
+    assert not (tmp_path / LOCK_NAME).exists()
+    # mutual exclusion still enforced in fallback mode
+    with store_write_lock(str(tmp_path), timeout=1.0):
+        with pytest.raises(StoreLockHeld):
+            with store_write_lock(str(tmp_path), timeout=0.2, poll=0.02):
+                pass

@@ -205,10 +205,50 @@ class IvfLayoutStore:
         ``<query-id>-epoch-<n>`` keys)."""
         return ledger.is_committed(self._read_meta(), batch_id)
 
+    @classmethod
+    def open(
+        cls, spark: SparkSession, path: str, lock_timeout: float = 60.0
+    ) -> "IvfLayoutStore":
+        """Open an EXISTING store ADOPTING its pinned identity knobs.
+        The constructor validates instance knobs against the meta and
+        fails loudly on mismatch — right for the ingest legs, where a
+        silently different ``drift_threshold`` would move the retrain
+        line (r10 verdict #3). A maintenance/admin flow is the
+        opposite case: it should operate on whatever the build pinned,
+        not guess constructor values. Raises ``FileNotFoundError``
+        when no store exists at ``path``."""
+        with open(os.path.join(path, META_NAME)) as fh:
+            meta = json.load(fh)
+        knobs = {k: meta[k] for k in IDENTITY_KEYS if k in meta}
+        return cls(spark, path, lock_timeout=lock_timeout, **knobs)
+
     def centroids(self) -> DataFrame:
         """The PINNED centroid frame every batch in the current
         generation was assigned against."""
         return self.spark.read.parquet(self._centroids_dir())
+
+    def vectors(self) -> DataFrame:
+        """Every live vector — ``(id_col, vec_col)`` unioned across the
+        store's committed dirs. The corpus reader maintenance flows
+        retrain from (``refine_centroids(store.vectors(), ...)`` →
+        ``rebuild``). Fails loudly on meta-listed dirs missing from
+        disk, same as ``rebuild``/``topk`` (r10 advice: a silent
+        partial corpus here would train centroids that drop the
+        missing batches' neighborhoods)."""
+        meta = self._read_meta()
+        if not meta["batches"]:
+            raise RuntimeError(
+                f"IVF store at {self.path} has no build — nothing to read"
+            )
+        dirs = self._require_live_dirs(meta, "reading")
+        out = self.spark.read.parquet(dirs[0]).select(
+            self.id_col, self.vec_col
+        )
+        for d in dirs[1:]:
+            out = out.unionByName(
+                self.spark.read.parquet(d).select(self.id_col, self.vec_col)
+            )
+        return out
 
     # -- build / append ----------------------------------------------------
     def build(self, corpus: DataFrame, centroids: DataFrame) -> dict:

@@ -1,0 +1,159 @@
+"""store_admin CLI (r11): one command a cron job can drive beside a
+live stream — status, compaction, drift-triggered retrain — with store
+kind auto-detected and the write lock making maintenance-beside-ingest
+safe."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark import store_admin
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.dedup_index import (
+    LshDedupIndex,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ivf_store import (
+    IvfLayoutStore,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.heavy_hitters import (
+    MgSummaryStore,
+)
+
+from tests.test_dedup_index import JMIN, _corpus
+from tests.test_ivf_store import DIM, N_BLOBS, _blob_vectors, _centroids, _frame
+
+
+def _run(capsys, *argv) -> tuple[int, dict]:
+    rc = store_admin.main(list(argv))
+    return rc, json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_unknown_dir_errors(tmp_path, capsys):
+    rc, out = _run(capsys, str(tmp_path))
+    assert rc == 1
+    assert out["status"] == "error"
+    assert "no store meta" in out["error"]
+
+
+def test_ivf_status_adopts_pinned_identity(spark, tmp_path, capsys):
+    """The store was built with NON-default knobs; the admin must adopt
+    them from the meta (constructing with defaults fails loudly by
+    design — an admin flow should operate on what the build pinned,
+    not guess)."""
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "s")
+    store = IvfLayoutStore(spark, p, drift_threshold=0.22, vec_col="embedding")
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 10, b * 100)]
+    store.build(_frame(spark, base), _centroids(spark))
+    store.append(_frame(spark, _blob_vectors(rng, 1, 5, 9000)), "d1")
+
+    rc, out = _run(capsys, p)
+    assert rc == 0 and out["status"] == "ok"
+    assert out["kind"] == "ivf"
+    assert out["drift_threshold"] == 0.22
+    assert out["n_vectors"] == len(base) + 5
+    assert out["appended_batches"] == 1
+    assert not out["needs_retrain"]
+    assert not out["lock"]["held"]
+    assert out["bytes"] > 0
+
+
+def test_ivf_compact_and_rebuild_if_drift(spark, tmp_path, capsys):
+    rng = np.random.default_rng(5)
+    p = str(tmp_path / "s")
+    store = IvfLayoutStore(spark, p, drift_threshold=0.10)
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 25, b * 1000)]
+    store.build(_frame(spark, base), _centroids(spark))
+    store.append(_frame(spark, _blob_vectors(rng, 0, 5, 5000)), "d1")
+    store.append(_frame(spark, _blob_vectors(rng, 1, 5, 6000)), "d2")
+
+    rc, out = _run(capsys, p, "--compact")
+    assert rc == 0 and out["compacted"] is True
+    assert out["batches"] == ["gen1"]
+
+    # within threshold: rebuild-if-drift is a no-op
+    rc, out = _run(capsys, p, "--rebuild-if-drift")
+    assert rc == 0 and out["rebuilt"] is False
+    assert out["generation"] == 1
+
+    # trip the guard (shifted mass near -e_k), then the admin retrains
+    shifted = [
+        (
+            9000 + i,
+            [
+                float(x)
+                for x in (
+                    -np.eye(DIM)[i % N_BLOBS] + rng.normal(0, 0.05, DIM)
+                )
+            ],
+        )
+        for i in range(120)
+    ]
+    store.append(_frame(spark, shifted), "shifted")
+    assert store.drift()["needs_retrain"]
+
+    rc, out = _run(capsys, p, "--rebuild-if-drift", "--kmeans-iters", "2")
+    assert rc == 0 and out["rebuilt"] is True
+    assert not out["needs_retrain"]
+    assert out["n_vectors"] == len(base) + 10 + len(shifted)
+    # the rebuilt store still answers probes over every committed vector
+    q = _frame(spark, [base[0], shifted[0]])
+    got = IvfLayoutStore.open(spark, p).topk(q, k=3, nprobe=N_BLOBS)
+    assert got.count() == 6
+
+
+def test_lsh_status_and_compact(spark, tmp_path, capsys):
+    corpus = _corpus(spark)
+    p = str(tmp_path / "idx")
+    idx = LshDedupIndex(spark, p, jaccard_min=JMIN)
+    idx.add_batch(corpus.filter(F.col("doc_id") % 2 == 0), "b1")
+    idx.add_batch(corpus.filter(F.col("doc_id") % 2 == 1), "b2")
+
+    rc, out = _run(capsys, p)
+    assert rc == 0 and out["kind"] == "lsh"
+    assert out["batches"] == ["b1", "b2"]
+
+    rc, out = _run(capsys, p, "--compact")
+    assert rc == 0 and out["compacted"] is True
+    assert out["batches"] == ["gen1"]
+
+    # --rebuild-if-drift is an IVF action: loud, not silent
+    rc, out = _run(capsys, p, "--rebuild-if-drift")
+    assert rc == 1 and "IVF action" in out["error"]
+
+
+def test_mg_status_and_compact_refusal(tmp_path, capsys):
+    p = str(tmp_path / "mg")
+    store = MgSummaryStore(p, k=4)
+    store.merge_epoch([("a", 7), ("b", 2)], 9, "q-epoch-0")
+
+    rc, out = _run(capsys, p)
+    assert rc == 0 and out["kind"] == "mg"
+    assert out["k"] == 4 and out["total_weight"] == 9
+    assert out["n_candidates"] == 2
+    assert out["epoch_hwm"] == {"q": 0}
+
+    rc, out = _run(capsys, p, "--compact")
+    assert rc == 1 and "nothing to compact" in out["error"]
+
+
+def test_lock_holder_is_reported(tmp_path, capsys):
+    import os
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.store_lock import (
+        store_write_lock,
+    )
+
+    p = str(tmp_path / "mg")
+    MgSummaryStore(p, k=2).merge_epoch([("a", 1)], 1, "b1")
+    with store_write_lock(p):
+        rc, out = _run(capsys, p)
+    assert rc == 0
+    assert out["lock"] == {
+        "held": True,
+        "holder_pid": os.getpid(),
+        "holder_alive": True,
+    }

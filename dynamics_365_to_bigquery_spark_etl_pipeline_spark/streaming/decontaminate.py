@@ -1,0 +1,136 @@
+"""Benchmark decontamination AT INGEST — the fifth foreachBatch leg.
+
+The batch query (``plans/curation_queries.q_decontaminate_ngram``)
+answers "which already-ingested documents overlap the held-out split";
+this leg keeps the CORPUS clean instead: every arriving micro-batch is
+gated against the held-out n-gram set before it lands, so benchmark
+text never enters the training corpus in the first place — the shape a
+continuously-fed 100 TB pipeline actually needs (a nightly batch sweep
+leaves contaminated docs trainable for a day, and deleting them later
+is a rewrite).
+
+Scale shape, same law as the batch query: the held-out side is SMALL
+by construction (eval benchmarks, not corpora), so its distinct-gram
+set is computed ONCE at stream setup — staged via the repo's ``stage``
+dispatcher so per-epoch reuse re-reads blocks instead of re-shingling —
+and joined ``F.broadcast`` per epoch: the arriving batch streams
+through a broadcast-hash join with NO shuffle, grams compared by their
+portable 60-bit hash (8-byte ints regardless of gram length).
+
+Exactly-once WITHOUT a store: each epoch writes
+``out_dir/clean/epoch=<key>/`` and ``out_dir/contaminated/epoch=<key>/``
+with ``mode("overwrite")`` where ``<key>`` is the run-scoped
+``<query-id>-epoch-<n>`` (``streaming/util.query_id_reader`` — epoch
+numbers restart at 0 on a rebuilt checkpoint, so a bare epoch number
+would alias a prior run's dirs). A replayed epoch deterministically
+rewrites its own dirs; a crash between the two writes is replayed
+whole. Readers union the roots (``spark.read.parquet(out_dir +
+"/clean")`` — the ``epoch=`` dirs read back as a partition column).
+
+The batch is persisted around the two actions — the r10 heavy-hitters
+review lesson: two writes over an unpersisted file-source batch scan
+the input twice per epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.storagelevel import StorageLevel
+
+from ..operators import curation as C
+from ..operators.stage import stage
+from .util import query_id_reader
+
+
+def heldout_gram_set(
+    heldout: DataFrame, text_col: str = "text", n: int = 4
+) -> DataFrame:
+    """The held-out split's distinct word-n-gram hashes — one ``gh``
+    column of 60-bit ints, the broadcast side of every epoch's gate.
+    Distinct texts first: duplicate held-out docs cannot change a
+    gram-set union (same reduction the batch query applies)."""
+    return (
+        heldout.select(text_col)
+        .distinct()
+        .select(
+            F.explode(
+                F.array_distinct(C.word_ngrams(F.col(text_col), n))
+            ).alias("ngram")
+        )
+        .select(C.hash60(F.col("ngram")).alias("gh"))
+        .distinct()
+    )
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    heldout: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    max_hits: int = 0,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Gate a document stream against ``heldout``'s n-grams: rows whose
+    distinct-gram overlap exceeds ``max_hits`` land under
+    ``contaminated/`` (with ``n_doc_ngrams``/``n_contaminated`` audit
+    columns), the rest under ``clean/`` with their input schema. The
+    default ``max_hits=0`` quarantines on ANY overlap; corpora with
+    benign boilerplate overlap raise it."""
+    grams = stage(heldout_gram_set(heldout, text_col, n))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    _query_id = query_id_reader(checkpoint_dir)
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        key = f"{_query_id()}-epoch-{epoch_id}"
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            hits = (
+                batch_df.select(
+                    id_col,
+                    F.array_distinct(
+                        C.word_ngrams(F.col(text_col), n)
+                    ).alias("_grams"),
+                )
+                .select(
+                    id_col,
+                    F.size("_grams").cast("long").alias("n_doc_ngrams"),
+                    F.explode("_grams").alias("_ngram"),
+                )
+                .withColumn("gh", C.hash60(F.col("_ngram")))
+                .join(F.broadcast(grams), "gh")
+                .groupBy(id_col, "n_doc_ngrams")
+                .agg(F.count("*").alias("n_contaminated"))
+                .filter(F.col("n_contaminated") > max_hits)
+            )
+            tagged = batch_df.join(hits, id_col, "left")
+            tagged.filter(F.col("n_contaminated").isNotNull()).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/contaminated/epoch={key}")
+            tagged.filter(F.col("n_contaminated").isNull()).drop(
+                "n_doc_ngrams", "n_contaminated"
+            ).write.mode("overwrite").parquet(f"{out_dir}/clean/epoch={key}")
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

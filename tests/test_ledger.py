@@ -154,3 +154,75 @@ def test_mg_store_k_mismatch_still_loud(tmp_path):
     store.merge_epoch([("a", 1)], 1, "b1")
     with pytest.raises(ValueError, match="was built with k="):
         MgSummaryStore(str(tmp_path / "mg"), k=7).candidates()
+
+
+# -- property: the bounded ledger is a faithful compression ---------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ids that exercise every shape: epoch-shaped under two prefixes
+# (in-order per prefix is appended below), batch ids, and batch ids that
+# LOOK epoch-adjacent but aren't (trailing non-digit)
+_BATCH_IDS = st.sampled_from(["b1", "b2", "gen1", "base", "x-epoch-3a"])
+
+
+@st.composite
+def _commit_sequences(draw):
+    """A plausible commit history: per-prefix epoch commits arrive in
+    order (Spark replays only the last uncommitted epoch — the
+    monotonicity the high-water map relies on), with replays allowed;
+    batch-API ids arrive in any order with repeats."""
+    seq = []
+    counters = {"qa": -1, "qb": -1}
+    for _ in range(draw(st.integers(0, 40))):
+        kind = draw(st.sampled_from(["epoch", "replay", "batch"]))
+        if kind == "epoch":
+            qid = draw(st.sampled_from(["qa", "qb"]))
+            counters[qid] += 1
+            seq.append(f"{qid}-epoch-{counters[qid]}")
+        elif kind == "replay" and seq:
+            seq.append(draw(st.sampled_from(seq)))
+        else:
+            seq.append(draw(_BATCH_IDS))
+    return seq
+
+
+@given(_commit_sequences())
+@settings(max_examples=200, deadline=None)
+def test_ledger_equals_exact_set_model(seq):
+    """For any in-order commit history, the bounded ledger must answer
+    is_committed exactly like a naive grow-forever set — while keeping
+    the list free of epoch ids (they live in the high-water map)."""
+    meta = ledger.migrate({})
+    model: set[str] = set()
+    for bid in seq:
+        assert ledger.is_committed(meta, bid) == (bid in model)
+        ledger.record(meta, bid)
+        model.add(bid)
+        # every id committed so far still reads committed
+        for seen in model:
+            assert ledger.is_committed(meta, seen), seen
+    # boundedness: no epoch-shaped id survives in the exact list
+    assert not any(ledger.split_epoch(b) for b in meta["committed_ids"])
+    # and the list holds exactly the distinct batch-API ids
+    assert set(meta["committed_ids"]) == {
+        b for b in model if ledger.split_epoch(b) is None
+    }
+
+
+@given(_commit_sequences(), st.integers(0, 5))
+@settings(max_examples=100, deadline=None)
+def test_ledger_migration_is_transparent(seq, split_at):
+    """Committing through a pre-r11 flat list for a prefix of the
+    history, migrating, then continuing through the bounded ledger must
+    answer is_committed exactly like never having migrated."""
+    k = min(split_at * len(seq) // 5, len(seq))
+    meta = {"committed_ids": list(dict.fromkeys(seq[:k]))}  # old shape
+    ledger.migrate(meta)
+    model = set(seq[:k])
+    for bid in seq[k:]:
+        assert ledger.is_committed(meta, bid) == (bid in model)
+        ledger.record(meta, bid)
+        model.add(bid)
+    for seen in model:
+        assert ledger.is_committed(meta, seen), seen

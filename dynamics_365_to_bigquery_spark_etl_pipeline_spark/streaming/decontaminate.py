@@ -100,31 +100,56 @@ def stream_decontaminate(
         key = f"{_query_id()}-epoch-{epoch_id}"
         batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            # ROUTED per epoch, same law as the batch query (r9): the
+            # overlap counts are a function of the TEXT alone, so
+            # shingle + hash + join once per DISTINCT batch text and
+            # fan the verdict back out over an md5 routing key — on a
+            # clone-heavy corpus the gram explosion shrinks by the
+            # duplication factor; the unrouted test expression
+            # independently verifies the routing
+            reps = batch_df.select(text_col).distinct().select(
+                F.md5(F.col(text_col)).alias("_th"),
+                F.array_distinct(C.word_ngrams(F.col(text_col), n)).alias(
+                    "_grams"
+                ),
+            )
+            # hits persisted around the two writes, same lesson as the
+            # batch itself: it is LAZY, and without the pin the clean
+            # write re-runs the whole gram explosion + broadcast join a
+            # second time per epoch (measured 1.8x the drain wall at
+            # sf1, SCALING.md). It is the small side — one row per
+            # contaminated distinct text.
             hits = (
-                batch_df.select(
-                    id_col,
-                    F.array_distinct(
-                        C.word_ngrams(F.col(text_col), n)
-                    ).alias("_grams"),
-                )
-                .select(
-                    id_col,
+                reps.select(
+                    "_th",
                     F.size("_grams").cast("long").alias("n_doc_ngrams"),
                     F.explode("_grams").alias("_ngram"),
                 )
                 .withColumn("gh", C.hash60(F.col("_ngram")))
                 .join(F.broadcast(grams), "gh")
-                .groupBy(id_col, "n_doc_ngrams")
+                .groupBy("_th", "n_doc_ngrams")
                 .agg(F.count("*").alias("n_contaminated"))
                 .filter(F.col("n_contaminated") > max_hits)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            tagged = batch_df.join(hits, id_col, "left")
-            tagged.filter(F.col("n_contaminated").isNotNull()).write.mode(
-                "overwrite"
-            ).parquet(f"{out_dir}/contaminated/epoch={key}")
-            tagged.filter(F.col("n_contaminated").isNull()).drop(
-                "n_doc_ngrams", "n_contaminated"
-            ).write.mode("overwrite").parquet(f"{out_dir}/clean/epoch={key}")
+            try:
+                tagged = (
+                    batch_df.withColumn("_th", F.md5(F.col(text_col)))
+                    .join(hits, "_th", "left")
+                    .drop("_th")
+                )
+                tagged.filter(
+                    F.col("n_contaminated").isNotNull()
+                ).write.mode("overwrite").parquet(
+                    f"{out_dir}/contaminated/epoch={key}"
+                )
+                tagged.filter(F.col("n_contaminated").isNull()).drop(
+                    "n_doc_ngrams", "n_contaminated"
+                ).write.mode("overwrite").parquet(
+                    f"{out_dir}/clean/epoch={key}"
+                )
+            finally:
+                hits.unpersist()
         finally:
             batch_df.unpersist()
 

@@ -11,8 +11,32 @@ executors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def heldout_gram_set(
+    heldout: DataFrame, text_col: str = "text", n: int = 4
+) -> DataFrame:
+    """The held-out split's distinct word-n-gram hashes — one ``gh``
+    column of 60-bit ints, the broadcast side of a decontamination
+    join. Distinct texts first: duplicate held-out docs cannot change
+    a gram-set union. ONE definition shared by the batch query
+    (``plans/curation_queries.q_decontaminate_ngram``) and the ingest
+    gate (``streaming/decontaminate.stream_decontaminate``) — two
+    copies would let the gate silently diverge from the batch oracle
+    that verifies it (r11 review)."""
+    return (
+        heldout.select(text_col)
+        .distinct()
+        .select(
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("ngram")
+        )
+        .select(hash60(F.col("ngram")).alias("gh"))
+        .distinct()
+    )
 
 
 def word_ngrams(text: Column, n: int) -> Column:

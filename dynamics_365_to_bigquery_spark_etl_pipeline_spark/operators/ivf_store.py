@@ -241,14 +241,24 @@ class IvfLayoutStore:
                 f"IVF store at {self.path} has no build — nothing to read"
             )
         dirs = self._require_live_dirs(meta, "reading")
-        out = self.spark.read.parquet(dirs[0]).select(
-            self.id_col, self.vec_col
-        )
-        for d in dirs[1:]:
-            out = out.unionByName(
-                self.spark.read.parquet(d).select(self.id_col, self.vec_col)
+        return self._read_vectors(dirs)
+
+    def _read_vectors(self, dirs: list[str]) -> DataFrame:
+        """One multi-root scan over live dirs — NOT an O(#dirs)-deep
+        unionByName chain, whose analyzer cost grows with batch fan-in
+        (r11 review). Shared by ``vectors()`` and ``rebuild()`` so the
+        corpus read cannot fork. The store's batch dirs all live under
+        ``<path>/vectors/``, so that root is the common ``basePath``
+        multi-root partition discovery needs (explicit dir list keeps
+        orphan/uncommitted dirs invisible; ``batch``/``bucket_id`` read
+        back as partition columns and are projected away)."""
+        return (
+            self.spark.read.option(
+                "basePath", os.path.join(self.path, "vectors")
             )
-        return out
+            .parquet(*dirs)
+            .select(self.id_col, self.vec_col)
+        )
 
     # -- build / append ----------------------------------------------------
     def build(self, corpus: DataFrame, centroids: DataFrame) -> dict:
@@ -371,11 +381,15 @@ class IvfLayoutStore:
         return drift
 
     # -- drift guard -------------------------------------------------------
-    def drift(self) -> dict:
+    def drift(self, meta: dict | None = None) -> dict:
         """Current assignment-quality status: live weighted mean
         similarity vs the build-time mean; ``needs_retrain`` when the
-        relative degradation exceeds the threshold."""
-        meta = self._read_meta()
+        relative degradation exceeds the threshold. Pass an
+        already-read ``meta`` to derive every field from ONE snapshot —
+        a caller assembling a status from several reads beside a live
+        writer would otherwise mix two store states (r11 review)."""
+        if meta is None:
+            meta = self._read_meta()
         build = meta.get("build_mean_sim")
         live = [meta["stats"][b] for b in meta["batches"] if b in meta["stats"]]
         n = sum(s["n"] for s in live)
@@ -522,14 +536,7 @@ class IvfLayoutStore:
                 shutil.rmtree(cdir)  # crashed earlier attempt
             centroids.select(self.id_col, self.vec_col).write.parquet(cdir)
             cents = self.spark.read.parquet(cdir)
-            all_vecs = self.spark.read.parquet(dirs[0]).select(
-                self.id_col, self.vec_col
-            )
-            for d in dirs[1:]:
-                all_vecs = all_vecs.unionByName(
-                    self.spark.read.parquet(d).select(self.id_col, self.vec_col)
-                )
-            stats = self._write_batch(all_vecs, gen_id, cents)
+            stats = self._write_batch(self._read_vectors(dirs), gen_id, cents)
             ledger.record(meta, gen_id)
             self._write_meta(
                 {

@@ -53,6 +53,7 @@ Scope and staleness (the honest notes):
 from __future__ import annotations
 
 import contextlib
+import errno
 import os
 import time
 import uuid
@@ -138,9 +139,21 @@ def store_write_lock(
                             acquired = True
                     except OSError:
                         pass
-                except OSError:
-                    # no hard-link support on this mount: fall back to
-                    # the O_CREAT|O_EXCL shape (module docstring)
+                except OSError as exc:
+                    # ONLY a provable no-hardlink-support errno selects
+                    # the fallback: a transient NFS error (ESTALE, EIO)
+                    # treated as "no links" would silently downgrade to
+                    # O_CREAT|O_EXCL — not reliably atomic on old NFS
+                    # clients, and it re-opens the empty-lock window —
+                    # on exactly the mount the link recipe exists for
+                    # (r11 review). Anything else propagates loudly.
+                    if exc.errno not in (
+                        errno.EPERM,
+                        errno.EOPNOTSUPP,
+                        errno.ENOTSUP,
+                        errno.ENOSYS,
+                    ):
+                        raise
                     link_works = False
                     continue
             else:

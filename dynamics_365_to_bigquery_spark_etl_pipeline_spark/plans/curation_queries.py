@@ -62,18 +62,10 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     is_test = F.col("doc_id") % TEST_SPLIT_MOD == 0
-    test_set = (
-        docs.filter(is_test)
-        .select("text")
-        .distinct()
-        .select(
-            F.explode(
-                F.array_distinct(C.word_ngrams(F.col("text"), NGRAM_N))
-            ).alias("ngram")
-        )
-        .select(C.hash60(F.col("ngram")).alias("gh"))
-        .distinct()
-    )
+    # ONE gram-set definition shared with the streaming ingest gate
+    # (operators/curation.py — r11: two copies could silently diverge
+    # the gate from this oracle-checked expression)
+    test_set = C.heldout_gram_set(docs.filter(is_test), "text", NGRAM_N)
     reps, mem = exact_text_dedup(docs.filter(~is_test))
     rep_grams = reps.select(
         F.col("doc_id").alias("_rid"),

@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 from .operators import store_lock
@@ -71,48 +72,71 @@ def _lock_status(store_dir: str) -> dict:
 
 
 def _dir_bytes(store_dir: str) -> int:
-    return sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _d, fs in os.walk(store_dir)
-        for f in fs
-    )
+    """Best-effort store footprint: files vanishing mid-walk (a live
+    writer's tmp-file os.replace, a compact's GC) are skipped — a size
+    probe must never take down the status line (r11 review)."""
+    total = 0
+    for dp, _d, fs in os.walk(store_dir):
+        for f in fs:
+            try:
+                total += os.path.getsize(os.path.join(dp, f))
+            except OSError:
+                continue
+    return total
 
 
 def _ivf_status(store) -> dict:
-    d = store.drift()
+    """Every field from ONE meta snapshot: a status assembled from
+    several reads beside a live writer would mix two store states —
+    e.g. gen N's n_vectors next to gen N+1's batch list (r11 review).
+    Same discipline in the other two status builders."""
+    from .operators import ledger
+
+    meta = store._read_meta()
+    d = store.drift(meta)
+    gen_dirs = [
+        b
+        for b in meta["batches"]
+        if b == "base" or re.fullmatch(r"gen\d+", b)
+    ]
     return {
-        "generation": store._read_meta()["generation"],
-        "batches": store.committed_batches(),
-        "appended_batches": len(store.appended_batches()),
+        "generation": meta["generation"],
+        "batches": meta["batches"],
+        "appended_batches": len(meta["batches"]) - len(gen_dirs),
         "n_vectors": d["n_vectors"],
         "build_mean_sim": d["build_mean_sim"],
         "live_mean_sim": d["live_mean_sim"],
         "degradation": d["degradation"],
         "needs_retrain": d["needs_retrain"],
         "drift_threshold": store.drift_threshold,
-        "epoch_hwm": store.epoch_high_water(),
-        "committed_ids": len(store.committed_ids()),
+        "epoch_hwm": dict(meta[ledger.HWM_KEY]),
+        "committed_ids": len(meta[ledger.IDS_KEY]),
     }
 
 
 def _lsh_status(idx) -> dict:
+    from .operators import ledger
+
     meta = idx._read_meta()
     return {
-        "batches": idx.committed_batches(),
+        "batches": meta["batches"],
         "bucketed_dirs": len(meta.get("buckets_n", {})),
-        "epoch_hwm": idx.epoch_high_water(),
-        "committed_ids": len(idx.committed_ids()),
+        "epoch_hwm": dict(meta[ledger.HWM_KEY]),
+        "committed_ids": len(meta[ledger.IDS_KEY]),
     }
 
 
 def _mg_status(store) -> dict:
+    from .operators import ledger
+
+    meta = store._read()
     return {
-        "k": store.k,
-        "total_weight": store.total_weight(),
-        "n_candidates": len(store.candidates()),
-        "threshold": store.threshold(),
-        "epoch_hwm": store.epoch_high_water(),
-        "committed_ids": len(store.committed_ids()),
+        "k": meta["k"],
+        "total_weight": meta["total_w"],
+        "n_candidates": len(meta["summary"]),
+        "threshold": meta["total_w"] / (meta["k"] + 1),
+        "epoch_hwm": dict(meta[ledger.HWM_KEY]),
+        "committed_ids": len(meta[ledger.IDS_KEY]),
     }
 
 
@@ -141,9 +165,19 @@ def build_parser() -> argparse.ArgumentParser:
         "from the live corpus and rebuild as a fresh generation; "
         "otherwise a no-op",
     )
+    def _positive(value: str) -> int:
+        # 0 must be an ERROR, not a silent one-iteration fallback —
+        # the repo's falsy-zero rule (__main__.py:positive_int); a
+        # rebuild "without retraining" is not a thing: re-pinning the
+        # same centroids is what compact() is for
+        n = int(value)
+        if n < 1:
+            raise argparse.ArgumentTypeError(f"must be >= 1 (got {n})")
+        return n
+
     p.add_argument(
         "--kmeans-iters",
-        type=int,
+        type=_positive,
         default=2,
         metavar="N",
         help="Lloyd updates for the retrain's centroids (default 2)",
@@ -177,7 +211,7 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if kind == "mg":
-            from .streaming.heavy_hitters import MgSummaryStore
+            from .streaming import heavy_hitters
 
             if args.compact or args.rebuild_if_drift:
                 raise ValueError(
@@ -185,10 +219,11 @@ def main(argv: list[str] | None = None) -> int:
                     "<= k counters — there is nothing to compact or "
                     "rebuild"
                 )
-            meta_k = json.load(
-                open(os.path.join(args.store_dir, "_mg_store.json"))
-            )["k"]
-            store = MgSummaryStore(
+            with open(
+                os.path.join(args.store_dir, heavy_hitters.META_NAME)
+            ) as fh:
+                meta_k = json.load(fh)["k"]
+            store = heavy_hitters.MgSummaryStore(
                 args.store_dir, meta_k, lock_timeout=args.lock_timeout
             )
             out.update(_mg_status(store))
@@ -202,27 +237,36 @@ def main(argv: list[str] | None = None) -> int:
                 store = IvfLayoutStore.open(
                     spark, args.store_dir, lock_timeout=args.lock_timeout
                 )
-                if args.compact:
+                # rebuild decided FIRST: `--compact --rebuild-if-drift`
+                # on a drift-tripped store would otherwise fold the
+                # whole corpus into gen N only for the rebuild to
+                # rewrite it again as gen N+1 — double the full-corpus
+                # I/O at exactly the moment the store is largest (r11
+                # review). A rebuild IS a fold; compact after it would
+                # be a no-op anyway.
+                rebuilding = (
+                    args.rebuild_if_drift
+                    and store.drift()["needs_retrain"]
+                )
+                if args.compact and not rebuilding:
                     out["compacted"] = store.compact()
-                if args.rebuild_if_drift:
-                    if store.drift()["needs_retrain"]:
-                        from .operators import similarity as S
+                if rebuilding:
+                    from .operators import similarity as S
 
-                        cents = store.centroids().select(
-                            store.id_col, store.vec_col
+                    cents = store.centroids().select(
+                        store.id_col, store.vec_col
+                    )
+                    corpus = store.vectors()
+                    for _ in range(args.kmeans_iters):
+                        cents = S.refine_centroids(
+                            corpus,
+                            cents,
+                            store.id_col,
+                            store.vec_col,
                         )
-                        corpus = store.vectors()
-                        for _ in range(max(1, args.kmeans_iters)):
-                            cents = S.refine_centroids(
-                                corpus,
-                                cents,
-                                store.id_col,
-                                store.vec_col,
-                            )
-                        store.rebuild(cents)
-                        out["rebuilt"] = True
-                    else:
-                        out["rebuilt"] = False
+                    store.rebuild(cents)
+                if args.rebuild_if_drift:
+                    out["rebuilt"] = rebuilding
                 out.update(_ivf_status(store))
             else:
                 from .operators.dedup_index import LshDedupIndex

@@ -45,24 +45,10 @@ from ..operators.stage import stage
 from .util import query_id_reader
 
 
-def heldout_gram_set(
-    heldout: DataFrame, text_col: str = "text", n: int = 4
-) -> DataFrame:
-    """The held-out split's distinct word-n-gram hashes — one ``gh``
-    column of 60-bit ints, the broadcast side of every epoch's gate.
-    Distinct texts first: duplicate held-out docs cannot change a
-    gram-set union (same reduction the batch query applies)."""
-    return (
-        heldout.select(text_col)
-        .distinct()
-        .select(
-            F.explode(
-                F.array_distinct(C.word_ngrams(F.col(text_col), n))
-            ).alias("ngram")
-        )
-        .select(C.hash60(F.col("ngram")).alias("gh"))
-        .distinct()
-    )
+# one shared definition with the batch query (operators/curation.py —
+# r11 review: a second copy here could silently diverge the gate from
+# the batch oracle that verifies it); re-exported for callers
+heldout_gram_set = C.heldout_gram_set
 
 
 def stream_decontaminate(
@@ -84,6 +70,19 @@ def stream_decontaminate(
     columns), the rest under ``clean/`` with their input schema. The
     default ``max_hits=0`` quarantines on ANY overlap; corpora with
     benign boilerplate overlap raise it."""
+    reserved = {"_th", "n_doc_ngrams", "n_contaminated"} & set(
+        schema.fieldNames()
+    )
+    if reserved:
+        # the gate injects these working columns: silently REPLACING a
+        # user's _th (then dropping it) would lose their column from
+        # both outputs, and a user n_contaminated makes the join
+        # ambiguous and kills the query every epoch (r11 review)
+        raise ValueError(
+            f"source schema carries reserved column(s) {sorted(reserved)} "
+            "— rename them; the gate writes its audit columns under "
+            "these names"
+        )
     grams = stage(heldout_gram_set(heldout, text_col, n))
 
     stream = (

@@ -157,3 +157,41 @@ def test_lock_holder_is_reported(tmp_path, capsys):
         "holder_pid": os.getpid(),
         "holder_alive": True,
     }
+
+
+def test_kmeans_iters_zero_is_loud(capsys):
+    with pytest.raises(SystemExit):
+        store_admin.build_parser().parse_args(
+            ["/x", "--rebuild-if-drift", "--kmeans-iters", "0"]
+        )
+
+
+def test_compact_plus_rebuild_skips_the_double_fold(spark, tmp_path, capsys):
+    """--compact --rebuild-if-drift on a drift-tripped store must not
+    fold the full corpus twice: the rebuild IS a fold (r11 review)."""
+    rng = np.random.default_rng(9)
+    p = str(tmp_path / "s")
+    store = IvfLayoutStore(spark, p, drift_threshold=0.10)
+    base = [r for b in range(N_BLOBS) for r in _blob_vectors(rng, b, 20, b * 1000)]
+    store.build(_frame(spark, base), _centroids(spark))
+    shifted = [
+        (
+            9000 + i,
+            [
+                float(x)
+                for x in (
+                    -np.eye(DIM)[i % N_BLOBS] + rng.normal(0, 0.05, DIM)
+                )
+            ],
+        )
+        for i in range(100)
+    ]
+    store.append(_frame(spark, shifted), "shifted")
+    assert store.drift()["needs_retrain"]
+
+    rc, out = _run(capsys, p, "--compact", "--rebuild-if-drift")
+    assert rc == 0 and out["rebuilt"] is True
+    assert "compacted" not in out  # superseded by the rebuild's fold
+    assert out["generation"] == 1  # ONE new generation, not two
+    assert out["batches"] == ["gen1"]
+    assert not out["needs_retrain"]

@@ -262,8 +262,10 @@ def test_no_hardlink_filesystem_falls_back(tmp_path, monkeypatch):
     """Mounts without hard links (some FUSE/SMB): os.link raises a
     non-EEXIST OSError; acquisition falls back to O_CREAT|O_EXCL
     instead of crashing every mutating store operation."""
+    import errno
+
     def no_link(src, dst, **kw):
-        raise PermissionError("hard links not supported")
+        raise OSError(errno.EPERM, "hard links not supported")
 
     monkeypatch.setattr(os, "link", no_link)
     with store_write_lock(str(tmp_path), timeout=1.0):
@@ -274,3 +276,20 @@ def test_no_hardlink_filesystem_falls_back(tmp_path, monkeypatch):
         with pytest.raises(StoreLockHeld):
             with store_write_lock(str(tmp_path), timeout=0.2, poll=0.02):
                 pass
+
+
+def test_transient_link_errors_propagate_loudly(tmp_path, monkeypatch):
+    """A transient NFS error (ESTALE/EIO) must NOT silently downgrade
+    acquisition to the non-link shape — it propagates (r11 review)."""
+    import errno
+
+    def stale_link(src, dst, **kw):
+        raise OSError(errno.ESTALE, "stale file handle")
+
+    monkeypatch.setattr(os, "link", stale_link)
+    with pytest.raises(OSError) as ei:
+        with store_write_lock(str(tmp_path), timeout=1.0):
+            pass
+    assert ei.value.errno == errno.ESTALE
+    # and nothing was left behind
+    assert list(tmp_path.iterdir()) == []

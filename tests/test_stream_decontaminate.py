@@ -147,3 +147,25 @@ def test_max_hits_threshold(spark, tmp_path):
     }
     assert got == exp
     assert all(c > cut for _i, c in got)
+
+
+def test_reserved_columns_fail_loudly(spark, tmp_path):
+    """The gate injects _th / n_doc_ngrams / n_contaminated; a source
+    schema already carrying one must fail at setup, not silently lose
+    the user's column or die ambiguous per epoch (r11 review)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    heldout, train = _corpus(spark)
+    bad = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_contaminated", T.LongType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        stream_decontaminate(
+            spark, str(tmp_path / "src"), bad, heldout,
+            str(tmp_path / "out"), str(tmp_path / "ck"),
+        )

@@ -169,3 +169,63 @@ def test_reserved_columns_fail_loudly(spark, tmp_path):
             spark, str(tmp_path / "src"), bad, heldout,
             str(tmp_path / "out"), str(tmp_path / "ck"),
         )
+
+
+def test_clean_output_chains_into_dedup_index(spark, tmp_path):
+    """The legs COMPOSE: the gate's clean/ dir is itself a valid
+    file-stream source (epoch read back as a declared partition
+    column), so decontaminate -> dedup-at-ingest chains dir-to-dir with
+    no glue — the full arrival-time pipeline. The chained index's
+    accumulated pairs must equal a batch LSH pass over the same clean
+    corpus."""
+    from pyspark.sql import types as T
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import (
+        dedup as D,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.dedup_index import (
+        LshDedupIndex,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+        stream_dedup_index,
+    )
+
+    heldout, train = _corpus(spark)
+    # inject near-dups so the chained index has pairs to find
+    train = train.unionByName(
+        train.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "text"
+        )
+    )
+    src = tmp_path / "src"
+    train.coalesce(1).write.parquet(str(src))
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _drain(spark, src, (heldout, train), out, ck)
+
+    clean_schema = T.StructType(
+        list(train.schema) + [T.StructField("epoch", T.StringType())]
+    )
+    q = stream_dedup_index(
+        spark,
+        str(out / "clean"),
+        clean_schema,
+        str(tmp_path / "idx"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ck_idx"),
+        jaccard_min=0.5,
+        max_files_per_trigger=10,
+    )
+    assert q.awaitTermination(180)
+
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    clean = spark.read.parquet(str(out / "clean")).select("doc_id", "text")
+    exp_idx = LshDedupIndex(spark, str(tmp_path / "idx_batch"), jaccard_min=0.5)
+    pairs, commit = exp_idx.prepare_batch(clean, "all")
+    exp = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in pairs.collect()
+    }
+    assert exp, "fixture must produce near-dup pairs among clean docs"
+    assert got == exp

@@ -173,15 +173,21 @@ class IvfLayoutStore:
     def committed_batches(self) -> list[str]:
         return self._read_meta()["batches"]
 
-    def appended_batches(self) -> list[str]:
+    def appended_batches(self, meta: dict | None = None) -> list[str]:
         """Live batch ids excluding the build/generation dir — the
         count a maintenance cadence should key on: the base/gen dir is
         ALWAYS present, so a cadence counting ``committed_batches()``
         degenerates from "every N appends" to "every epoch" once a
-        first fold exists (review finding)."""
+        first fold exists (review finding). ``meta`` as in ``drift``:
+        pass a snapshot to keep multi-field status reads untorn — and
+        so the reserved-name rule lives HERE, not re-derived by
+        callers (r11 review)."""
+        batches = (
+            meta["batches"] if meta is not None else self.committed_batches()
+        )
         return [
             b
-            for b in self.committed_batches()
+            for b in batches
             if b != "base" and not re.fullmatch(r"gen\d+", b)
         ]
 

@@ -34,7 +34,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import sys
 
 from .operators import store_lock
@@ -94,15 +93,10 @@ def _ivf_status(store) -> dict:
 
     meta = store._read_meta()
     d = store.drift(meta)
-    gen_dirs = [
-        b
-        for b in meta["batches"]
-        if b == "base" or re.fullmatch(r"gen\d+", b)
-    ]
     return {
         "generation": meta["generation"],
         "batches": meta["batches"],
-        "appended_batches": len(meta["batches"]) - len(gen_dirs),
+        "appended_batches": len(store.appended_batches(meta)),
         "n_vectors": d["n_vectors"],
         "build_mean_sim": d["build_mean_sim"],
         "live_mean_sim": d["live_mean_sim"],
@@ -134,7 +128,7 @@ def _mg_status(store) -> dict:
         "k": meta["k"],
         "total_weight": meta["total_w"],
         "n_candidates": len(meta["summary"]),
-        "threshold": meta["total_w"] / (meta["k"] + 1),
+        "threshold": store.threshold(meta),
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
     }
@@ -165,19 +159,15 @@ def build_parser() -> argparse.ArgumentParser:
         "from the live corpus and rebuild as a fresh generation; "
         "otherwise a no-op",
     )
-    def _positive(value: str) -> int:
-        # 0 must be an ERROR, not a silent one-iteration fallback —
-        # the repo's falsy-zero rule (__main__.py:positive_int); a
-        # rebuild "without retraining" is not a thing: re-pinning the
-        # same centroids is what compact() is for
-        n = int(value)
-        if n < 1:
-            raise argparse.ArgumentTypeError(f"must be >= 1 (got {n})")
-        return n
+    # the repo's falsy-zero rule, ONE definition (__main__.positive_int):
+    # 0 must be an ERROR, not a silent one-iteration fallback — a
+    # rebuild "without retraining" is not a thing; re-pinning the same
+    # centroids is what compact() is for
+    from .__main__ import positive_int
 
     p.add_argument(
         "--kmeans-iters",
-        type=_positive,
+        type=positive_int,
         default=2,
         metavar="N",
         help="Lloyd updates for the retrain's centroids (default 2)",

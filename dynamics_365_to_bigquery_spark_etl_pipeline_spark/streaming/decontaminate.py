@@ -58,7 +58,6 @@ def stream_decontaminate(
     heldout: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
-    id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 4,
     max_hits: int = 0,
@@ -70,18 +69,23 @@ def stream_decontaminate(
     columns), the rest under ``clean/`` with their input schema. The
     default ``max_hits=0`` quarantines on ANY overlap; corpora with
     benign boilerplate overlap raise it."""
-    reserved = {"_th", "n_doc_ngrams", "n_contaminated"} & set(
-        schema.fieldNames()
-    )
+    # the gate injects _th/n_doc_ngrams/n_contaminated as working
+    # columns (silently REPLACING a user's _th — then dropping it —
+    # would lose their column from both outputs; a user n_contaminated
+    # makes the join ambiguous and kills the query every epoch) and
+    # reserves `epoch` as the OUTPUT partition column (a data column of
+    # that name makes every documented read of clean/ fail with a
+    # duplicate-column AnalysisException). Compared case-insensitively:
+    # Spark resolution is case-insensitive by default, so 'N_Contaminated'
+    # collides just as hard (r11 reviews).
+    reserved = {"_th", "n_doc_ngrams", "n_contaminated", "epoch"} & {
+        f.lower() for f in schema.fieldNames()
+    }
     if reserved:
-        # the gate injects these working columns: silently REPLACING a
-        # user's _th (then dropping it) would lose their column from
-        # both outputs, and a user n_contaminated makes the join
-        # ambiguous and kills the query every epoch (r11 review)
         raise ValueError(
             f"source schema carries reserved column(s) {sorted(reserved)} "
-            "— rename them; the gate writes its audit columns under "
-            "these names"
+            "— rename them; the gate writes its audit/partition columns "
+            "under these names (case-insensitive)"
         )
     grams = stage(heldout_gram_set(heldout, text_col, n))
 

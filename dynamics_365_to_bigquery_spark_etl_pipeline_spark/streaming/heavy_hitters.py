@@ -167,10 +167,13 @@ class MgSummaryStore:
     def total_weight(self) -> int:
         return self._read()["total_w"]
 
-    def threshold(self) -> float:
+    def threshold(self, meta: dict | None = None) -> float:
         """The guarantee line: any item above this total weight is in
-        ``candidates()``."""
-        meta = self._read()
+        ``candidates()``. Pass an already-read ``meta`` to derive from
+        one snapshot (and keep the W/(k+1) formula defined HERE, not in
+        callers — r11 review)."""
+        if meta is None:
+            meta = self._read()
         return meta["total_w"] / (meta["k"] + 1)
 
 

@@ -157,18 +157,22 @@ def test_reserved_columns_fail_loudly(spark, tmp_path):
     from pyspark.sql import types as T
 
     heldout, train = _corpus(spark)
-    bad = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("n_contaminated", T.LongType()),
-        ]
-    )
-    with pytest.raises(ValueError, match="reserved column"):
-        stream_decontaminate(
-            spark, str(tmp_path / "src"), bad, heldout,
-            str(tmp_path / "out"), str(tmp_path / "ck"),
+    # epoch is reserved too (the OUTPUT partition column: a data column
+    # of that name makes every read of clean/ fail duplicate-column);
+    # and the check is case-INsensitive, like Spark's resolution
+    for bad_col in ("n_contaminated", "epoch", "N_Contaminated", "_TH"):
+        bad = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField(bad_col, T.LongType()),
+            ]
         )
+        with pytest.raises(ValueError, match="reserved column"):
+            stream_decontaminate(
+                spark, str(tmp_path / "src"), bad, heldout,
+                str(tmp_path / "out"), str(tmp_path / "ck"),
+            )
 
 
 def test_clean_output_chains_into_dedup_index(spark, tmp_path):

@@ -1,0 +1,105 @@
+"""Streaming quality gate (r11, sixth foreachBatch leg): the drained
+kept/rejected split must equal the batch filter over the same corpus,
+be exactly-once under replay, and honor a custom score expression."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import text as X
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.quality_gate import (
+    stream_quality_gate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+MIN_SCORE = 50
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _drain(spark, source, schema, out, ck, **kw):
+    q = stream_quality_gate(
+        spark, str(source), schema, str(out), str(ck),
+        min_score=MIN_SCORE, **kw,
+    )
+    assert q.awaitTermination(180)
+
+
+def test_stream_split_equals_batch_filter(spark, tmp_path):
+    docs = _docs(spark)
+    src = tmp_path / "src"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _drain(spark, src, docs.schema, out, ck, max_files_per_trigger=1)
+
+    scored = docs.withColumn("q", X.quality_score(F.col("text")))
+    exp_kept = {r.doc_id for r in scored.filter(F.col("q") >= MIN_SCORE).collect()}
+    exp_rej = {
+        (r.doc_id, r.q) for r in scored.filter(F.col("q") < MIN_SCORE).collect()
+    }
+    assert exp_kept and exp_rej, "fixture must split both ways"
+
+    kept = spark.read.parquet(str(out / "kept"))
+    assert set(kept.columns) - {"epoch"} == set(docs.columns)  # no audit col
+    assert {r.doc_id for r in kept.collect()} == exp_kept
+    rej = spark.read.parquet(str(out / "rejected"))
+    assert {(r.doc_id, r.quality_score) for r in rej.collect()} == exp_rej
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    docs = _docs(spark)
+    src = tmp_path / "src"
+    docs.coalesce(1).write.parquet(str(src))
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _drain(spark, src, docs.schema, out, ck)
+    dirs = sorted(os.listdir(out / "kept"))
+    n = spark.read.parquet(str(out / "kept")).count()
+    _drain(spark, src, docs.schema, out, ck)  # no new files: no new epochs
+    assert sorted(os.listdir(out / "kept")) == dirs
+    assert spark.read.parquet(str(out / "kept")).count() == n
+
+
+def test_custom_score_expression(spark, tmp_path):
+    """Any column-expression scorer rides the same gate — here a token
+    count (long docs kept), proving the swap-in contract."""
+    docs = _docs(spark)
+    src = tmp_path / "src"
+    docs.coalesce(1).write.parquet(str(src))
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _drain(
+        spark, src, docs.schema, out, ck, score=lambda c: X.token_count(c)
+    )
+    exp = {
+        r.doc_id
+        for r in docs.filter(
+            X.token_count(F.col("text")) >= MIN_SCORE
+        ).collect()
+    }
+    got = {r.doc_id for r in spark.read.parquet(str(out / "kept")).collect()}
+    assert got == exp
+
+
+def test_reserved_columns_fail_loudly(spark, tmp_path):
+    for bad_col in ("quality_score", "epoch", "Quality_Score"):
+        bad = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField(bad_col, T.LongType()),
+            ]
+        )
+        with pytest.raises(ValueError, match="reserved column"):
+            stream_quality_gate(
+                spark, str(tmp_path / "src"), bad,
+                str(tmp_path / "out"), str(tmp_path / "ck"),
+            )

@@ -42,7 +42,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..operators import curation as C
 from ..operators.stage import stage
-from .util import query_id_reader
+from .util import check_reserved_columns, query_id_reader
 
 
 # one shared definition with the batch query (operators/curation.py —
@@ -69,24 +69,12 @@ def stream_decontaminate(
     columns), the rest under ``clean/`` with their input schema. The
     default ``max_hits=0`` quarantines on ANY overlap; corpora with
     benign boilerplate overlap raise it."""
-    # the gate injects _th/n_doc_ngrams/n_contaminated as working
-    # columns (silently REPLACING a user's _th — then dropping it —
-    # would lose their column from both outputs; a user n_contaminated
-    # makes the join ambiguous and kills the query every epoch) and
-    # reserves `epoch` as the OUTPUT partition column (a data column of
-    # that name makes every documented read of clean/ fail with a
-    # duplicate-column AnalysisException). Compared case-insensitively:
-    # Spark resolution is case-insensitive by default, so 'N_Contaminated'
-    # collides just as hard (r11 reviews).
-    reserved = {"_th", "n_doc_ngrams", "n_contaminated", "epoch"} & {
-        f.lower() for f in schema.fieldNames()
-    }
-    if reserved:
-        raise ValueError(
-            f"source schema carries reserved column(s) {sorted(reserved)} "
-            "— rename them; the gate writes its audit/partition columns "
-            "under these names (case-insensitive)"
-        )
+    # _th/n_doc_ngrams/n_contaminated are the gate's working/audit
+    # columns, epoch its output partition column (shared guard:
+    # streaming/util.check_reserved_columns — r11 reviews)
+    check_reserved_columns(
+        schema, {"_th", "n_doc_ngrams", "n_contaminated", "epoch"}
+    )
     grams = stage(heldout_gram_set(heldout, text_col, n))
 
     stream = (

@@ -37,7 +37,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.storagelevel import StorageLevel
 
 from ..operators import text as X
-from .util import query_id_reader
+from .util import check_reserved_columns, query_id_reader
 
 
 def stream_quality_gate(
@@ -57,18 +57,7 @@ def stream_quality_gate(
     defaults to ``operators.text.quality_score`` and must be a pure
     column-expression builder (the no-shuffle contract)."""
     score_fn = score if score is not None else X.quality_score
-    reserved = {"quality_score", "epoch"} & {
-        f.lower() for f in schema.fieldNames()
-    }
-    if reserved:
-        # same guard family as the decontamination leg: quality_score
-        # is the audit column, epoch the output partition column —
-        # case-insensitive like Spark's resolution (r11 review there)
-        raise ValueError(
-            f"source schema carries reserved column(s) {sorted(reserved)} "
-            "— rename them; the gate writes its audit/partition columns "
-            "under these names (case-insensitive)"
-        )
+    check_reserved_columns(schema, {"quality_score", "epoch"})
 
     stream = (
         spark.readStream.schema(schema)
@@ -90,11 +79,18 @@ def stream_quality_gate(
             "quality_score", score_fn(F.col(text_col))
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            # NULL scores go to rejected/: a custom scorer CAN return
+            # NULL (e.g. token_count of NULL text), and filter(keep) +
+            # filter(~keep) both exclude NULL — the row would silently
+            # land in NEITHER output (r11 review: data loss). A score
+            # the gate cannot evaluate is a row it cannot vouch for.
             keep = F.col("quality_score") >= min_score
             scored.filter(keep).drop("quality_score").write.mode(
                 "overwrite"
             ).parquet(f"{out_dir}/kept/epoch={key}")
-            scored.filter(~keep).write.mode("overwrite").parquet(
+            scored.filter(
+                ~keep | F.col("quality_score").isNull()
+            ).write.mode("overwrite").parquet(
                 f"{out_dir}/rejected/epoch={key}"
             )
         finally:

@@ -22,6 +22,24 @@ import os
 from typing import Callable
 
 
+def check_reserved_columns(schema, reserved: set[str]) -> None:
+    """Fail loudly when a gate's source schema carries a column the
+    gate itself writes (audit columns, the ``epoch`` output partition
+    column) — silently replacing-then-dropping a user column is data
+    loss, and a duplicate makes the epoch's plan die ambiguous.
+    Case-insensitive, like Spark's default resolution. ONE
+    implementation for every gate leg (r11 review: the guard was
+    copy-pasted between the decontamination and quality gates — the
+    same drift risk this module exists to prevent)."""
+    hit = reserved & {f.lower() for f in schema.fieldNames()}
+    if hit:
+        raise ValueError(
+            f"source schema carries reserved column(s) {sorted(hit)} "
+            "— rename them; the gate writes its audit/partition "
+            "columns under these names (case-insensitive)"
+        )
+
+
 def query_id_reader(checkpoint_dir: str) -> Callable[[], str]:
     """Returns a zero-arg reader for the streaming query id persisted
     under ``checkpoint_dir``. Reads the metadata file ONCE per

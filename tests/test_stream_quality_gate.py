@@ -69,24 +69,33 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(str(out / "kept")).count() == n
 
 
-def test_custom_score_expression(spark, tmp_path):
-    """Any column-expression scorer rides the same gate — here a token
-    count (long docs kept), proving the swap-in contract."""
-    docs = _docs(spark)
+def test_custom_score_expression_null_safe_and_complete(spark, tmp_path):
+    """Any column-expression scorer rides the same gate — here
+    token_count, which returns NULL for NULL text: the NULL-scored row
+    must land in rejected/, NOT silently vanish from both outputs (r11
+    review: filter(keep) and filter(~keep) each exclude NULL), and
+    kept ∪ rejected must cover every input row."""
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame([(999999, None)], _docs(spark).schema)
+    )
     src = tmp_path / "src"
     docs.coalesce(1).write.parquet(str(src))
     out, ck = tmp_path / "out", tmp_path / "ck"
-    _drain(
-        spark, src, docs.schema, out, ck, score=lambda c: X.token_count(c)
-    )
+    _drain(spark, src, docs.schema, out, ck, score=X.token_count)
     exp = {
         r.doc_id
         for r in docs.filter(
             X.token_count(F.col("text")) >= MIN_SCORE
         ).collect()
     }
-    got = {r.doc_id for r in spark.read.parquet(str(out / "kept")).collect()}
-    assert got == exp
+    kept = {r.doc_id for r in spark.read.parquet(str(out / "kept")).collect()}
+    rej = {
+        r.doc_id for r in spark.read.parquet(str(out / "rejected")).collect()
+    }
+    assert kept == exp
+    assert 999999 in rej  # NULL score: rejected, not dropped
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert kept | rej == all_ids and not kept & rej
 
 
 def test_reserved_columns_fail_loudly(spark, tmp_path):

@@ -89,7 +89,13 @@ def stream_decontaminate(
         if batch_df.isEmpty():
             return
         key = f"{_query_id()}-epoch-{epoch_id}"
-        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
+        # project to the DECLARED schema (quality_gate.py has the full
+        # note): an upstream gate's epoch= partition column rides the
+        # batch even when the schema omits it, and carried through it
+        # corrupts THIS gate's partitioned output
+        batch_df = batch_df.select(*schema.fieldNames()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         try:
             # ROUTED per epoch, same law as the batch query (r9): the
             # overlap counts are a function of the TEXT alone, so

@@ -112,3 +112,45 @@ def test_reserved_columns_fail_loudly(spark, tmp_path):
                 spark, str(tmp_path / "src"), bad,
                 str(tmp_path / "out"), str(tmp_path / "ck"),
             )
+
+
+def test_gate_chains_into_gate(spark, tmp_path):
+    """quality gate -> decontaminate gate, dir-to-dir: the downstream
+    leg declares the upstream OUTPUT schema minus the epoch partition
+    column (reserved), and the gates project each batch to the
+    declared schema — without that, Spark rides the upstream epoch=
+    partition column into the batch and it lands as a data column
+    inside the downstream gate's own epoch= dirs, making every read of
+    the output fail duplicate-column (r11 review probe)."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.decontaminate import (
+        stream_decontaminate,
+    )
+
+    docs = _docs(spark)
+    heldout = docs.filter(F.col("doc_id") % 13 == 0)
+    src = tmp_path / "src"
+    docs.coalesce(1).write.parquet(str(src))
+    out1, ck1 = tmp_path / "gate1", tmp_path / "ck1"
+    _drain(spark, src, docs.schema, out1, ck1)
+
+    out2 = tmp_path / "gate2"
+    q = stream_decontaminate(
+        spark,
+        str(out1 / "kept"),
+        docs.schema,  # omits epoch: the gates project to this
+        heldout,
+        str(out2),
+        str(tmp_path / "ck2"),
+    )
+    assert q.awaitTermination(180)
+
+    clean = spark.read.parquet(str(out2 / "clean"))
+    cont = spark.read.parquet(str(out2 / "contaminated"))
+    kept1 = {r.doc_id for r in spark.read.parquet(str(out1 / "kept")).collect()}
+    ids2 = {r.doc_id for r in clean.collect()} | {
+        r.doc_id for r in cont.collect()
+    }
+    assert ids2 == kept1  # every quality-kept row flowed through
+    # and the downstream outputs carry exactly ONE epoch column (the
+    # partition one) — the upstream's never leaked into the data files
+    assert clean.columns.count("epoch") == 1

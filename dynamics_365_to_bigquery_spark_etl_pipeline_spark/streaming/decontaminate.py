@@ -42,7 +42,11 @@ from pyspark.storagelevel import StorageLevel
 
 from ..operators import curation as C
 from ..operators.stage import stage
-from .util import check_reserved_columns, query_id_reader
+from .util import (
+    check_reserved_columns,
+    project_to_schema,
+    query_id_reader,
+)
 
 
 # one shared definition with the batch query (operators/curation.py —
@@ -89,11 +93,9 @@ def stream_decontaminate(
         if batch_df.isEmpty():
             return
         key = f"{_query_id()}-epoch-{epoch_id}"
-        # project to the DECLARED schema (quality_gate.py has the full
-        # note): an upstream gate's epoch= partition column rides the
-        # batch even when the schema omits it, and carried through it
-        # corrupts THIS gate's partitioned output
-        batch_df = batch_df.select(*schema.fieldNames()).persist(
+        # lineage columns outside the contract are dropped at the
+        # door (shared: streaming/util.project_to_schema)
+        batch_df = project_to_schema(batch_df, schema).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         try:

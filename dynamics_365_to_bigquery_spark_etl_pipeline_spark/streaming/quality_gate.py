@@ -37,7 +37,11 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.storagelevel import StorageLevel
 
 from ..operators import text as X
-from .util import check_reserved_columns, query_id_reader
+from .util import (
+    check_reserved_columns,
+    project_to_schema,
+    query_id_reader,
+)
 
 
 def stream_quality_gate(
@@ -71,14 +75,9 @@ def stream_quality_gate(
         if batch_df.isEmpty():
             return
         key = f"{_query_id()}-epoch-{epoch_id}"
-        # project to the DECLARED schema: a file source over another
-        # gate's output appends its epoch= PARTITION column to the
-        # batch even when the schema omits it — carried through, it
-        # becomes a data column inside THIS gate's epoch= dirs and
-        # every read of the output dies duplicate-column. Chaining
-        # gate -> gate is the documented composition, so lineage
-        # columns outside the contract are dropped at the door.
-        batch_df = batch_df.select(*schema.fieldNames())
+        # lineage columns outside the contract are dropped at the
+        # door (shared: streaming/util.project_to_schema)
+        batch_df = project_to_schema(batch_df, schema)
         # persisted around the two writes: the SCORED frame is cheap to
         # recompute (one expression), but the source scan behind it is
         # not — the heavy-hitters lesson applies to the scan, and

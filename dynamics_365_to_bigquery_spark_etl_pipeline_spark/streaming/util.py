@@ -27,17 +27,40 @@ def check_reserved_columns(schema, reserved: set[str]) -> None:
     gate itself writes (audit columns, the ``epoch`` output partition
     column) — silently replacing-then-dropping a user column is data
     loss, and a duplicate makes the epoch's plan die ambiguous.
-    Case-insensitive, like Spark's default resolution. ONE
-    implementation for every gate leg (r11 review: the guard was
-    copy-pasted between the decontamination and quality gates — the
-    same drift risk this module exists to prevent)."""
-    hit = reserved & {f.lower() for f in schema.fieldNames()}
+    Case-insensitive ON BOTH SIDES, like Spark's default resolution
+    (r11 review: lowercasing only the schema side would let a future
+    caller's mixed-case reserved literal silently disable the guard).
+    ONE implementation for every gate leg (the guard was copy-pasted
+    between the decontamination and quality gates — the same drift
+    risk this module exists to prevent)."""
+    low = {r.lower() for r in reserved}
+    hit = sorted(f for f in schema.fieldNames() if f.lower() in low)
     if hit:
         raise ValueError(
-            f"source schema carries reserved column(s) {sorted(hit)} "
-            "— rename them; the gate writes its audit/partition "
-            "columns under these names (case-insensitive)"
+            f"source schema carries reserved column(s) {hit} — the "
+            "gate writes its audit/partition columns under these names "
+            "(case-insensitive). Rename a genuine data column; if it "
+            "is an UPSTREAM gate's epoch= partition column, just omit "
+            "it from the declared schema — gates project each batch to "
+            "the schema you declare"
         )
+
+
+def project_to_schema(batch_df, schema):
+    """Project a foreachBatch frame to exactly the DECLARED schema's
+    top-level fields. A file source over another gate's output appends
+    that gate's ``epoch=`` PARTITION column to the batch even when the
+    declared schema omits it — carried through, it becomes a data
+    column inside the consumer's own partitioned output and every read
+    dies duplicate-column. Names are backtick-escaped so declared
+    top-level fields containing dots keep resolving as columns, not
+    nested paths (r11 reviews; one implementation for every gate —
+    same rationale as ``check_reserved_columns``)."""
+    from pyspark.sql import functions as F
+
+    return batch_df.select(
+        *[F.col("`" + n.replace("`", "``") + "`") for n in schema.fieldNames()]
+    )
 
 
 def query_id_reader(checkpoint_dir: str) -> Callable[[], str]:

@@ -151,6 +151,7 @@ def test_gate_chains_into_gate(spark, tmp_path):
         r.doc_id for r in cont.collect()
     }
     assert ids2 == kept1  # every quality-kept row flowed through
-    # and the downstream outputs carry exactly ONE epoch column (the
+    # and BOTH downstream outputs carry exactly ONE epoch column (the
     # partition one) — the upstream's never leaked into the data files
     assert clean.columns.count("epoch") == 1
+    assert cont.columns.count("epoch") == 1

@@ -240,3 +240,57 @@ SELECT doc_id,
 FROM toks, unnest(range(0, GREATEST(LEN(t) - {overlap + 1}, 0) + 1, {stride}))
      AS g(i)
 """
+
+
+# -- PII redaction ---------------------------------------------------------
+# ORDER MATTERS and is part of the contract: emails first (an email's
+# numeric domain — user@1.2.3.4 — would otherwise ALSO count/redact as
+# an IP), then phones, then bare IPv4s. Patterns are deliberately
+# lookaround-free so Java regex (Spark) and RE2 (DuckDB) match
+# identically; counts are computed on the PROGRESSIVELY-redacted text
+# (pattern i sees the text with patterns < i already replaced) so the
+# categories partition the matches exactly like the redaction does.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email / +intl-phone / IPv4 occurrence with its
+    typed token — the C4/CCNet-style scrub step between raw corpus and
+    training batches. Pure JVM ``regexp_replace`` chain (whole-stage
+    codegen, no shuffle); ``redact_pii_sql`` is the exact DuckDB twin."""
+    out = text
+    for _name, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    out = expr
+    for _name, pat, token in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """``{name: count}`` over the progressive redaction chain (module
+    note: pattern i counts on text with patterns < i replaced, so the
+    category counts sum to the total redactions)."""
+    cur = text
+    out: dict[str, Column] = {}
+    for name, pat, token in PII_PATTERNS:
+        out[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, token)
+    return out
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    cur = expr
+    out: dict[str, str] = {}
+    for name, pat, token in PII_PATTERNS:
+        out[name] = f"LEN(regexp_extract_all({cur}, '{pat}'))"
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    return out

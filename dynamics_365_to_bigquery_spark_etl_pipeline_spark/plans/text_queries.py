@@ -317,6 +317,45 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FR.heavy_hitters_exact(items, "bigram", HH_PHI, weight_col="w")
 
 
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / intl phones / IPv4 -> typed tokens), the
+    C4/CCNet-style step between raw corpus and training batches. The
+    fixture corpus carries no PII-shaped strings (verified zero), so
+    the query PLANTS a deterministic contact line per document with
+    identical string ops in both engines — the redaction chain and the
+    progressive per-category counts (``operators/text.redact_pii``,
+    order-sensitive: an email's numeric domain must not double-count as
+    an IP) are then exercised on real matches and hash-checked, not on
+    an all-zeros degenerate. Pure JVM regexp chain, no shuffle, scales
+    as a map over the scan at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".com tel +1555"),
+            F.lpad((F.col("doc_id") % 100000).cast("string"), 7, "0"),
+            F.lit(" host 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.2"),
+        ).alias("t"),
+    )
+    cnts = X.pii_counts(F.col("t"))
+    return planted.select(
+        "doc_id",
+        cnts["email"].alias("n_emails"),
+        cnts["phone"].alias("n_phones"),
+        cnts["ipv4"].alias("n_ipv4"),
+        F.md5(X.redact_pii(F.col("t"))).alias("redacted_md5"),
+    )
+
+
 QUERIES = {
     "q_text_token_stats": q_text_token_stats,
     "q_text_quality_score": q_text_quality_score,
@@ -705,3 +744,21 @@ EXTRA_QUERIES["q_doc_chunking"] = q_doc_chunking
 from ..operators.text import chunk_documents_sql as _chunk_sql  # noqa: E402
 
 EXTRA_ORACLES["q_doc_chunking"] = _chunk_sql(CHUNK_TOKENS, CHUNK_OVERLAP)
+
+_PII_PLANT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' || "
+    "CAST(doc_id % 10 AS VARCHAR) || '.com tel +1555' || "
+    "lpad(CAST(doc_id % 100000 AS VARCHAR), 7, '0') || ' host 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.0.2'"
+)
+_PII_COUNTS = X.pii_counts_sql("t")
+EXTRA_QUERIES["q_text_pii_redact"] = q_text_pii_redact
+EXTRA_ORACLES["q_text_pii_redact"] = f"""
+WITH planted AS (SELECT doc_id, {_PII_PLANT} AS t FROM documents)
+SELECT doc_id,
+  {_PII_COUNTS['email']} AS n_emails,
+  {_PII_COUNTS['phone']} AS n_phones,
+  {_PII_COUNTS['ipv4']} AS n_ipv4,
+  md5({X.redact_pii_sql('t')}) AS redacted_md5
+FROM planted
+"""

@@ -243,13 +243,20 @@ FROM toks, unnest(range(0, GREATEST(LEN(t) - {overlap + 1}, 0) + 1, {stride}))
 
 
 # -- PII redaction ---------------------------------------------------------
-# ORDER MATTERS and is part of the contract: emails first (an email's
-# numeric domain — user@1.2.3.4 — would otherwise ALSO count/redact as
-# an IP), then phones, then bare IPv4s. Patterns are deliberately
-# lookaround-free so Java regex (Spark) and RE2 (DuckDB) match
-# identically; counts are computed on the PROGRESSIVELY-redacted text
-# (pattern i sees the text with patterns < i already replaced) so the
-# categories partition the matches exactly like the redaction does.
+# ORDER MATTERS and is part of the contract: emails first, then
+# phones, then bare IPv4s. The order-sensitive inputs are emails whose
+# local part or domain CONTAINS a phone- or IP-shaped substring —
+# 'a@1.2.3.4.com' (IP-first would tear it into 'a@<IP>.com', which the
+# email pattern no longer matches) and 'y+15551234567@ex.com'
+# (phone-first would tear the local part) — pinned by the planted
+# adversarial line in q_text_pii_redact's oracle check. NOTE the email
+# pattern requires an ALPHABETIC TLD, so 'user@1.2.3.4' is not an
+# email under any order: its address redacts as host-only
+# ('user@<IP>') — a documented residue, not an ordering artifact.
+# Patterns are deliberately lookaround-free so Java regex (Spark) and
+# RE2 (DuckDB) match identically; category counts are computed on the
+# PROGRESSIVELY-redacted text (pattern i sees patterns < i replaced)
+# so the categories partition the matches exactly like the redaction.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
@@ -257,40 +264,40 @@ PII_PATTERNS = (
 )
 
 
-def redact_pii(text: Column) -> Column:
-    """Replace every email / +intl-phone / IPv4 occurrence with its
-    typed token — the C4/CCNet-style scrub step between raw corpus and
-    training batches. Pure JVM ``regexp_replace`` chain (whole-stage
-    codegen, no shuffle); ``redact_pii_sql`` is the exact DuckDB twin."""
-    out = text
-    for _name, pat, token in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, token)
-    return out
-
-
-def redact_pii_sql(expr: str) -> str:
-    out = expr
-    for _name, pat, token in PII_PATTERNS:
-        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
-    return out
-
-
-def pii_counts(text: Column) -> dict[str, Column]:
-    """``{name: count}`` over the progressive redaction chain (module
-    note: pattern i counts on text with patterns < i replaced, so the
-    category counts sum to the total redactions)."""
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """One progressive redaction chain yielding the per-category counts
+    AND the fully-redacted text (key ``redacted``) — the C4/CCNet-style
+    scrub step between raw corpus and training batches. Counts ride
+    ``F.regexp_count`` (no throwaway match arrays); the chain is built
+    ONCE, so callers don't re-derive the triple-replace for the
+    redacted output (r11 review). Pure JVM expressions, no shuffle;
+    ``pii_scrub_sql`` is the exact DuckDB twin (DuckDB lacks
+    regexp_count, so its counts use LEN(regexp_extract_all) — same
+    non-overlapping leftmost semantics)."""
     cur = text
     out: dict[str, Column] = {}
     for name, pat, token in PII_PATTERNS:
-        out[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        out[name] = F.regexp_count(cur, F.lit(pat))
         cur = F.regexp_replace(cur, pat, token)
+    out["redacted"] = cur
     return out
 
 
-def pii_counts_sql(expr: str) -> dict[str, str]:
+def pii_scrub_sql(expr: str) -> dict[str, str]:
     cur = expr
     out: dict[str, str] = {}
     for name, pat, token in PII_PATTERNS:
         out[name] = f"LEN(regexp_extract_all({cur}, '{pat}'))"
         cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    out["redacted"] = cur
     return out
+
+
+def redact_pii(text: Column) -> Column:
+    """Just the redacted text (callers needing counts too should take
+    ``pii_scrub`` and avoid re-deriving the chain)."""
+    return pii_scrub(text)["redacted"]
+
+
+def redact_pii_sql(expr: str) -> str:
+    return pii_scrub_sql(expr)["redacted"]

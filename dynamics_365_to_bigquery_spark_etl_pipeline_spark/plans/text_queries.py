@@ -324,12 +324,14 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     C4/CCNet-style step between raw corpus and training batches. The
     fixture corpus carries no PII-shaped strings (verified zero), so
     the query PLANTS a deterministic contact line per document with
-    identical string ops in both engines — the redaction chain and the
-    progressive per-category counts (``operators/text.redact_pii``,
-    order-sensitive: an email's numeric domain must not double-count as
-    an IP) are then exercised on real matches and hash-checked, not on
-    an all-zeros degenerate. Pure JVM regexp chain, no shuffle, scales
-    as a map over the scan at any corpus size."""
+    identical string ops in both engines — including the two
+    ORDER-ADVERSARIAL shapes (an IP-literal-inside-domain email and a
+    phone-shaped email local part) that make the oracle hash check
+    FAIL if ``operators/text.PII_PATTERNS``' order is changed or the
+    per-category counts stop being progressive (r11 review: the first
+    plant exercised only disjoint matches, leaving the order contract
+    test-unasserted). Pure JVM regexp chain, no shuffle, scales as a
+    map over the scan at any corpus size."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.select(
         "doc_id",
@@ -343,16 +345,16 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("doc_id") % 100000).cast("string"), 7, "0"),
             F.lit(" host 10."),
             (F.col("doc_id") % 256).cast("string"),
-            F.lit(".0.2"),
+            F.lit(".0.2 cc b@1.2.3.4.com y+15551234567@ex.com"),
         ).alias("t"),
     )
-    cnts = X.pii_counts(F.col("t"))
+    scrub = X.pii_scrub(F.col("t"))
     return planted.select(
         "doc_id",
-        cnts["email"].alias("n_emails"),
-        cnts["phone"].alias("n_phones"),
-        cnts["ipv4"].alias("n_ipv4"),
-        F.md5(X.redact_pii(F.col("t"))).alias("redacted_md5"),
+        scrub["email"].alias("n_emails"),
+        scrub["phone"].alias("n_phones"),
+        scrub["ipv4"].alias("n_ipv4"),
+        F.md5(scrub["redacted"]).alias("redacted_md5"),
     )
 
 
@@ -749,9 +751,10 @@ _PII_PLANT = (
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' || "
     "CAST(doc_id % 10 AS VARCHAR) || '.com tel +1555' || "
     "lpad(CAST(doc_id % 100000 AS VARCHAR), 7, '0') || ' host 10.' || "
-    "CAST(doc_id % 256 AS VARCHAR) || '.0.2'"
+    "CAST(doc_id % 256 AS VARCHAR) || "
+    "'.0.2 cc b@1.2.3.4.com y+15551234567@ex.com'"
 )
-_PII_COUNTS = X.pii_counts_sql("t")
+_PII_COUNTS = X.pii_scrub_sql("t")
 EXTRA_QUERIES["q_text_pii_redact"] = q_text_pii_redact
 EXTRA_ORACLES["q_text_pii_redact"] = f"""
 WITH planted AS (SELECT doc_id, {_PII_PLANT} AS t FROM documents)
@@ -759,6 +762,6 @@ SELECT doc_id,
   {_PII_COUNTS['email']} AS n_emails,
   {_PII_COUNTS['phone']} AS n_phones,
   {_PII_COUNTS['ipv4']} AS n_ipv4,
-  md5({X.redact_pii_sql('t')}) AS redacted_md5
+  md5({_PII_COUNTS['redacted']}) AS redacted_md5
 FROM planted
 """

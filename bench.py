@@ -159,9 +159,17 @@ def next_round_number(repo_dir: str) -> int:
     window — the sidecar then misses its conventional name and the
     round's robust flags silently degrade to median-only (r11 review).
     Delegates to ``calib_compare.round_artifacts`` — ONE committed-only
-    filter, one git-failure fallback (drop the possibly-in-flight max
-    round), instead of a second copy that can drift (r11 review #2)."""
-    arts = _calib_module().round_artifacts(repo_dir)
+    filter instead of a second copy that can drift (r11 review #2) —
+    but with its git-failure drop-max fallback DISABLED: that pop is a
+    reference-selection safeguard, and for numbering it inverts the
+    risk — ls-files failing before the in-flight artifact lands would
+    name this round after the last committed one and overwrite that
+    round's committed detail sidecar (r11 advice). Numbering from the
+    undropped on-disk max can only err HIGH (degrading one run's
+    robust flags to median-only), never clobber committed history."""
+    arts = _calib_module().round_artifacts(
+        repo_dir, drop_unverifiable_max=False
+    )
     return (arts[-1][0] if arts else 0) + 1
 
 

@@ -109,5 +109,9 @@ def record(meta: dict, batch_id: str) -> None:
                 and p[1] <= hwm[qid]
             )
         ]
-    else:
+    elif batch_id not in meta.get(IDS_KEY, []):
+        # membership-guarded so record() is idempotent like the epoch
+        # path already is: a caller that skips the is_committed
+        # pre-check must not grow duplicate entries unboundedly — the
+        # exact mistake this module exists to prevent (r11 advice)
         meta[IDS_KEY] = meta.get(IDS_KEY, []) + [batch_id]

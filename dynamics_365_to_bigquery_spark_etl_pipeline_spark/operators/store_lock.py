@@ -38,8 +38,11 @@ Scope and staleness (the honest notes):
   lock by hand.
 - A contender hard-killed while WAITING leaves its private temp pid
   file behind (its ``finally`` never ran); every acquisition sweeps
-  temp files whose embedded pid is dead, so crash-prone stores don't
-  accumulate dot-files.
+  SAME-HOST temp files whose embedded pid is dead (the name carries a
+  host token — a pid is only checkable where it lives, and unlinking a
+  live remote waiter's temp file would crash its next ``os.link`` with
+  FileNotFoundError), plus foreign/legacy names past an age threshold,
+  so crash-prone stores don't accumulate dot-files.
 - The steal has a small race: between reading a dead pid and
   unlinking, a third writer may have stolen + re-locked, and the
   unlink would remove the NEW holder's file. The window is
@@ -54,11 +57,27 @@ from __future__ import annotations
 
 import contextlib
 import errno
+import hashlib
 import os
+import socket
 import time
 import uuid
 
 LOCK_NAME = "_write.lock"
+
+# foreign-host temp files can't be liveness-checked (pids are per-host)
+# — they are swept only past this age. Generous on purpose: a live
+# waiter's temp file goes stale-looking the moment it is created (never
+# touched again while polling), so the bar is "no plausible wait lasts
+# this long", not "older than one timeout".
+FOREIGN_TMP_MAX_AGE = 3600.0
+
+
+def _host_token() -> str:
+    """Fixed-width host id for temp-file names: a hash, not the raw
+    hostname, so dots/odd chars in hostnames can't break the dot-split
+    name grammar."""
+    return hashlib.sha1(socket.gethostname().encode()).hexdigest()[:8]
 
 
 class StoreLockHeld(RuntimeError):
@@ -76,24 +95,49 @@ def _pid_alive(pid: int) -> bool:
 
 
 def _sweep_dead_tmp_files(store_dir: str) -> None:
-    """GC private temp pid files (``.{LOCK_NAME}.<pid>.<hex>``) left by
-    contenders hard-killed while waiting — their cleanup never ran, and
-    nothing else would ever remove them (r11 review)."""
+    """GC private temp pid files (``.{LOCK_NAME}.<pid>.<host>.<hex>``)
+    left by contenders hard-killed while waiting — their cleanup never
+    ran, and nothing else would ever remove them (r11 review).
+
+    Liveness via ``kill(pid, 0)`` is a SAME-HOST judgement: on a shared
+    (NFS) store, a waiter on another host whose pid happens to be dead
+    locally is alive and mid-``os.link`` — unlinking its temp file
+    turns its next retry into FileNotFoundError, crashing a live
+    contender (r11 advice). So the pid check applies only to names
+    carrying OUR host token; foreign or legacy (pre-token) names fall
+    back to an age threshold no plausible wait outlives."""
     prefix = f".{LOCK_NAME}."
+    host = _host_token()
     try:
         names = os.listdir(store_dir)
     except OSError:
         return
+    now = time.time()
     for name in names:
         if not name.startswith(prefix):
             continue
+        parts = name[len(prefix) :].split(".")
         try:
-            pid = int(name[len(prefix) :].split(".", 1)[0])
-        except ValueError:
+            pid = int(parts[0])
+        except (IndexError, ValueError):
             continue
-        if pid != os.getpid() and not _pid_alive(pid):
+        if pid == os.getpid():
+            continue
+        path = os.path.join(store_dir, name)
+        if len(parts) >= 3 and parts[1] == host:
+            dead = not _pid_alive(pid)
+        else:
+            # another host's waiter, or a pre-token name whose host is
+            # unknowable: sweep only on age (mtime is set once at
+            # creation and never refreshed, so this bounds orphan
+            # lifetime without guessing at remote liveness)
+            try:
+                dead = now - os.stat(path).st_mtime > FOREIGN_TMP_MAX_AGE
+            except OSError:
+                continue
+        if dead:
             with contextlib.suppress(OSError):
-                os.unlink(os.path.join(store_dir, name))
+                os.unlink(path)
 
 
 @contextlib.contextmanager
@@ -115,7 +159,8 @@ def store_write_lock(
     # never fires, every writer blocks until a human deletes the file —
     # r11 review finding). link() is also the classic NFS-safe shape.
     tmp_path = os.path.join(
-        store_dir, f".{LOCK_NAME}.{os.getpid()}.{uuid.uuid4().hex}"
+        store_dir,
+        f".{LOCK_NAME}.{os.getpid()}.{_host_token()}.{uuid.uuid4().hex}",
     )
     with open(tmp_path, "w") as fh:
         fh.write(str(os.getpid()))

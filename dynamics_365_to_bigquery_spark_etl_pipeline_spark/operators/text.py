@@ -283,12 +283,23 @@ def pii_scrub(text: Column) -> dict[str, Column]:
     return out
 
 
+def _sql_quote(s: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes doubled —
+    the current PII_PATTERNS happen to be quote-free, but a future
+    pattern or token containing ``'`` must produce a quoted literal,
+    not silently broken oracle SQL (r11 advice)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def pii_scrub_sql(expr: str) -> dict[str, str]:
     cur = expr
     out: dict[str, str] = {}
     for name, pat, token in PII_PATTERNS:
-        out[name] = f"LEN(regexp_extract_all({cur}, '{pat}'))"
-        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+        out[name] = f"LEN(regexp_extract_all({cur}, {_sql_quote(pat)}))"
+        cur = (
+            f"regexp_replace({cur}, {_sql_quote(pat)}, "
+            f"{_sql_quote(token)}, 'g')"
+        )
     out["redacted"] = cur
     return out
 

@@ -56,13 +56,22 @@ def detect_kind(store_dir: str) -> str | None:
 
 def _lock_status(store_dir: str) -> dict:
     """Who holds the write lock, if anyone — the first thing an
-    operator wants when a maintenance job times out."""
+    operator wants when a maintenance job times out.
+
+    Missing (OSError) and present-but-unreadable (garbage pid) are
+    DIFFERENT answers: the unreadable case is exactly the unstealable
+    empty/corrupt lock the store_lock docstring warns about on
+    no-hardlink mounts — every writer is blocking on it, and a status
+    line saying "no lock" would send the operator away from the one
+    file they need to inspect (r11 advice)."""
     lock_path = os.path.join(store_dir, store_lock.LOCK_NAME)
     try:
         with open(lock_path) as fh:
             holder = int(fh.read().strip() or "0")
-    except (OSError, ValueError):
+    except OSError:
         return {"held": False}
+    except ValueError:
+        return {"held": True, "holder_pid": None, "holder_alive": None}
     return {
         "held": True,
         "holder_pid": holder or None,

@@ -64,7 +64,9 @@ def load(path: str) -> dict:
     return parsed
 
 
-def round_artifacts(repo_dir: str) -> list[tuple[int, str]]:
+def round_artifacts(
+    repo_dir: str, drop_unverifiable_max: bool = True
+) -> list[tuple[int, str]]:
     """``(round, path)`` for every COMMITTED ``BENCH_r{N}.json`` in
     ``repo_dir``, ascending by round.
 
@@ -79,6 +81,17 @@ def round_artifacts(repo_dir: str) -> list[tuple[int, str]]:
     be the in-flight round's uncommitted file, and counting it would
     quietly reintroduce the self-comparison the committed-only filter
     exists to prevent (r10 advice).
+
+    ``drop_unverifiable_max=False`` disables that fallback pop. The pop
+    is a REFERENCE-selection safeguard only: for round NUMBERING
+    (``bench.next_round_number``) it inverts the risk — when ls-files
+    fails BEFORE the in-flight artifact hits the tree, popping the max
+    names the current round after the LAST COMMITTED one, and the
+    detail sidecar overwrites that committed round's file (r11 advice).
+    Numbering one round too HIGH (in-flight artifact already on disk,
+    no git) merely degrades that run's robust flags to median-only;
+    numbering too LOW destroys committed history — so numbering takes
+    the undropped max.
     """
     import glob
     import os
@@ -109,7 +122,8 @@ def round_artifacts(repo_dir: str) -> list[tuple[int, str]]:
         found.append((int(m.group(1)), path))
     found.sort()
     if (
-        tracked is None
+        drop_unverifiable_max
+        and tracked is None
         and found
         and os.path.isdir(os.path.join(repo_dir, ".git"))
     ):

@@ -408,6 +408,22 @@ def test_round_artifacts_git_failure_fallback_drops_inflight_round(tmp_path):
     assert [n for n, _p in calib.round_artifacts(str(plain))] == [7, 8]
 
 
+def test_next_round_number_survives_git_failure(tmp_path):
+    """r11 advice: the drop-max fallback is a REFERENCE-selection
+    safeguard; inherited by round NUMBERING it names the in-flight
+    round after the last committed one whenever ls-files fails before
+    the driver drops the new artifact — and the detail sidecar then
+    overwrites that committed round's file. Numbering must use the
+    undropped on-disk max (err high, never clobber history)."""
+    (tmp_path / ".git").mkdir()  # looks like a repo; ls-files errors
+    (tmp_path / "BENCH_r7.json").write_text("{}")
+    # numbering: undropped max 7 -> producing round 8 (NOT 7, which
+    # would resolve the sidecar to the committed BENCH_detail_r7.json)
+    assert bench.next_round_number(str(tmp_path)) == 8
+    # reference selection keeps the protective pop in the same state
+    assert [n for n, _p in calib.round_artifacts(str(tmp_path))] == []
+
+
 def test_detail_sidecar_diverts_off_sf_runs(tmp_path):
     """r11: the conventional sidecar name is reserved for OFFICIAL_SF
     runs — deterministic by sf, NOT first-writer-wins, so an off-SF

@@ -52,6 +52,12 @@ def test_record_and_is_committed_both_shapes():
     # out-of-order record never regresses the mark
     ledger.record(meta, f"{QID}-epoch-1")
     assert meta["epoch_hwm"] == {QID: 3}
+    # r11 advice: record() is idempotent on the non-epoch path too — a
+    # caller that skips the is_committed pre-check must not grow the
+    # exact-membership list with duplicates
+    ledger.record(meta, "b1")
+    ledger.record(meta, "b1")
+    assert meta["committed_ids"] == ["b1"]
 
 
 def test_migrate_preserves_exact_membership():

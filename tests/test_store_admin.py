@@ -159,6 +159,39 @@ def test_lock_holder_is_reported(tmp_path, capsys):
     }
 
 
+def test_unreadable_lock_reads_held_not_absent(tmp_path, capsys):
+    """r11 advice: a lock file that EXISTS but carries no parsable pid
+    is the unstealable empty/corrupt lock every writer is blocking on —
+    the status line must say held (holder unknown), not "no lock"."""
+    import os
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.store_lock import (
+        LOCK_NAME,
+    )
+
+    p = str(tmp_path / "mg")
+    MgSummaryStore(p, k=2).merge_epoch([("a", 1)], 1, "b1")
+    lock = os.path.join(p, LOCK_NAME)
+    with open(lock, "w") as fh:
+        fh.write("not-a-pid")
+    rc, out = _run(capsys, p)
+    assert rc == 0
+    assert out["lock"] == {
+        "held": True,
+        "holder_pid": None,
+        "holder_alive": None,
+    }
+    # empty lock: same answer shape — present, holder unknowable
+    with open(lock, "w"):
+        pass
+    rc, out = _run(capsys, p)
+    assert out["lock"]["held"] is True
+    assert out["lock"]["holder_pid"] is None
+    os.unlink(lock)
+    rc, out = _run(capsys, p)
+    assert out["lock"] == {"held": False}
+
+
 def test_kmeans_iters_zero_is_loud(capsys):
     with pytest.raises(SystemExit):
         store_admin.build_parser().parse_args(

@@ -221,13 +221,18 @@ def test_dead_waiters_tmp_files_are_swept(tmp_path):
     """A contender hard-killed while WAITING leaks its private temp pid
     file (its cleanup never runs); the next acquisition sweeps temps
     whose embedded pid is dead — and leaves a LIVE waiter's alone."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.store_lock import (
+        _host_token,
+    )
+
+    host = _host_token()
     proc = subprocess.Popen(["true"])
     proc.wait()
-    dead = tmp_path / f".{LOCK_NAME}.{proc.pid}.deadbeef"
+    dead = tmp_path / f".{LOCK_NAME}.{proc.pid}.{host}.deadbeef"
     dead.write_text(str(proc.pid))
-    live = tmp_path / f".{LOCK_NAME}.{os.getpid()}.cafebabe"
+    live = tmp_path / f".{LOCK_NAME}.{os.getpid()}.{host}.cafebabe"
     live.write_text(str(os.getpid()))
-    junk = tmp_path / f".{LOCK_NAME}.notapid.ffff"
+    junk = tmp_path / f".{LOCK_NAME}.notapid.{host}.ffff"
     junk.write_text("junk")
     with store_write_lock(str(tmp_path)):
         pass
@@ -235,6 +240,40 @@ def test_dead_waiters_tmp_files_are_swept(tmp_path):
     assert live.exists()   # live pid: not ours to sweep
     assert junk.exists()   # unparsable: left for a human
     live.unlink(); junk.unlink()
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_foreign_host_waiters_are_age_gated_not_pid_checked(tmp_path):
+    """r11 advice: on a shared (NFS) store, ``kill(pid, 0)`` judges a
+    REMOTE waiter by a pid that means nothing here — unlinking its temp
+    file crashes the live contender's next ``os.link`` with
+    FileNotFoundError. Foreign host tokens (and legacy pre-token names,
+    whose host is unknowable) must survive the sweep while fresh and
+    fall only to the age threshold."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import (
+        store_lock,
+    )
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()  # a pid that is LOCALLY dead — the misjudgement input
+    old = time.time() - store_lock.FOREIGN_TMP_MAX_AGE - 60
+    fresh_foreign = tmp_path / f".{LOCK_NAME}.{proc.pid}.00000000.aaaa"
+    fresh_foreign.write_text(str(proc.pid))
+    stale_foreign = tmp_path / f".{LOCK_NAME}.{proc.pid}.00000000.bbbb"
+    stale_foreign.write_text(str(proc.pid))
+    os.utime(stale_foreign, (old, old))
+    fresh_legacy = tmp_path / f".{LOCK_NAME}.{proc.pid}.cccc"
+    fresh_legacy.write_text(str(proc.pid))
+    stale_legacy = tmp_path / f".{LOCK_NAME}.{proc.pid}.dddd"
+    stale_legacy.write_text(str(proc.pid))
+    os.utime(stale_legacy, (old, old))
+    with store_write_lock(str(tmp_path)):
+        pass
+    assert fresh_foreign.exists()  # live remote waiter: NOT ours to judge
+    assert fresh_legacy.exists()   # host unknowable: age-gated too
+    assert not stale_foreign.exists()
+    assert not stale_legacy.exists()
+    fresh_foreign.unlink(); fresh_legacy.unlink()
     assert list(tmp_path.iterdir()) == []
 
 

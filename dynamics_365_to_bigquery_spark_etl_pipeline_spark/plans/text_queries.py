@@ -765,3 +765,169 @@ SELECT doc_id,
   md5({_PII_COUNTS['redacted']}) AS redacted_md5
 FROM planted
 """
+
+
+# -- BM25 ranked retrieval --------------------------------------------------
+
+BM25_QUERIES = (
+    ("q1", "spark shuffle join"),
+    ("q2", "window merge sort"),
+    ("q3", "fast table scan stream"),
+)
+BM25_TOP = 10  # documents returned per query
+# Okapi constants k1=1.2, b=0.75, folded into integer coefficients
+# below (k1 = 6/5, b = 3/4 -> the 22/10/3/9 terms)
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents per benchmark query
+    string, Okapi weighting with k1=1.2, b=0.75 — the classic
+    bag-of-words retrieval baseline a training-data pipeline uses for
+    corpus probes and RAG-ish lookups (Robertson & Zaragoza 2009).
+
+    ENGINE-EXACT by construction, two moves:
+
+    1. The per-term score is algebraically rearranged into ONE IEEE
+       division of two exact bigint products. With avgdl = S/N (S =
+       corpus token count, N = corpus docs) and the log-free odds-lift
+       idf (N - df + 0.5)/(df + 0.5) — same transcendental-free
+       convention as q_text_collocations' lift-for-PMI; emitting ln of
+       it would hash-differ between JVM and C math libraries —
+       multiplying numerator and denominator by 10*S*2 gives
+
+         score_t = (22*tf*S * (2N - 2df + 1))
+                 / ((10*tf*S + 3*S + 9*dl*N) * (2df + 1))
+
+       every factor an exact bigint (headroom: the numerator tops out
+       ~4e17 at sf10; beyond that the products need a decimal cast).
+    2. The per-document SUM over matched query terms is a fold-left
+       over the tok-SORTED score list (F.aggregate over
+       array_sort(collect_list(...)), list_reduce over
+       LIST(... ORDER BY tok) in the oracle) — a bare SUM(double) is
+       accumulation-order-dependent and order differs between engines
+       and across partitionings; the sorted fold adds in ONE defined
+       order, so the doubles are bit-identical.
+
+    Shapes for 100 TB: tf/dl/df are single explode + token- or
+    doc-keyed aggregates (uniform keys); the query-term and
+    query-restricted df frames are broadcast (a query list is
+    human-sized); the only corpus-scale join is matched-terms ⋈ dl on
+    doc_id. Ranking is a per-query-id window over at most |corpus|
+    candidate docs, cut to BM25_TOP with a deterministic
+    (score desc, doc_id) tie-break."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import normalized_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(normalized_tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        toks.agg(F.count("*").alias("s_tokens"))
+    )
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, q in BM25_QUERIES
+            for t in sorted(set(q.split()))
+        ],
+        "query_id string, tok string",
+    )
+    # df restricted to query vocabulary BEFORE joining, so the
+    # corpus-vocabulary frame never shuffles into the match join
+    dfq = dfreq.join(F.broadcast(qterms.select("tok").distinct()), "tok")
+    matched = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    num = (22 * F.col("tf") * F.col("s_tokens")) * (
+        2 * F.col("n_docs") - 2 * F.col("df") + 1
+    )
+    den = (
+        10 * F.col("tf") * F.col("s_tokens")
+        + 3 * F.col("s_tokens")
+        + 9 * F.col("dl") * F.col("n_docs")
+    ) * (2 * F.col("df") + 1)
+    scored = matched.withColumn(
+        "score_t", num.cast("double") / den.cast("double")
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tok"), F.col("score_t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score_t"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP)
+        .select("query_id", "doc_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+EXTRA_QUERIES["q_text_bm25_topk"] = q_text_bm25_topk
+
+_BM25_QVALS = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, q in BM25_QUERIES
+    for t in sorted(set(q.split()))
+)
+
+EXTRA_ORACLES["q_text_bm25_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NT_SQL('text')}) AS tok FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE LENGTH(tok) > 0),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+dfreq AS (
+  SELECT tok, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks2) GROUP BY tok
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT COUNT(*) FROM toks2) AS s_tokens
+),
+qterms(query_id, tok) AS (VALUES {_BM25_QVALS}),
+scored AS (
+  SELECT q.query_id, tf.doc_id, tf.tok,
+    CAST((22 * tf.tf * s.s_tokens) * (2 * s.n_docs - 2 * d.df + 1) AS DOUBLE)
+      / CAST((10 * tf.tf * s.s_tokens + 3 * s.s_tokens
+              + 9 * dl.dl * s.n_docs) * (2 * d.df + 1) AS DOUBLE)
+      AS score_t
+  FROM tf JOIN qterms q USING (tok) JOIN dfreq d USING (tok)
+       JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+folded AS (
+  SELECT query_id, doc_id,
+    list_reduce(list_prepend(0.0, LIST(score_t ORDER BY tok ASC)),
+                (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+    ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+    ) AS rank
+  FROM folded
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {BM25_TOP}
+ORDER BY query_id, rank
+"""

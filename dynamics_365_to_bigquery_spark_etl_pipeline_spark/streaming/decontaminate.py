@@ -55,6 +55,42 @@ from .util import (
 heldout_gram_set = C.heldout_gram_set
 
 
+def contamination_hits(
+    docs: DataFrame,
+    grams: DataFrame,
+    text_col: str,
+    n: int,
+    max_hits: int,
+) -> DataFrame:
+    """One row per DISTINCT contaminated text: ``(_th, n_doc_ngrams,
+    n_contaminated)`` keyed by the md5 routing hash of the text.
+
+    ROUTED, same law as the batch query (r9): the overlap counts are a
+    function of the text alone, so shingle + hash + broadcast-join once
+    per distinct text and let the caller fan the verdict back out over
+    ``_th`` — on a clone-heavy corpus the gram explosion shrinks by the
+    duplication factor. One implementation for both the standalone
+    decontamination gate and the unified ingest pipeline (r12): the
+    gate logic is replay-guard-adjacent, and a second copy would drift
+    on the next fix."""
+    reps = docs.select(text_col).distinct().select(
+        F.md5(F.col(text_col)).alias("_th"),
+        F.array_distinct(C.word_ngrams(F.col(text_col), n)).alias("_grams"),
+    )
+    return (
+        reps.select(
+            "_th",
+            F.size("_grams").cast("long").alias("n_doc_ngrams"),
+            F.explode("_grams").alias("_ngram"),
+        )
+        .withColumn("gh", C.hash60(F.col("_ngram")))
+        .join(F.broadcast(grams), "gh")
+        .groupBy("_th", "n_doc_ngrams")
+        .agg(F.count("*").alias("n_contaminated"))
+        .filter(F.col("n_contaminated") > max_hits)
+    )
+
+
 def stream_decontaminate(
     spark: SparkSession,
     source_dir: str,
@@ -99,38 +135,16 @@ def stream_decontaminate(
             StorageLevel.MEMORY_AND_DISK
         )
         try:
-            # ROUTED per epoch, same law as the batch query (r9): the
-            # overlap counts are a function of the TEXT alone, so
-            # shingle + hash + join once per DISTINCT batch text and
-            # fan the verdict back out over an md5 routing key — on a
-            # clone-heavy corpus the gram explosion shrinks by the
-            # duplication factor; the unrouted test expression
-            # independently verifies the routing
-            reps = batch_df.select(text_col).distinct().select(
-                F.md5(F.col(text_col)).alias("_th"),
-                F.array_distinct(C.word_ngrams(F.col(text_col), n)).alias(
-                    "_grams"
-                ),
-            )
+            # routed verdict per distinct text (shared builder, above);
             # hits persisted around the two writes, same lesson as the
             # batch itself: it is LAZY, and without the pin the clean
             # write re-runs the whole gram explosion + broadcast join a
             # second time per epoch (measured 1.8x the drain wall at
             # sf1, SCALING.md). It is the small side — one row per
             # contaminated distinct text.
-            hits = (
-                reps.select(
-                    "_th",
-                    F.size("_grams").cast("long").alias("n_doc_ngrams"),
-                    F.explode("_grams").alias("_ngram"),
-                )
-                .withColumn("gh", C.hash60(F.col("_ngram")))
-                .join(F.broadcast(grams), "gh")
-                .groupBy("_th", "n_doc_ngrams")
-                .agg(F.count("*").alias("n_contaminated"))
-                .filter(F.col("n_contaminated") > max_hits)
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
+            hits = contamination_hits(
+                batch_df, grams, text_col, n, max_hits
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 tagged = (
                     batch_df.withColumn("_th", F.md5(F.col(text_col)))

@@ -1,0 +1,194 @@
+"""Unified training-data ingest — quality gate, decontamination, and
+near-dup indexing in ONE foreachBatch stream (r12).
+
+The r11 legs compose dir-to-dir (quality ``kept/`` feeds the
+decontamination gate's file source, whose ``clean/`` feeds the dedup
+index's), and that composition is the right shape when the stages are
+owned by different teams or restart independently. But chained as one
+logical pipeline it pays the per-leg fixed choreography three times —
+three triggers, three checkpoint commits per file, and two full
+intermediate materializations (every surviving row is written and
+re-read twice before it reaches the index). This module runs the same
+three stages inside one micro-batch:
+
+    arriving docs
+      -> quality score (map-side JVM expression)      -> rejected/
+      -> held-out n-gram gate (broadcast hash join)   -> contaminated/
+      -> survivors                                    -> clean/
+      -> LSH index probe + append (two-phase)         -> pairs/
+
+Per epoch that is ONE trigger, ONE checkpoint commit, zero
+intermediate dir round-trips for the gates (the only re-read is
+``clean/`` feeding the index — deliberate: the index then provably
+indexes exactly the rows the epoch landed, and the read doubles as the
+plan cut ``prepare_batch`` wants instead of re-running the gate joins).
+The stage ORDER is the cheap-filter-first law: the quality gate is a
+column expression (no join) and runs first so the gram explosion and
+the index probe only ever see rows that passed it; decontamination
+(broadcast join, no shuffle) runs second so shingling + banding —
+the only shuffle-bearing stage — sees only clean survivors.
+
+Exactly-once: the three output dirs are deterministic per-epoch
+overwrites under the run-scoped ``<query-id>-epoch-<n>`` key (the
+gates' contract), and the whole epoch is ordered BEFORE the index
+commit — ``is_committed`` then guards the replay: a crash anywhere
+before ``commit()`` replays the epoch whole (same key, same committed
+index state, dirs rewritten in place); a crash after skips it with
+every artifact already on disk. One store commit per epoch is also
+one write-lock acquisition per epoch — a third of the chained legs'
+lock traffic on a store shared with maintenance jobs.
+
+Scale shape (the 100 TB question): per epoch the work is one batch
+scan + one broadcast join + O(|survivors| + collisions) index probe —
+nothing rescans the corpus, nothing shuffles except the banded
+postings exchange into the index's bucketing, and the held-out gram
+set is staged ONCE at stream setup. Equivalence with the chained legs
+is pytest-pinned (same rejected/contaminated/clean/pairs contents);
+the fixed-cost saving is measured in SCALING.md
+(``scripts/ab_ingest_pipeline.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.storagelevel import StorageLevel
+
+from ..operators import text as X
+from ..operators.dedup_index import LshDedupIndex
+from ..operators.stage import stage
+from .decontaminate import contamination_hits, heldout_gram_set
+from .util import (
+    check_reserved_columns,
+    project_to_schema,
+    query_id_reader,
+)
+
+
+def stream_ingest_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    heldout: DataFrame,
+    out_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_score: int = 50,
+    score: Optional[Callable[[Column], Column]] = None,
+    n: int = 4,
+    max_hits: int = 0,
+    jaccard_min: float = 0.5,
+    compact_every: int = 0,
+    max_files_per_trigger: int = 1,
+    lock_timeout: float = 60.0,
+) -> StreamingQuery:
+    """Run the full ingest pipeline over a document file-source stream.
+
+    Outputs under ``out_dir``: ``rejected/epoch=<key>`` (failed the
+    quality gate, ``quality_score`` audit column), ``contaminated/
+    epoch=<key>`` (overlapped the held-out split, ``n_doc_ngrams``/
+    ``n_contaminated`` audit columns), ``clean/epoch=<key>`` (the
+    corpus rows, input schema), and ``pairs/epoch=<n>`` (near-dup
+    pairs vs everything previously indexed — bare epoch key, the
+    pairs-dir consumer contract shared with ``stream_dedup_index``:
+    pairs_dir lives and dies with checkpoint_dir). The LSH index at
+    ``index_path`` is appended exactly-once per epoch.
+
+    Gate parameters mirror the standalone legs (``stream_quality_gate``,
+    ``stream_decontaminate``, ``stream_dedup_index``) — equivalence
+    with that chain is the module's correctness contract."""
+    score_fn = score if score is not None else X.quality_score
+    check_reserved_columns(
+        schema,
+        {"quality_score", "_th", "n_doc_ngrams", "n_contaminated", "epoch"},
+    )
+    grams = stage(heldout_gram_set(heldout, text_col, n))
+    idx = LshDedupIndex(
+        spark, index_path, jaccard_min=jaccard_min, lock_timeout=lock_timeout
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    _query_id = query_id_reader(checkpoint_dir)
+
+    def run_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"{_query_id()}-epoch-{epoch_id}"
+        # the index commit is the LAST action of the epoch, so its
+        # ledger is the whole epoch's replay guard: committed means
+        # every dir below was already written under this key
+        if batch_df.isEmpty() or idx.is_committed(key):
+            return
+        clean_dir = os.path.join(out_dir, "clean", f"epoch={key}")
+        # persisted around the epoch's writes — the source scan behind
+        # the batch is the expensive part (heavy-hitters lesson), and
+        # the pin also fixes one score per row
+        scored = project_to_schema(batch_df, schema).withColumn(
+            "quality_score", score_fn(F.col(text_col))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            keep = F.col("quality_score") >= min_score
+            # NULL scores are rows the gate cannot vouch for: rejected,
+            # never silently lost (r11 review, shared with the
+            # standalone gate)
+            scored.filter(~keep | F.col("quality_score").isNull()).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "rejected", f"epoch={key}"))
+            survivors = scored.filter(keep).drop("quality_score")
+            # routed contamination verdict (shared builder): small —
+            # one row per contaminated distinct text — and consumed by
+            # both remaining writes, so pinned
+            hits = contamination_hits(
+                survivors, grams, text_col, n, max_hits
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                tagged = (
+                    survivors.withColumn("_th", F.md5(F.col(text_col)))
+                    .join(hits, "_th", "left")
+                    .drop("_th")
+                )
+                tagged.filter(
+                    F.col("n_contaminated").isNotNull()
+                ).write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "contaminated", f"epoch={key}")
+                )
+                tagged.filter(F.col("n_contaminated").isNull()).drop(
+                    "n_doc_ngrams", "n_contaminated"
+                ).write.mode("overwrite").parquet(clean_dir)
+            finally:
+                hits.unpersist()
+        finally:
+            scored.unpersist()
+        # index exactly what landed: the epoch's own clean dir read
+        # back — a free plan cut (prepare_batch would localCheckpoint
+        # anyway) that can't drift from the written corpus
+        pairs, commit = idx.prepare_batch(
+            spark.read.parquet(clean_dir), key, id_col, text_col
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "pairs", f"epoch={epoch_id}")
+        )
+        commit()
+        # cadence keys on APPENDED batches (the live gen dir is
+        # excluded) — counting committed_batches() degenerates to a
+        # full rewrite every epoch (r10 review, shared with the
+        # standalone index leg)
+        if compact_every and len(idx.appended_batches()) >= compact_every:
+            idx.compact()
+
+    return (
+        stream.writeStream.foreachBatch(run_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,205 @@
+"""Unified streaming ingest pipeline (r12): quality gate +
+decontamination + near-dup indexing in ONE foreachBatch. Its
+correctness contract is EQUIVALENCE with the chained standalone legs
+(quality kept/ -> decontaminate clean/ -> dedup index) over the same
+corpus, plus the family's exactly-once replay guarantee."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.dedup_index import (
+    LshDedupIndex,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.cdc_stream import (
+    stream_dedup_index,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.decontaminate import (
+    stream_decontaminate,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.ingest_pipeline import (
+    stream_ingest_pipeline,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.quality_gate import (
+    stream_quality_gate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+MIN_SCORE = 50
+NGRAM_N = 4
+JACC = 0.5
+
+
+def _corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    heldout = docs.filter(F.col("doc_id") % 13 == 0)
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    return heldout, train
+
+
+def _write_source(train, src, n_files=3):
+    for i in range(n_files):
+        train.filter(F.col("doc_id") % n_files == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+
+def _drain_unified(spark, src, schema, heldout, out, idx, ck, **kw):
+    q = stream_ingest_pipeline(
+        spark, str(src), schema, heldout, str(out), str(idx), str(ck),
+        min_score=MIN_SCORE, n=NGRAM_N, jaccard_min=JACC, **kw,
+    )
+    assert q.awaitTermination(240)
+
+
+def _ids(spark, path):
+    if not os.path.isdir(str(path)):
+        return set()
+    return {r.doc_id for r in spark.read.parquet(str(path)).collect()}
+
+
+def _pair_set(spark, path):
+    if not os.path.isdir(str(path)):
+        return set()
+    return {
+        frozenset((r.id_a, r.id_b))
+        for r in spark.read.parquet(str(path)).collect()
+    }
+
+
+def test_unified_equals_chained_legs(spark, tmp_path):
+    """The whole point: one stream must land exactly what the
+    three-leg dir-to-dir chain lands — same rejected ids (with the
+    same scores), same contaminated ids, same clean corpus, same
+    near-dup pair set, same final index answers."""
+    heldout, train = _corpus(spark)
+    src = tmp_path / "src"
+    _write_source(train, src)
+
+    out_u = tmp_path / "uni_out"
+    _drain_unified(
+        spark, src, train.schema, heldout, out_u,
+        tmp_path / "uni_idx", tmp_path / "uni_ck",
+        max_files_per_trigger=1,
+    )
+
+    # the chained reference: quality -> decontaminate -> index
+    out_q, out_d = tmp_path / "ch_q", tmp_path / "ch_d"
+    q = stream_quality_gate(
+        spark, str(src), train.schema, str(out_q),
+        str(tmp_path / "ck_q"), min_score=MIN_SCORE,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(240)
+    q = stream_decontaminate(
+        spark, str(out_q / "kept"), train.schema, heldout, str(out_d),
+        str(tmp_path / "ck_d"), n=NGRAM_N, max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(240)
+    pairs_d = tmp_path / "ch_pairs"
+    q = stream_dedup_index(
+        spark, str(out_d / "clean"), train.schema,
+        str(tmp_path / "ch_idx"), str(pairs_d), str(tmp_path / "ck_i"),
+        jaccard_min=JACC, max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(240)
+
+    # every stage's verdict set matches (pair orientation depends on
+    # epoch batching, which legitimately differs between the runs —
+    # compare unordered)
+    rej_u = spark.read.parquet(str(out_u / "rejected"))
+    rej_c = spark.read.parquet(str(out_q / "rejected"))
+    assert {(r.doc_id, r.quality_score) for r in rej_u.collect()} == {
+        (r.doc_id, r.quality_score) for r in rej_c.collect()
+    }
+    assert _ids(spark, out_u / "contaminated") == _ids(
+        spark, out_d / "contaminated"
+    )
+    clean_u = _ids(spark, out_u / "clean")
+    assert clean_u == _ids(spark, out_d / "clean")
+    assert clean_u, "fixture must leave a non-empty clean corpus"
+    assert _pair_set(spark, out_u / "pairs") == _pair_set(spark, pairs_d)
+    # the three dirs partition the input: nothing lost, nothing doubled
+    all_in = {r.doc_id for r in train.collect()}
+    rej_ids = {r.doc_id for r in rej_u.collect()}
+    cont_ids = _ids(spark, out_u / "contaminated")
+    assert rej_ids | cont_ids | clean_u == all_in
+    assert not (rej_ids & cont_ids or rej_ids & clean_u or cont_ids & clean_u)
+    # and the two indexes answer a probe identically
+    idx_u = LshDedupIndex(spark, str(tmp_path / "uni_idx"), jaccard_min=JACC)
+    idx_c = LshDedupIndex(spark, str(tmp_path / "ch_idx"), jaccard_min=JACC)
+    probe = train.limit(40)
+    got_u = {
+        frozenset((r.id_a, r.id_b))
+        for r in idx_u.prepare_batch(probe, "probe-u")[0].collect()
+    }
+    got_c = {
+        frozenset((r.id_a, r.id_b))
+        for r in idx_c.prepare_batch(probe, "probe-c")[0].collect()
+    }
+    assert got_u == got_c
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-draining the same checkpoint with no new source files adds no
+    epochs, no index batches, and leaves every output dir untouched."""
+    heldout, train = _corpus(spark)
+    src = tmp_path / "src"
+    train.coalesce(1).write.parquet(str(src))
+    out, idx_p, ck = tmp_path / "out", tmp_path / "idx", tmp_path / "ck"
+    _drain_unified(spark, src, train.schema, heldout, out, idx_p, ck)
+    idx = LshDedupIndex(spark, str(idx_p), jaccard_min=JACC)
+    batches = sorted(idx.committed_batches())
+    dirs = {
+        side: sorted(os.listdir(out / side))
+        for side in ("rejected", "contaminated", "clean", "pairs")
+    }
+    n_clean = spark.read.parquet(str(out / "clean")).count()
+    _drain_unified(spark, src, train.schema, heldout, out, idx_p, ck)
+    assert sorted(idx.committed_batches()) == batches
+    for side, d in dirs.items():
+        assert sorted(os.listdir(out / side)) == d, side
+    assert spark.read.parquet(str(out / "clean")).count() == n_clean
+
+
+def test_reserved_columns_fail_loudly(spark, tmp_path):
+    heldout, _train = _corpus(spark)
+    for bad_col in ("quality_score", "n_contaminated", "_th", "epoch"):
+        bad = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField(bad_col, T.LongType()),
+            ]
+        )
+        with pytest.raises(ValueError, match="reserved column"):
+            stream_ingest_pipeline(
+                spark, str(tmp_path / "src"), bad, heldout,
+                str(tmp_path / "out"), str(tmp_path / "idx"),
+                str(tmp_path / "ck"),
+            )
+
+
+def test_compaction_folds_into_the_stream(spark, tmp_path):
+    """compact_every bounds index fan-in exactly like the standalone
+    index leg: after a 3-epoch drain with compact_every=2 the live
+    store is a single generation dir plus at most one uncompacted
+    batch, and a probe still answers."""
+    heldout, train = _corpus(spark)
+    src = tmp_path / "src"
+    _write_source(train, src)
+    out, idx_p, ck = tmp_path / "out", tmp_path / "idx", tmp_path / "ck"
+    _drain_unified(
+        spark, src, train.schema, heldout, out, idx_p, ck,
+        max_files_per_trigger=1, compact_every=2,
+    )
+    idx = LshDedupIndex(spark, str(idx_p), jaccard_min=JACC)
+    live = idx.committed_batches()
+    assert len(live) <= 2 and any(b.startswith("gen") for b in live)
+    pairs, _commit = idx.prepare_batch(train.limit(20), "probe-after")
+    pairs.collect()  # probe path stays readable across the fold

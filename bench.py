@@ -73,6 +73,12 @@ HEADLINE = [
     # calib_compare's per-query rows, and SCALING.md notes the set grew.
     "q_fuzzy_join_d1",
     "q_decontaminate_ngram",
+    # added r12: BM25 ranked retrieval — the round's new query family
+    # (engine-exact Okapi; the incremental store's topk is
+    # contract-bound bit-identical to this plan, so tracking the
+    # full-corpus row tracks the shared scoring/fold structure too).
+    # Totals grow by its ~1 s at sf0.1; SCALING.md notes the set grew.
+    "q_text_bm25_topk",
 ]
 
 # r11 (r10 verdict #4): the four foreachBatch legs had equivalence tests

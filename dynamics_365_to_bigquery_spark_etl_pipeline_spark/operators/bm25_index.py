@@ -1,0 +1,418 @@
+"""Incremental BM25 retrieval index: O(delta) appends for a GROWING
+text corpus (r12).
+
+``plans/text_queries.q_text_bm25_topk`` is a full-corpus computation —
+tokenize, tf/dl/df aggregates, score, rank — rerun from scratch per
+query batch. At 100 TB with daily ingest that re-tokenizes the whole
+corpus every time. This store persists the per-document term
+statistics ONCE per batch and keeps the corpus-level stats additive,
+mirroring the LSH dedup index / IVF layout store shape
+(``operators/dedup_index.py``, ``operators/ivf_store.py``):
+
+State on disk (under ``path/``):
+
+- ``postings/batch=<id>/tok_bucket=<b>/`` — per-batch posting lists:
+  one row per (doc, token) carrying ``(doc_id, tok, tf, dl)`` — the
+  document length is DENORMALIZED into the postings row (the classic
+  search-engine move) so a query never joins a corpus-sized doclen
+  table; dirs are hash-partitioned on the token so a query
+  partition-prunes to its own terms' buckets
+- ``_bm25_meta.json`` — live batch ids, the bounded replay ledger
+  (``operators/ledger.py``), ADDITIVE corpus stats (``n_docs``,
+  ``s_tokens`` — exact bigints, so batch-built scores are bit-identical
+  to a full rebuild's by arithmetic), per-batch stats, generation
+  counter, and the pinned identity (``id_col``/``text_col``/
+  ``n_buckets`` — a mismatched open fails loudly, the IVF/MG
+  convention)
+
+Per ``append`` the work is O(|delta|): tokenize the new docs (the
+SHARED ``dedup.normalized_tokens`` — the full-corpus query's
+tokenizer), aggregate their tf/dl, write ONE ``batch=<id>`` dir,
+commit stats + ledger. Document frequency is NOT materialized: df for
+a query's terms is counted at query time over the bucket-pruned
+postings (each (doc, tok) row exists exactly once across batches —
+doc ids must be globally unique, as in the sibling stores), so an
+append never rewrites global state.
+
+``topk(queries, k)`` is contract-bound BIT-IDENTICAL to
+``q_text_bm25_topk`` over the same corpus: same tokenizer, same
+rational one-division term score, same tok-sorted fold-left doc sum
+(all three shared from ``operators/text.bm25_*`` /
+``operators/dedup.normalized_tokens`` — one rule per fact), and the
+additive meta stats equal the full computation's aggregates exactly.
+Pinned in ``tests/test_bm25_index.py``.
+
+``compact()`` folds live batch dirs into one ``gen<N>`` generation dir
+(crash-safe two-phase, replay ledger preserved) so probe fan-in stays
+bounded on a long-lived ingest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ledger
+from . import text as X
+from .dedup import normalized_tokens
+from .store_lock import store_write_lock
+
+META_NAME = "_bm25_meta.json"
+
+# meta keys pinned at first write and validated on every open
+IDENTITY_KEYS = ("id_col", "text_col", "n_buckets")
+
+
+class Bm25Index:
+    # token-hash partition dirs per batch: a query reads only its
+    # terms' buckets, so probe I/O is |query vocab|/n_buckets of the
+    # store regardless of corpus size
+    N_BUCKETS = 16
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = N_BUCKETS,
+        lock_timeout: float = 60.0,
+    ) -> None:
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+        # wait budget, not identity (see IvfLayoutStore.__init__)
+        self.lock_timeout = lock_timeout
+        os.makedirs(path, exist_ok=True)
+
+    # -- state ------------------------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, META_NAME)
+
+    def _identity(self) -> dict:
+        return {k: getattr(self, k) for k in IDENTITY_KEYS}
+
+    def _read_meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as fh:
+                meta = json.load(fh)
+        except FileNotFoundError:
+            return {
+                "batches": [],
+                "committed_ids": [],
+                "epoch_hwm": {},
+                "generation": 0,
+                "n_docs": 0,
+                "s_tokens": 0,
+                "stats": {},
+                **self._identity(),
+            }
+        ledger.migrate(meta)
+        for key, mine in self._identity().items():
+            theirs = meta.setdefault(key, mine)
+            if theirs != mine:
+                raise ValueError(
+                    f"BM25 index at {self.path} was built with "
+                    f"{key}={theirs!r}, opened with {key}={mine!r} — "
+                    "identity knobs are per-store; open with the stored "
+                    "values (or Bm25Index.open to adopt them)"
+                )
+        return meta
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._meta_path())
+
+    def _batch_dir(self, batch_id: str) -> str:
+        return os.path.join(self.path, "postings", f"batch={batch_id}")
+
+    def committed_batches(self) -> list[str]:
+        """Live postings dirs (what queries scan). Zero-token batches
+        commit to the LEDGER but add no dir — an empty partitioned
+        parquet write leaves nothing readable behind."""
+        return self._read_meta()["batches"]
+
+    def appended_batches(self, meta: dict | None = None) -> list[str]:
+        """Live batch ids excluding compaction generations — the count
+        a maintenance cadence keys on (the gen dir is always live after
+        the first fold; see IvfLayoutStore.appended_batches)."""
+        batches = (
+            meta["batches"] if meta is not None else self.committed_batches()
+        )
+        return [b for b in batches if not re.fullmatch(r"gen\d+", b)]
+
+    def committed_ids(self) -> list[str]:
+        return self._read_meta()["committed_ids"]
+
+    def epoch_high_water(self) -> dict[str, int]:
+        return dict(self._read_meta()["epoch_hwm"])
+
+    def is_committed(self, batch_id: str) -> bool:
+        return ledger.is_committed(self._read_meta(), batch_id)
+
+    def stats(self) -> dict:
+        """Corpus-level stats from ONE meta snapshot: additive exact
+        ``n_docs``/``s_tokens``, live dir count, ledger sizes."""
+        meta = self._read_meta()
+        return {
+            "n_docs": meta["n_docs"],
+            "s_tokens": meta["s_tokens"],
+            "n_batches": len(meta["batches"]),
+            "n_appended": len(self.appended_batches(meta)),
+            "generation": meta["generation"],
+        }
+
+    @classmethod
+    def open(
+        cls, spark: SparkSession, path: str, lock_timeout: float = 60.0
+    ) -> "Bm25Index":
+        """Open an EXISTING index ADOPTING its pinned identity (the
+        admin/maintenance entry point — constructor validation is for
+        ingest legs). Raises FileNotFoundError when no index exists."""
+        with open(os.path.join(path, META_NAME)) as fh:
+            meta = json.load(fh)
+        knobs = {k: meta[k] for k in IDENTITY_KEYS if k in meta}
+        return cls(spark, path, lock_timeout=lock_timeout, **knobs)
+
+    # -- ingest -----------------------------------------------------------
+    def _tokenize(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, tok) — the full-corpus query's exact tokenizer."""
+        return docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.explode(normalized_tokens(F.col(self.text_col))).alias("tok"),
+        ).filter(F.length("tok") > 0)
+
+    def _postings(self, docs: DataFrame) -> DataFrame:
+        """Per-batch posting rows ``(doc_id, tok, tf, dl, tok_bucket)``
+        — dl denormalized onto every row, bucket = pmod(xxhash64(tok))
+        (uniform, skew-free; the same hash family as every bucketed
+        store in this repo)."""
+        toks = self._tokenize(docs)
+        tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        return (
+            tf.join(dl, "doc_id")
+            .withColumn(
+                "tok_bucket", F.pmod(F.xxhash64("tok"), F.lit(self.n_buckets))
+            )
+        )
+
+    def append(self, docs: DataFrame, batch_id: str) -> dict:
+        """Index a new document batch in O(|delta|). Returns the
+        corpus stats after the commit. Replay of a committed id is a
+        no-op; ``*-epoch-<n>`` ids carry the streaming legs' bounded
+        monotonic replay semantics (``operators/ledger.py``). The whole
+        operation holds the store write lock — the dir write included,
+        so a concurrent ``compact()``'s GC can never sweep an in-flight
+        uncommitted dir."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
+            # allowlist: a path-separator id would escape the batch=
+            # namespace (shared review finding with the sibling stores)
+            raise ValueError(
+                f"batch_id {batch_id!r} must match [A-Za-z0-9._-]+ "
+                "(it names a directory under the index)"
+            )
+        if re.fullmatch(r"gen\d+", batch_id):
+            raise ValueError(
+                f"batch_id {batch_id!r} is reserved (compaction names "
+                "generations 'gen<N>')"
+            )
+        with store_write_lock(self.path, timeout=self.lock_timeout):
+            meta = self._read_meta()
+            if ledger.is_committed(meta, batch_id):
+                return self.stats()  # replay: state already reflects it
+            # ONE pass over the batch for both counts and the postings
+            # write (the pin also fixes the nondeterministic-source
+            # double-scan class every foreachBatch leg guards against)
+            postings = self._postings(docs).localCheckpoint()
+            n_docs = docs.count()
+            if n_docs == 0:
+                raise ValueError(
+                    f"batch {batch_id!r} is empty — nothing to index"
+                )
+            row = postings.agg(
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("s_tokens")
+            ).collect()[0]
+            s_tokens = row["s_tokens"]
+            if s_tokens > 0:
+                out = self._batch_dir(batch_id)
+                if os.path.isdir(out):
+                    shutil.rmtree(out)  # crashed earlier attempt
+                postings.write.partitionBy("tok_bucket").parquet(out)
+                meta["batches"] = meta["batches"] + [batch_id]
+            # a zero-token batch (all-blank docs) still counts toward
+            # n_docs — the full-corpus query's N is COUNT(documents),
+            # blanks included, and topk must stay bit-identical to it
+            ledger.record(meta, batch_id)
+            meta["n_docs"] += n_docs
+            meta["s_tokens"] += int(s_tokens)
+            meta["stats"][batch_id] = {
+                "n_docs": n_docs,
+                "s_tokens": int(s_tokens),
+            }
+            self._write_meta(meta)
+        return self.stats()
+
+    # -- query ------------------------------------------------------------
+    def _require_live_dirs(self, meta: dict, verb: str) -> list[str]:
+        dirs = [self._batch_dir(b) for b in meta["batches"]]
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            raise RuntimeError(
+                f"BM25 index at {self.path} is corrupt: meta lists live "
+                f"batches {meta['batches']} but these dirs are missing "
+                f"on disk: {missing}; restore them or rebuild before "
+                f"{verb}"
+            )
+        return dirs
+
+    def _read_postings(self, dirs: list[str]) -> DataFrame:
+        """One multi-root scan (NOT an O(#dirs) unionByName chain —
+        the r11 analyzer-cost finding). ``batch``/``tok_bucket`` read
+        back as partition columns; filters on ``tok_bucket`` prune
+        partitions at the source."""
+        return self.spark.read.option(
+            "basePath", os.path.join(self.path, "postings")
+        ).parquet(*dirs)
+
+    def topk(self, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
+        """Top-``k`` documents per query string, BM25-ranked —
+        bit-identical to ``q_text_bm25_topk``'s full-corpus plan over
+        the same corpus and queries (shared tokenizer, shared term
+        score, shared ordered fold; additive meta stats ≡ the full
+        aggregates). Returns (query_id, doc_id, score, rank).
+
+        Scale shape: the query terms tokenize through one tiny Spark
+        job (collect is query-vocabulary-sized); the postings scan
+        PARTITION-PRUNES to the terms' tok_buckets across every live
+        batch dir; df is counted over that pruned slice (exact — each
+        (doc, tok) row exists once store-wide); everything joined to
+        the scan is broadcast. No corpus-sized shuffle, no doclen join
+        (dl rides the posting row)."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1 (got {k})")
+        if not queries:
+            raise ValueError("queries must be non-empty")
+        from pyspark.sql import Window
+
+        meta = self._read_meta()
+        if not meta["batches"]:
+            raise RuntimeError(
+                f"BM25 index at {self.path} has no postings — append() "
+                "a batch before querying"
+            )
+        dirs = self._require_live_dirs(meta, "querying")
+
+        qdf = self.spark.createDataFrame(
+            list(queries), "query_id string, qtext string"
+        )
+        qterms = (
+            qdf.select(
+                "query_id",
+                F.explode(normalized_tokens(F.col("qtext"))).alias("tok"),
+            )
+            .filter(F.length("tok") > 0)
+            .distinct()
+            .withColumn(
+                "tok_bucket", F.pmod(F.xxhash64("tok"), F.lit(self.n_buckets))
+            )
+        )
+        term_rows = qterms.collect()  # query-vocabulary-sized
+        if not term_rows:
+            raise ValueError("queries tokenize to no terms")
+        vocab = sorted({r.tok for r in term_rows})
+        buckets = sorted({int(r.tok_bucket) for r in term_rows})
+
+        pruned = self._read_postings(dirs).filter(
+            F.col("tok_bucket").isin(buckets) & F.col("tok").isin(vocab)
+        )
+        # global df for the query terms: one row per (doc, tok) exists
+        # store-wide, so COUNT(*) over the pruned slice is exact
+        dfreq = pruned.groupBy("tok").agg(F.count("*").alias("df"))
+        matched = pruned.join(
+            F.broadcast(qterms.select("query_id", "tok")), "tok"
+        ).join(F.broadcast(dfreq), "tok")
+        scored = matched.withColumn(
+            "score_t",
+            X.bm25_term_score(
+                F.col("tf"),
+                F.col("dl"),
+                F.col("df"),
+                F.lit(meta["n_docs"]).cast("long"),
+                F.lit(meta["s_tokens"]).cast("long"),
+            ),
+        )
+        per_doc = scored.groupBy("query_id", "doc_id").agg(
+            X.bm25_fold_scores(F.col("tok"), F.col("score_t")).alias("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            per_doc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+            .orderBy("query_id", "rank")
+        )
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self) -> bool:
+        """Fold every live ``batch=<id>`` dir into one ``gen<N>``
+        generation dir (probe fan-in and file counts otherwise grow
+        O(#batches)). Crash-safe two-phase, replay ledger preserved,
+        additive corpus stats carried over unchanged — compaction moves
+        rows, never recounts them, so post-compaction scores stay
+        bit-identical. Returns False when 0/1 live dirs (nothing to
+        merge)."""
+        with store_write_lock(self.path, timeout=self.lock_timeout):
+            meta = self._read_meta()
+            live = meta["batches"]
+            if len(live) <= 1:
+                return False
+            dirs = self._require_live_dirs(meta, "compacting")
+            gen = meta["generation"] + 1
+            gen_id = f"gen{gen}"
+            out = self._batch_dir(gen_id)
+            if os.path.isdir(out):
+                shutil.rmtree(out)  # crashed earlier attempt
+            (
+                self._read_postings(dirs)
+                .select("doc_id", "tok", "tf", "dl", "tok_bucket")
+                .write.partitionBy("tok_bucket")
+                .parquet(out)
+            )
+            folded = {
+                "n_docs": sum(
+                    s["n_docs"] for s in meta["stats"].values()
+                ),
+                "s_tokens": sum(
+                    s["s_tokens"] for s in meta["stats"].values()
+                ),
+            }
+            ledger.record(meta, gen_id)
+            self._write_meta(
+                {
+                    **meta,
+                    "batches": [gen_id],
+                    "generation": gen,
+                    "stats": {gen_id: folded},
+                }
+            )
+            # best-effort GC of the now-invisible dirs (a crash here
+            # leaves orphans reads never touch; the next compact's
+            # rewrite path tolerates them)
+            for b in live:
+                if b != gen_id:
+                    shutil.rmtree(self._batch_dir(b), ignore_errors=True)
+        return True

@@ -312,3 +312,69 @@ def redact_pii(text: Column) -> Column:
 
 def redact_pii_sql(expr: str) -> str:
     return pii_scrub_sql(expr)["redacted"]
+
+
+# -- BM25 scoring (shared by plans/text_queries.q_text_bm25_topk and the
+# incremental retrieval store operators/bm25_index.py — one rule per
+# fact: the store's topk must be bit-identical to the full-corpus
+# query, so neither may fork the arithmetic) ------------------------------
+#
+# Okapi k1=1.2, b=0.75 folded into integer coefficients: with
+# avgdl = S/N and the log-free odds-lift idf (N - df + 0.5)/(df + 0.5)
+# — transcendental-free, the q_text_collocations convention; ln would
+# hash-differ between JVM and C math libraries — multiplying numerator
+# and denominator by 20*S gives
+#
+#   score_t = (22*tf*S * (2N - 2df + 1))
+#           / ((10*tf*S + 3*S + 9*dl*N) * (2df + 1))
+#
+# every factor an exact bigint (headroom ~4e17 at sf10; larger corpora
+# need a decimal cast on the products), ONE IEEE division.
+
+
+def bm25_term_score(
+    tf: Column, dl: Column, df: Column, n_docs: Column, s_tokens: Column
+) -> Column:
+    num = (22 * tf * s_tokens) * (2 * n_docs - 2 * df + 1)
+    den = (10 * tf * s_tokens + 3 * s_tokens + 9 * dl * n_docs) * (
+        2 * df + 1
+    )
+    return num.cast("double") / den.cast("double")
+
+
+def bm25_term_score_sql(
+    tf: str, dl: str, df: str, n_docs: str, s_tokens: str
+) -> str:
+    return (
+        f"CAST((22 * {tf} * {s_tokens}) * (2 * {n_docs} - 2 * {df} + 1) "
+        f"AS DOUBLE)\n      / CAST((10 * {tf} * {s_tokens} + 3 * {s_tokens}"
+        f"\n              + 9 * {dl} * {n_docs}) * (2 * {df} + 1) AS DOUBLE)"
+    )
+
+
+def bm25_fold_scores(tok: Column, score: Column) -> Column:
+    """Per-document BM25 total as an AGGREGATE expression: fold-left
+    over the tok-SORTED per-term score list. A bare SUM(double) is
+    accumulation-order-dependent — order differs between engines and
+    across partitionings — so the sorted fold adds in ONE defined
+    order and the double is bit-identical everywhere
+    (``bm25_fold_scores_sql`` is the DuckDB twin; its
+    ``list_prepend(0.0, ...)`` mirrors this fold's 0.0 init — IEEE
+    0.0 + x == x for the finite positive scores, so single-term docs
+    agree too)."""
+    return F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.struct(tok.alias("tok"), score.alias("score_t"))
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["score_t"],
+    )
+
+
+def bm25_fold_scores_sql(score: str, tok: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, LIST({score} ORDER BY {tok} ASC)),"
+        f"\n                (acc, x) -> acc + x)"
+    )

@@ -823,16 +823,24 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(normalized_tokens(F.col("text"))).alias("tok")
     ).filter(F.length("tok") > 0)
+    # ONE full-corpus aggregate (tf), everything corpus-wide derived
+    # from it: dl = SUM(tf) per doc (exact-integer-equal to counting
+    # raw tokens), s_tokens = SUM(dl). The raw token stream is never
+    # re-aggregated, and the full-VOCABULARY distinct the naive df
+    # needs is gone — df is counted AFTER the query-vocab restriction
+    # (tf rows are distinct (doc, tok) by construction, so COUNT(*)
+    # per tok over the restricted slice IS the document frequency).
+    # The DuckDB oracle keeps the naive full-vocabulary expression, so
+    # the driver hash check verifies the restructure. tf fans out to
+    # three consumers unstaged — stage(tf) measured wall-neutral at sf1
+    # (5.9 vs 6.0 s warm; the shuffle fixed costs dominate at these
+    # SFs), and the INCREMENTAL store (operators/bm25_index.py) is the
+    # scale path that persists tf/dl outright — this plan is its oracle
+    # twin.
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    dfreq = (
-        toks.select("doc_id", "tok")
-        .distinct()
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
-        toks.agg(F.count("*").alias("s_tokens"))
+        dl.agg(F.sum("dl").cast("long").alias("s_tokens"))
     )
     qterms = spark.createDataFrame(
         [
@@ -842,34 +850,29 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id string, tok string",
     )
-    # df restricted to query vocabulary BEFORE joining, so the
-    # corpus-vocabulary frame never shuffles into the match join
-    dfq = dfreq.join(F.broadcast(qterms.select("tok").distinct()), "tok")
+    tf_q = tf.join(F.broadcast(qterms.select("tok").distinct()), "tok")
+    dfq = tf_q.groupBy("tok").agg(F.count("*").alias("df"))
     matched = (
-        tf.join(F.broadcast(qterms), "tok")
+        tf_q.join(F.broadcast(qterms), "tok")
         .join(F.broadcast(dfq), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
-    num = (22 * F.col("tf") * F.col("s_tokens")) * (
-        2 * F.col("n_docs") - 2 * F.col("df") + 1
-    )
-    den = (
-        10 * F.col("tf") * F.col("s_tokens")
-        + 3 * F.col("s_tokens")
-        + 9 * F.col("dl") * F.col("n_docs")
-    ) * (2 * F.col("df") + 1)
+    # scoring arithmetic + ordered fold SHARED with the incremental
+    # retrieval store (operators/text.bm25_*): the store's topk is
+    # contract-bound bit-identical to this full-corpus plan
     scored = matched.withColumn(
-        "score_t", num.cast("double") / den.cast("double")
+        "score_t",
+        X.bm25_term_score(
+            F.col("tf"),
+            F.col("dl"),
+            F.col("df"),
+            F.col("n_docs"),
+            F.col("s_tokens"),
+        ),
     )
     per_doc = scored.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("tok"), F.col("score_t")))
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["score_t"],
-        ).alias("score")
+        X.bm25_fold_scores(F.col("tok"), F.col("score_t")).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
@@ -908,17 +911,14 @@ stats AS (
 qterms(query_id, tok) AS (VALUES {_BM25_QVALS}),
 scored AS (
   SELECT q.query_id, tf.doc_id, tf.tok,
-    CAST((22 * tf.tf * s.s_tokens) * (2 * s.n_docs - 2 * d.df + 1) AS DOUBLE)
-      / CAST((10 * tf.tf * s.s_tokens + 3 * s.s_tokens
-              + 9 * dl.dl * s.n_docs) * (2 * d.df + 1) AS DOUBLE)
+    {X.bm25_term_score_sql('tf.tf', 'dl.dl', 'd.df', 's.n_docs', 's.s_tokens')}
       AS score_t
   FROM tf JOIN qterms q USING (tok) JOIN dfreq d USING (tok)
        JOIN dl USING (doc_id) CROSS JOIN stats s
 ),
 folded AS (
   SELECT query_id, doc_id,
-    list_reduce(list_prepend(0.0, LIST(score_t ORDER BY tok ASC)),
-                (acc, x) -> acc + x) AS score
+    {X.bm25_fold_scores_sql('score_t', 'tok')} AS score
   FROM scored GROUP BY query_id, doc_id
 ),
 ranked AS (

@@ -192,6 +192,40 @@ def test_unreadable_lock_reads_held_not_absent(tmp_path, capsys):
     assert out["lock"] == {"held": False}
 
 
+def test_bm25_status_and_compact(spark, tmp_path, capsys):
+    """The BM25 retrieval index rides the same CLI: status from one
+    meta snapshot (n_docs/s_tokens/fan-in/ledger sizes), --compact
+    folds the batch dirs, --rebuild-if-drift is rejected (no centroids
+    to drift) — and the identity knobs are ADOPTED from the meta."""
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import (
+        load_table,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.bm25_index import (
+        Bm25Index,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    p = str(tmp_path / "bm25")
+    idx = Bm25Index(spark, p, n_buckets=4)  # non-default: adoption test
+    for i in range(2):
+        idx.append(docs.filter(F.col("doc_id") % 2 == i), f"b{i}")
+    rc, out = _run(capsys, p)
+    assert rc == 0
+    assert out["kind"] == "bm25"
+    assert out["n_docs"] == docs.count()
+    assert out["appended_batches"] == 2 and len(out["batches"]) == 2
+    rc, out = _run(capsys, p, "--compact")
+    assert rc == 0 and out["compacted"] is True
+    assert out["batches"] == ["gen1"] and out["appended_batches"] == 0
+    assert out["n_docs"] == docs.count()  # additive stats survive
+    rc, out = _run(capsys, p, "--rebuild-if-drift")
+    assert rc == 1 and "IVF action" in out["error"]
+
+
 def test_kmeans_iters_zero_is_loud(capsys):
     with pytest.raises(SystemExit):
         store_admin.build_parser().parse_args(

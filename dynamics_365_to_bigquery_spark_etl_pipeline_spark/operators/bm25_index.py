@@ -232,35 +232,45 @@ class Bm25Index:
             meta = self._read_meta()
             if ledger.is_committed(meta, batch_id):
                 return self.stats()  # replay: state already reflects it
-            # ONE pass over the batch for both counts and the postings
-            # write (the pin also fixes the nondeterministic-source
-            # double-scan class every foreachBatch leg guards against)
-            postings = self._postings(docs).localCheckpoint()
-            n_docs = docs.count()
+            # ONE evaluation of the source: the projection is cut
+            # eagerly and n_docs + postings both derive from the
+            # materialized blocks — a second source scan would let a
+            # nondeterministic input commit n_docs/s_tokens that
+            # disagree with the posting rows actually written, breaking
+            # the bit-identity contract (r12 review; the double-scan
+            # class every foreachBatch leg guards against, here guarded
+            # in the batch API itself)
+            src = docs.select(self.id_col, self.text_col).localCheckpoint()
+            n_docs = src.count()
             if n_docs == 0:
                 raise ValueError(
                     f"batch {batch_id!r} is empty — nothing to index"
                 )
+            postings = self._postings(src).localCheckpoint()
             row = postings.agg(
                 F.coalesce(F.sum("tf"), F.lit(0)).alias("s_tokens")
             ).collect()[0]
-            s_tokens = row["s_tokens"]
+            s_tokens = int(row["s_tokens"])
             if s_tokens > 0:
                 out = self._batch_dir(batch_id)
                 if os.path.isdir(out):
                     shutil.rmtree(out)  # crashed earlier attempt
                 postings.write.partitionBy("tok_bucket").parquet(out)
                 meta["batches"] = meta["batches"] + [batch_id]
+                # stats entries exist for LIVE dirs only — a zero-token
+                # epoch must not grow the meta (a stream of all-blank
+                # micro-batches would otherwise grow it O(#epochs),
+                # violating the bounded-meta discipline; r12 review)
+                meta["stats"][batch_id] = {
+                    "n_docs": n_docs,
+                    "s_tokens": s_tokens,
+                }
             # a zero-token batch (all-blank docs) still counts toward
             # n_docs — the full-corpus query's N is COUNT(documents),
             # blanks included, and topk must stay bit-identical to it
             ledger.record(meta, batch_id)
             meta["n_docs"] += n_docs
-            meta["s_tokens"] += int(s_tokens)
-            meta["stats"][batch_id] = {
-                "n_docs": n_docs,
-                "s_tokens": int(s_tokens),
-            }
+            meta["s_tokens"] += s_tokens
             self._write_meta(meta)
         return self.stats()
 
@@ -377,6 +387,11 @@ class Bm25Index:
         merge)."""
         with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
+            # reclaim leftovers of a compact that crashed between its
+            # meta swap and its GC loop — without this, a single-dir
+            # store would return False below and the orphans (the
+            # whole pre-fold corpus) would leak forever (r12 review)
+            self._sweep_orphans(meta["batches"])
             live = meta["batches"]
             if len(live) <= 1:
                 return False
@@ -392,13 +407,13 @@ class Bm25Index:
                 .write.partitionBy("tok_bucket")
                 .parquet(out)
             )
+            # the fold's stats entry IS the additive totals — compaction
+            # moves rows, never recounts them, and the totals are the
+            # single authority (recomputing from per-batch entries was
+            # a second representation that could drift; r12 review)
             folded = {
-                "n_docs": sum(
-                    s["n_docs"] for s in meta["stats"].values()
-                ),
-                "s_tokens": sum(
-                    s["s_tokens"] for s in meta["stats"].values()
-                ),
+                "n_docs": meta["n_docs"],
+                "s_tokens": meta["s_tokens"],
             }
             ledger.record(meta, gen_id)
             self._write_meta(
@@ -409,10 +424,24 @@ class Bm25Index:
                     "stats": {gen_id: folded},
                 }
             )
-            # best-effort GC of the now-invisible dirs (a crash here
-            # leaves orphans reads never touch; the next compact's
-            # rewrite path tolerates them)
-            for b in live:
-                if b != gen_id:
-                    shutil.rmtree(self._batch_dir(b), ignore_errors=True)
+            self._sweep_orphans([gen_id])
         return True
+
+    def _sweep_orphans(self, keep: list[str]) -> None:
+        """Best-effort GC of every ``batch=*`` dir the meta doesn't
+        reference — listdir, not a caller's remembered list, so dirs
+        orphaned by a PRIOR crash (between a meta swap and its GC
+        loop) are reclaimed too instead of leaking forever (r12
+        review; the ivf_store family pattern). Only called under the
+        write lock: appends hold it too, so nothing unreferenced here
+        is in flight — it is either a folded-away input or a crashed
+        attempt whose retry rewrites it."""
+        root = os.path.join(self.path, "postings")
+        keep_names = {f"batch={b}" for b in keep}
+        try:
+            names = os.listdir(root)
+        except OSError:
+            return
+        for name in names:
+            if name.startswith("batch=") and name not in keep_names:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)

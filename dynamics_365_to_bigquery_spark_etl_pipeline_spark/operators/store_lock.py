@@ -66,10 +66,14 @@ import uuid
 LOCK_NAME = "_write.lock"
 
 # foreign-host temp files can't be liveness-checked (pids are per-host)
-# — they are swept only past this age. Generous on purpose: a live
-# waiter's temp file goes stale-looking the moment it is created (never
-# touched again while polling), so the bar is "no plausible wait lasts
-# this long", not "older than one timeout".
+# — they are swept only past this age. Live waiters REFRESH their temp
+# file's mtime every poll (see the wait loop), so crossing the
+# threshold genuinely means orphaned even for waiters whose
+# lock_timeout exceeds it (a maintenance job queued behind a
+# full-corpus compact legitimately waits longer than any constant).
+# Residual risk: a PRE-refresh (legacy) writer on another host waiting
+# past this age could still be swept — documented, narrow, and bounded
+# by one process generation of mixed versions.
 FOREIGN_TMP_MAX_AGE = 3600.0
 
 
@@ -234,6 +238,14 @@ def store_write_lock(
                     "provably stale lock can be removed by hand"
                 ) from None
             time.sleep(poll)
+            # refresh the temp file's mtime while waiting: the foreign-
+            # host sweep is age-based (pids aren't checkable across
+            # hosts), and a waiter sized to queue behind a long compact
+            # (lock_timeout > FOREIGN_TMP_MAX_AGE is legitimate — see
+            # dedup_index's sizing note) must not age into looking like
+            # an orphan mid-wait (r12 review)
+            with contextlib.suppress(OSError):
+                os.utime(tmp_path, None)
     finally:
         with contextlib.suppress(OSError):
             os.unlink(tmp_path)

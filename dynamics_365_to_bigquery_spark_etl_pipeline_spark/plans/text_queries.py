@@ -842,13 +842,19 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.agg(F.count("*").alias("n_docs")).crossJoin(
         dl.agg(F.sum("dl").cast("long").alias("s_tokens"))
     )
-    qterms = spark.createDataFrame(
-        [
-            (qid, t)
-            for qid, q in BM25_QUERIES
-            for t in sorted(set(q.split()))
-        ],
-        "query_id string, tok string",
+    # query strings tokenize through the SAME normalizer as the corpus
+    # (one rule per fact — a raw str.split here would silently diverge
+    # from the store's topk on any punctuated/cased query; r12 review)
+    qraw = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id string, qtext string"
+    )
+    qterms = (
+        qraw.select(
+            "query_id",
+            F.explode(normalized_tokens(F.col("qtext"))).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
     )
     tf_q = tf.join(F.broadcast(qterms.select("tok").distinct()), "tok")
     dfq = tf_q.groupBy("tok").agg(F.count("*").alias("df"))
@@ -887,10 +893,12 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES["q_text_bm25_topk"] = q_text_bm25_topk
 
+# RAW query strings, quoted through the shared escaper (r11 advice
+# class: naked interpolation tears the literal on any apostrophe) —
+# the oracle tokenizes them through the same normalizer SQL as the
+# corpus, so the term derivation has ONE rule in both engines
 _BM25_QVALS = ", ".join(
-    f"('{qid}', '{t}')"
-    for qid, q in BM25_QUERIES
-    for t in sorted(set(q.split()))
+    f"({X._sql_quote(qid)}, {X._sql_quote(q)})" for qid, q in BM25_QUERIES
 )
 
 EXTRA_ORACLES["q_text_bm25_topk"] = f"""
@@ -908,7 +916,12 @@ stats AS (
   SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
          (SELECT COUNT(*) FROM toks2) AS s_tokens
 ),
-qterms(query_id, tok) AS (VALUES {_BM25_QVALS}),
+qraw(query_id, qtext) AS (VALUES {_BM25_QVALS}),
+qterms AS (
+  SELECT DISTINCT query_id, tok FROM (
+    SELECT query_id, unnest({_NT_SQL('qtext')}) AS tok FROM qraw
+  ) WHERE LENGTH(tok) > 0
+),
 scored AS (
   SELECT q.query_id, tf.doc_id, tf.tok,
     {X.bm25_term_score_sql('tf.tf', 'dl.dl', 'd.df', 's.n_docs', 's.s_tokens')}

@@ -22,10 +22,9 @@ folding per-epoch batch dirs into one generation after every N
 APPENDED batches (generation dirs excluded from the count — the
 family's cadence rule).
 
-The batch is persisted around the append: ``append`` needs both the
-document count (N includes zero-token docs) and the postings aggregate,
-and an unpinned file-source batch would scan its input once per action
-(the r10 heavy-hitters lesson).
+``append`` itself cuts the batch projection eagerly (one evaluation
+feeds both the doc count and the postings — the r10 heavy-hitters
+double-scan lesson, guarded in the batch API), so the leg needs no pin.
 """
 
 from __future__ import annotations
@@ -33,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.storagelevel import StorageLevel
 
 from ..operators.bm25_index import Bm25Index
 from .util import query_id_reader
@@ -77,13 +75,11 @@ def stream_bm25_append(
         batch_key = f"{_query_id()}-epoch-{epoch_id}"
         if batch_df.isEmpty() or idx.is_committed(batch_key):
             return
-        docs = batch_df.select(id_col, text_col).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        try:
-            idx.append(docs, batch_key)
-        finally:
-            docs.unpersist()
+        # no leg-side pin needed: append() cuts the projection eagerly
+        # (ONE evaluation of the batch source feeds both the doc count
+        # and the postings — r12 review moved the guard into the batch
+        # API itself)
+        idx.append(batch_df.select(id_col, text_col), batch_key)
         if compact_every and len(idx.appended_batches()) >= compact_every:
             idx.compact()
 

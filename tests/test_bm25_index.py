@@ -141,6 +141,92 @@ def test_zero_token_batch_counts_docs_without_a_dir(spark, tmp_path):
     assert _rows(idx.topk(QUERIES, k=5)) == _rows(full.topk(QUERIES, k=5))
 
 
+def test_meta_stats_equal_on_disk_postings(spark, tmp_path):
+    """The additive meta stats and the written posting rows must agree
+    — append derives BOTH from one eagerly-cut evaluation of the
+    source (r12 review: a second source scan would let a
+    nondeterministic input commit stats that disagree with the rows,
+    silently breaking the bit-identity contract)."""
+    docs = _docs(spark)
+    idx = Bm25Index(spark, str(tmp_path / "bm25"))
+    for i in range(2):
+        idx.append(docs.filter(F.col("doc_id") % 2 == i), f"b{i}")
+    st = idx.stats()
+    ondisk = (
+        idx._read_postings([idx._batch_dir(b) for b in idx.committed_batches()])
+        .agg(
+            F.sum("tf").alias("s"),
+            F.countDistinct("doc_id").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert st["s_tokens"] == ondisk["s"]
+    # fixture has no blank docs, so doc counts agree too
+    assert st["n_docs"] == ondisk["n"] == docs.count()
+
+
+def test_compact_sweeps_prior_crash_orphans(spark, tmp_path):
+    """A compact that crashed between its meta swap and its GC loop
+    leaves the whole pre-fold corpus as unreferenced dirs; the next
+    compact() must reclaim them even when there is nothing new to fold
+    (r12 review: sweeping only the current fold's live list leaked
+    them forever)."""
+    docs = _docs(spark)
+    idx = Bm25Index(spark, str(tmp_path / "bm25"))
+    idx.append(docs, "b0")
+    # simulate the crash leftovers: unreferenced batch dirs on disk
+    for orphan in ("zz1", "zz2"):
+        idx._postings(docs.limit(5)).write.partitionBy(
+            "tok_bucket"
+        ).parquet(idx._batch_dir(orphan))
+    before = _rows(idx.topk(QUERIES, k=5))
+    assert idx.compact() is False  # single live dir: nothing to fold...
+    root = os.path.join(str(tmp_path / "bm25"), "postings")
+    assert sorted(os.listdir(root)) == ["batch=b0"]  # ...orphans swept
+    assert _rows(idx.topk(QUERIES, k=5)) == before
+
+
+def test_meta_stays_bounded_under_blank_epochs(spark, tmp_path):
+    """Zero-token appends commit to the (bounded) ledger and move the
+    additive totals but must NOT grow per-batch state — a stream of
+    all-blank micro-batches would otherwise grow the meta O(#epochs)
+    (r12 review; the r11 bounded-meta discipline)."""
+    docs = _docs(spark)
+    idx = Bm25Index(spark, str(tmp_path / "bm25"))
+    idx.append(docs, "b0")
+    blanks = spark.createDataFrame(
+        [(990000, ""), (990001, None)], "doc_id long, text string"
+    )
+    for n in range(25):
+        idx.append(
+            blanks.withColumn("doc_id", F.col("doc_id") + 2 * n),
+            f"qidx-epoch-{n}",
+        )
+    meta = idx._read_meta()
+    assert set(meta["stats"]) == {"b0"}
+    assert meta["epoch_hwm"] == {"qidx": 24}
+    assert idx.stats()["n_docs"] == docs.count() + 50
+    # and compaction prunes stats to the single generation entry
+    # second live dir (ids shifted: store ids are globally unique)
+    idx.append(docs.withColumn("doc_id", F.col("doc_id") + 10_000_000), "b1")
+    idx.compact()
+    meta = idx._read_meta()
+    assert set(meta["stats"]) == {"gen1"}
+    assert meta["stats"]["gen1"]["n_docs"] == idx.stats()["n_docs"]
+
+
+def test_query_normalization_matches_corpus_tokenizer(spark, tmp_path):
+    """Query strings tokenize through the same normalizer as the
+    corpus — punctuation/case in a query must not change its terms
+    (r12 review: a raw str.split fork would silently diverge)."""
+    docs = _docs(spark)
+    idx = Bm25Index(spark, str(tmp_path / "bm25"))
+    idx.append(docs, "b0")
+    plain = _rows(idx.topk([("qx", "spark shuffle join")], k=5))
+    dirty = _rows(idx.topk([("qx", "  SPARK, shuffle!  JOIN ")], k=5))
+    assert plain == dirty and plain
+
+
 def test_identity_pinned_and_reserved_ids(spark, tmp_path):
     docs = _docs(spark)
     p = str(tmp_path / "bm25")

@@ -277,6 +277,39 @@ def test_foreign_host_waiters_are_age_gated_not_pid_checked(tmp_path):
     assert list(tmp_path.iterdir()) == []
 
 
+def test_waiter_refreshes_tmp_mtime_while_polling(tmp_path):
+    """r12 review: the foreign-host sweep is AGE-based, and a waiter
+    legitimately queued longer than FOREIGN_TMP_MAX_AGE (maintenance
+    behind a full-corpus compact) must not age into looking like an
+    orphan — the wait loop refreshes the temp file's mtime each poll,
+    so crossing the threshold genuinely means orphaned."""
+    import glob
+
+    (tmp_path / LOCK_NAME).write_text(str(os.getpid()))  # held by us
+    mtimes: list[float] = []
+
+    def waiter():
+        try:
+            with store_write_lock(str(tmp_path), timeout=0.9, poll=0.03):
+                pass
+        except StoreLockHeld:
+            pass
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    deadline = time.monotonic() + 0.8
+    while time.monotonic() < deadline:
+        for f in glob.glob(str(tmp_path / f".{LOCK_NAME}.*")):
+            try:
+                mtimes.append(os.stat(f).st_mtime)
+            except OSError:
+                pass
+        time.sleep(0.05)
+    t.join()
+    (tmp_path / LOCK_NAME).unlink()
+    assert mtimes and max(mtimes) > min(mtimes)  # refreshed while waiting
+
+
 def test_lost_link_reply_detected_by_nlink(tmp_path, monkeypatch):
     """NFS lost-reply shape: the link is APPLIED but the caller sees
     EEXIST. st_nlink==2 on the private temp proves ownership — without

@@ -88,6 +88,7 @@ def stream_ingest_pipeline(
     compact_every: int = 0,
     max_files_per_trigger: int = 1,
     lock_timeout: float = 60.0,
+    bm25_path: Optional[str] = None,
 ) -> StreamingQuery:
     """Run the full ingest pipeline over a document file-source stream.
 
@@ -103,7 +104,17 @@ def stream_ingest_pipeline(
 
     Gate parameters mirror the standalone legs (``stream_quality_gate``,
     ``stream_decontaminate``, ``stream_dedup_index``) — equivalence
-    with that chain is the module's correctness contract."""
+    with that chain is the module's correctness contract.
+
+    ``bm25_path`` (optional) additionally appends each epoch's clean
+    survivors to an incremental BM25 retrieval index
+    (``operators/bm25_index.py``) — the corpus becomes QUERYABLE
+    (``Bm25Index.topk``) in the same epoch it lands. Exactly-once by
+    composition: the BM25 append runs between the clean-dir write and
+    the LSH commit, and each store's own ledger guards its half — a
+    crash before the BM25 append replays the whole epoch (dirs
+    rewritten deterministically), between the two commits replays with
+    the BM25 half a no-op, after the LSH commit skips whole."""
     score_fn = score if score is not None else X.quality_score
     check_reserved_columns(
         schema,
@@ -113,6 +124,17 @@ def stream_ingest_pipeline(
     idx = LshDedupIndex(
         spark, index_path, jaccard_min=jaccard_min, lock_timeout=lock_timeout
     )
+    bm25 = None
+    if bm25_path is not None:
+        from ..operators.bm25_index import Bm25Index
+
+        bm25 = Bm25Index(
+            spark,
+            bm25_path,
+            id_col=id_col,
+            text_col=text_col,
+            lock_timeout=lock_timeout,
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -172,8 +194,18 @@ def stream_ingest_pipeline(
         # index exactly what landed: the epoch's own clean dir read
         # back — a free plan cut (prepare_batch would localCheckpoint
         # anyway) that can't drift from the written corpus
+        clean_on_disk = spark.read.parquet(clean_dir)
+        if (
+            bm25 is not None
+            and not bm25.is_committed(key)
+            and not clean_on_disk.isEmpty()  # append refuses empty batches
+        ):
+            # before the LSH commit: a crash between the two store
+            # commits replays the epoch with this half a no-op (each
+            # store's own ledger guards its half)
+            bm25.append(clean_on_disk, key)
         pairs, commit = idx.prepare_batch(
-            spark.read.parquet(clean_dir), key, id_col, text_col
+            clean_on_disk, key, id_col, text_col
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(out_dir, "pairs", f"epoch={epoch_id}")
@@ -185,6 +217,12 @@ def stream_ingest_pipeline(
         # standalone index leg)
         if compact_every and len(idx.appended_batches()) >= compact_every:
             idx.compact()
+        if (
+            bm25 is not None
+            and compact_every
+            and len(bm25.appended_batches()) >= compact_every
+        ):
+            bm25.compact()
 
     return (
         stream.writeStream.foreachBatch(run_epoch)

@@ -185,6 +185,45 @@ def test_reserved_columns_fail_loudly(spark, tmp_path):
             )
 
 
+def test_bm25_leg_makes_the_clean_corpus_queryable(spark, tmp_path):
+    """With bm25_path set, each epoch's clean survivors are appended
+    to an incremental BM25 index in the same trigger — and the drained
+    index answers bit-identically to one batch-built over the clean
+    corpus. Replay (re-drain, no new files) adds nothing to either
+    store."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.bm25_index import (
+        Bm25Index,
+    )
+
+    heldout, train = _corpus(spark)
+    src = tmp_path / "src"
+    _write_source(train, src)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    bm25_p = str(tmp_path / "bm25")
+    _drain_unified(
+        spark, src, train.schema, heldout, out,
+        tmp_path / "idx", ck,
+        max_files_per_trigger=1, bm25_path=bm25_p,
+    )
+    streamed = Bm25Index(spark, bm25_p)
+    clean = spark.read.parquet(str(out / "clean")).select("doc_id", "text")
+    assert streamed.stats()["n_docs"] == clean.count() > 0
+    ref = Bm25Index(spark, str(tmp_path / "bm25_ref"))
+    ref.append(clean, "all")
+    qs = [("q1", "spark shuffle join"), ("q2", "window merge sort")]
+    def rows(df):
+        return [(r.query_id, r.doc_id, repr(r.score), r.rank)
+                for r in df.collect()]
+    assert rows(streamed.topk(qs, k=10)) == rows(ref.topk(qs, k=10))
+    st = streamed.stats()
+    _drain_unified(
+        spark, src, train.schema, heldout, out,
+        tmp_path / "idx", ck,
+        max_files_per_trigger=1, bm25_path=bm25_p,
+    )
+    assert streamed.stats() == st  # replay: nothing doubles
+
+
 def test_compaction_folds_into_the_stream(spark, tmp_path):
     """compact_every bounds index fan-in exactly like the standalone
     index leg: after a 3-epoch drain with compact_every=2 the live

@@ -251,10 +251,15 @@ class Bm25Index:
                 F.coalesce(F.sum("tf"), F.lit(0)).alias("s_tokens")
             ).collect()[0]
             s_tokens = int(row["s_tokens"])
+            out = self._batch_dir(batch_id)
+            if os.path.isdir(out):
+                # crashed earlier attempt — removed on EVERY retry, not
+                # just the rewrite path: a retry that now tokenizes to
+                # zero tokens takes the no-dir branch below and would
+                # otherwise leak the half-written dir until the next
+                # compact's sweep (r12 review)
+                shutil.rmtree(out)
             if s_tokens > 0:
-                out = self._batch_dir(batch_id)
-                if os.path.isdir(out):
-                    shutil.rmtree(out)  # crashed earlier attempt
                 postings.write.partitionBy("tok_bucket").parquet(out)
                 meta["batches"] = meta["batches"] + [batch_id]
                 # stats entries exist for LIVE dirs only — a zero-token
@@ -327,16 +332,10 @@ class Bm25Index:
         qdf = self.spark.createDataFrame(
             list(queries), "query_id string, qtext string"
         )
-        qterms = (
-            qdf.select(
-                "query_id",
-                F.explode(normalized_tokens(F.col("qtext"))).alias("tok"),
-            )
-            .filter(F.length("tok") > 0)
-            .distinct()
-            .withColumn(
-                "tok_bucket", F.pmod(F.xxhash64("tok"), F.lit(self.n_buckets))
-            )
+        # shared derivation with the full-corpus plan (one rule per
+        # fact — r12 review); only the bucket column is store-specific
+        qterms = X.bm25_query_terms(qdf).withColumn(
+            "tok_bucket", F.pmod(F.xxhash64("tok"), F.lit(self.n_buckets))
         )
         term_rows = qterms.collect()  # query-vocabulary-sized
         if not term_rows:

@@ -132,9 +132,12 @@ def _sweep_dead_tmp_files(store_dir: str) -> None:
             dead = not _pid_alive(pid)
         else:
             # another host's waiter, or a pre-token name whose host is
-            # unknowable: sweep only on age (mtime is set once at
-            # creation and never refreshed, so this bounds orphan
-            # lifetime without guessing at remote liveness)
+            # unknowable: sweep only on age. Live waiters REFRESH their
+            # temp file's mtime every poll (see the wait loop), so
+            # crossing the threshold genuinely means orphaned — do not
+            # shorten FOREIGN_TMP_MAX_AGE on a "no wait lasts that
+            # long" argument; the refresh, not the constant, is what
+            # protects long-queued waiters (r12 review)
             try:
                 dead = now - os.stat(path).st_mtime > FOREIGN_TMP_MAX_AGE
             except OSError:

@@ -378,3 +378,24 @@ def bm25_fold_scores_sql(score: str, tok: str) -> str:
         f"list_reduce(list_prepend(0.0, LIST({score} ORDER BY {tok} ASC)),"
         f"\n                (acc, x) -> acc + x)"
     )
+
+
+def bm25_query_terms(qraw: DataFrame, qtext_col: str = "qtext") -> DataFrame:
+    """``(query_id, tok)`` — distinct query terms derived through the
+    SAME normalizer as the corpus tokenization. ONE rule for the
+    full-corpus plan, the incremental store's ``topk``, and (via
+    ``dedup.normalized_tokens_sql`` in the oracle's qterms CTE) the
+    DuckDB twin: hand-synced copies of this 5-line derivation are what
+    the bit-identity contract would silently narrow on — a tweak to
+    one copy breaks topk == q_text_bm25_topk only for queries that
+    tokenize differently, which no fixture query does (r12 review)."""
+    from .dedup import normalized_tokens
+
+    return (
+        qraw.select(
+            "query_id",
+            F.explode(normalized_tokens(F.col(qtext_col))).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )

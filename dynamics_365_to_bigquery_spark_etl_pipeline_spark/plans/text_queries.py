@@ -843,19 +843,12 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dl.agg(F.sum("dl").cast("long").alias("s_tokens"))
     )
     # query strings tokenize through the SAME normalizer as the corpus
-    # (one rule per fact — a raw str.split here would silently diverge
+    # (one shared rule — a raw str.split here would silently diverge
     # from the store's topk on any punctuated/cased query; r12 review)
     qraw = spark.createDataFrame(
         list(BM25_QUERIES), "query_id string, qtext string"
     )
-    qterms = (
-        qraw.select(
-            "query_id",
-            F.explode(normalized_tokens(F.col("qtext"))).alias("tok"),
-        )
-        .filter(F.length("tok") > 0)
-        .distinct()
-    )
+    qterms = X.bm25_query_terms(qraw)
     tf_q = tf.join(F.broadcast(qterms.select("tok").distinct()), "tok")
     dfq = tf_q.groupBy("tok").agg(F.count("*").alias("df"))
     matched = (

@@ -89,6 +89,7 @@ def stream_ingest_pipeline(
     max_files_per_trigger: int = 1,
     lock_timeout: float = 60.0,
     bm25_path: Optional[str] = None,
+    bm25_buckets: Optional[int] = None,
 ) -> StreamingQuery:
     """Run the full ingest pipeline over a document file-source stream.
 
@@ -133,6 +134,15 @@ def stream_ingest_pipeline(
             bm25_path,
             id_col=id_col,
             text_col=text_col,
+            # passthrough so the pipeline can feed an index built with
+            # a non-default bucket count by the standalone leg (the
+            # identity check would otherwise kill the first epoch with
+            # no parameter to fix it — r12 review)
+            n_buckets=(
+                bm25_buckets
+                if bm25_buckets is not None
+                else Bm25Index.N_BUCKETS
+            ),
             lock_timeout=lock_timeout,
         )
 
@@ -195,15 +205,18 @@ def stream_ingest_pipeline(
         # back — a free plan cut (prepare_batch would localCheckpoint
         # anyway) that can't drift from the written corpus
         clean_on_disk = spark.read.parquet(clean_dir)
-        if (
-            bm25 is not None
-            and not bm25.is_committed(key)
-            and not clean_on_disk.isEmpty()  # append refuses empty batches
-        ):
-            # before the LSH commit: a crash between the two store
-            # commits replays the epoch with this half a no-op (each
-            # store's own ledger guards its half)
-            bm25.append(clean_on_disk, key)
+        if bm25 is not None:
+            # pinned ONCE for the epoch's two store consumers: both
+            # append and prepare_batch cut their own derivations, but
+            # each would re-read the parquet dir — the pin makes the
+            # clean corpus hit disk once per epoch (r12 review)
+            clean_on_disk = clean_on_disk.localCheckpoint()
+            if not bm25.is_committed(key) and not clean_on_disk.isEmpty():
+                # before the LSH commit: a crash between the two store
+                # commits replays the epoch with this half a no-op
+                # (each store's own ledger guards its half; append
+                # refuses empty batches, hence the probe)
+                bm25.append(clean_on_disk, key)
         pairs, commit = idx.prepare_batch(
             clean_on_disk, key, id_col, text_col
         )

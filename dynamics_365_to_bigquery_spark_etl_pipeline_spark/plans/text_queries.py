@@ -937,3 +937,118 @@ ranked AS (
 SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {BM25_TOP}
 ORDER BY query_id, rank
 """
+
+
+# -- span-level duplicate detection -----------------------------------------
+
+DUP_SPAN_W = 5       # window width in whitespace tokens
+DUP_SPAN_MIN = 2     # a window is "duplicated" at this many occurrences
+
+
+def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level repeated-text detection — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) family, adapted from suffix arrays to a
+    Spark-native windowed form: a token position is DUPLICATED when
+    any corpus-wide repeated W-token window covers it (within-doc
+    repetitions count — a doc repeating its own boilerplate is
+    duplicated text). Emits per doc the token count, the covered-token
+    count, and the duplicated fraction — the signal a curation
+    pipeline thresholds to CUT spans rather than drop whole documents
+    (doc-level near-dup keeps a doc with one viral paragraph; this
+    finds the paragraph).
+
+    Engine-exact: integer window positions (positional
+    ``posexplode`` over the shared ``curation.word_ngrams`` reshape),
+    integer covered-position counts via interval-explode + distinct,
+    ONE IEEE division of exact ints for the fraction (zero-token docs
+    guarded to 0.0 in both engines).
+
+    Scale shapes: the corpus-sized frames are keyed by gram (uniform
+    md5-free strings — the aggregate and join-back shuffle on the
+    window text) and doc_id; the W× coverage fan-out happens ONLY on
+    duplicated windows (the HAVING >= 2 cut runs first), so a mostly
+    -unique 100 TB corpus explodes almost nothing. No broadcast of
+    corpus-scale state, no windows over a single partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    wins = docs.select(
+        "doc_id",
+        F.posexplode(C.word_ngrams(F.col("text"), DUP_SPAN_W)).alias(
+            "pos", "gram"
+        ),
+    )
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= DUP_SPAN_MIN)
+        .select("gram")
+    )
+    covered = (
+        wins.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + DUP_SPAN_W - 1)
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    perdoc = covered.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_tokens")
+    )
+    base = docs.select(
+        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    joined = base.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
+            "n_dup_tokens"
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            (100 * F.col("n_dup_tokens")).cast("double")
+            / F.col("n_tokens").cast("double")
+        )
+        .alias("dup_pct"),
+    ).orderBy("doc_id")
+
+
+EXTRA_QUERIES["q_text_dup_spans"] = q_text_dup_spans
+
+EXTRA_ORACLES["q_text_dup_spans"] = f"""
+WITH g AS (
+  SELECT doc_id, {C.word_ngrams_sql('text', DUP_SPAN_W)} AS grams
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, grams[i + 1] AS gram
+  FROM g, unnest(range(LEN(grams))) AS u(i)
+),
+dup AS (
+  SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= {DUP_SPAN_MIN}
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS tokpos
+  FROM wins JOIN dup USING (gram), unnest(range({DUP_SPAN_W})) AS r(j)
+),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_tokens FROM covered GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST({X.token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+  CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+  CASE WHEN b.n_tokens = 0 THEN 0.0
+       ELSE CAST(100 * COALESCE(p.n_dup_tokens, 0) AS DOUBLE)
+            / CAST(b.n_tokens AS DOUBLE) END AS dup_pct
+FROM base b LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc_id
+"""

@@ -958,65 +958,105 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc-level near-dup keeps a doc with one viral paragraph; this
     finds the paragraph).
 
-    Engine-exact: integer window positions (positional
-    ``posexplode`` over the shared ``curation.word_ngrams`` reshape),
-    integer covered-position counts via interval-explode + distinct,
-    ONE IEEE division of exact ints for the fraction (zero-token docs
-    guarded to 0.0 in both engines).
+    ROUTED through distinct texts (the r9 law): windows, coverage,
+    and token counts are functions of the TEXT alone, and the
+    corpus-wide occurrence count of a window fans out as
+    per-distinct-text count × clone multiplicity — so the gram
+    explosion (the wall, measured) runs once per DISTINCT text and
+    verdicts fan back over the md5 routing key. On the 10x-cloned
+    fixture that is 10x less map work (sf1 27.0 -> 5.9 s warm); the
+    UNROUTED oracle below independently verifies the routing. A
+    hash60 window key was also measured and REJECTED (md5 per window
+    cost more than the string shuffle it saved: 27.0 -> 32.7 s).
 
-    Scale shapes: the corpus-sized frames are keyed by gram (uniform
-    md5-free strings — the aggregate and join-back shuffle on the
-    window text) and doc_id; the W× coverage fan-out happens ONLY on
-    duplicated windows (the HAVING >= 2 cut runs first), so a mostly
-    -unique 100 TB corpus explodes almost nothing. No broadcast of
-    corpus-scale state, no windows over a single partition."""
+    Covered tokens per text are a PER-TEXT INTERVAL-UNION FOLD over
+    the sorted duplicated-window starts (equal-length-W intervals:
+    |union| = Σ min(W, p_{i+1} - p_i) with a -W sentinel) — exact
+    integers, no W× explode, no distinct exchange; the oracle keeps
+    the naive explode+distinct shape so the hash check verifies the
+    identity. The final fraction is ONE IEEE division of exact ints
+    (zero-token docs guarded to 0.0 in both engines).
+
+    Scale shapes: shuffles key on the text hash (uniform md5) and the
+    window text (uniform); the HAVING >= 2 cut bounds the coverage
+    work to duplicated windows, so a mostly-unique 100 TB corpus pays
+    almost nothing past the one distinct."""
     docs = load_table(spark, sf_dir, "documents")
-    wins = docs.select(
-        "doc_id",
+    members = docs.select("doc_id", F.md5(F.col("text")).alias("_th"))
+    reps = (
+        docs.select("text")
+        .distinct()
+        .select(F.md5(F.col("text")).alias("_th"), "text")
+    )
+    mult = members.groupBy("_th").agg(F.count("*").alias("mult"))
+    wins = reps.select(
+        "_th",
         F.posexplode(C.word_ngrams(F.col("text"), DUP_SPAN_W)).alias(
             "pos", "gram"
         ),
     )
-    dup = (
-        wins.groupBy("gram")
+    # corpus-wide occurrence count of a window = Σ over distinct
+    # texts of (per-text count × multiplicity)
+    gcount = (
+        wins.groupBy("_th", "gram")
         .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= DUP_SPAN_MIN)
-        .select("gram")
+        .join(mult, "_th")
+        .groupBy("gram")
+        .agg(F.sum(F.col("c") * F.col("mult")).alias("c"))
     )
-    covered = (
+    dup = gcount.filter(F.col("c") >= DUP_SPAN_MIN).select("gram")
+    pertext = (
         wins.join(dup, "gram")
+        .groupBy("_th")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+        .select(
+            "_th",
+            F.aggregate(
+                F.col("ps"),
+                F.struct(
+                    F.lit(-DUP_SPAN_W).cast("long").alias("prev"),
+                    F.lit(0).cast("long").alias("tot"),
+                ),
+                lambda acc, p: F.struct(
+                    p.cast("long").alias("prev"),
+                    (
+                        acc["tot"]
+                        + F.least(
+                            F.lit(DUP_SPAN_W).cast("long"),
+                            p.cast("long") - acc["prev"],
+                        )
+                    ).alias("tot"),
+                ),
+                lambda acc: acc["tot"],
+            ).alias("n_dup_tokens"),
+        )
+    )
+    tokc = reps.select(
+        "_th", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        members.join(tokc, "_th")
+        .join(pertext, "_th", "left")
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + DUP_SPAN_W - 1)
-            ).alias("tokpos"),
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
+                "n_dup_tokens"
+            ),
         )
-        .distinct()
-    )
-    perdoc = covered.groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_tokens")
-    )
-    base = docs.select(
-        "doc_id", X.token_count(F.col("text")).cast("long").alias("n_tokens")
-    )
-    joined = base.join(perdoc, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
-            "n_dup_tokens"
-        ),
-    )
-    return joined.select(
-        "doc_id",
-        "n_tokens",
-        "n_dup_tokens",
-        F.when(F.col("n_tokens") == 0, F.lit(0.0))
-        .otherwise(
-            (100 * F.col("n_dup_tokens")).cast("double")
-            / F.col("n_tokens").cast("double")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_tokens",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                (100 * F.col("n_dup_tokens")).cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            .alias("dup_pct"),
         )
-        .alias("dup_pct"),
-    ).orderBy("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 EXTRA_QUERIES["q_text_dup_spans"] = q_text_dup_spans

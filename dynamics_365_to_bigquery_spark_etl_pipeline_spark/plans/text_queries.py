@@ -1092,3 +1092,135 @@ SELECT b.doc_id, b.n_tokens,
 FROM base b LEFT JOIN perdoc p USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def q_text_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of span-level dedup (companion to
+    ``q_text_dup_spans``): emit each document's cleaned text with every
+    token covered by a corpus-wide duplicated W-window REMOVED — what
+    the Lee et al. pipeline actually writes back to the corpus, instead
+    of dropping whole documents.
+
+    ROUTED like the detector (one gram explosion per DISTINCT text,
+    verdicts fan out over the md5 routing key against the UNROUTED
+    oracle). The cut itself is relational, not per-token lambda work:
+    rep-level token positions ANTI-JOIN the covered-position set (the
+    W× interval explode runs only on duplicated windows), survivors
+    re-assemble with an array_sort over (pos, tok) structs + transform
+    + array_join — deterministic order by construction, no window over
+    a single partition, every shuffle keyed by the text hash.
+
+    Engine-exact output: token order is positional in both engines
+    (struct-sort here, ``STRING_AGG(... ORDER BY tokpos)`` in DuckDB),
+    fully-cut and blank docs coalesce to '' on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    members = docs.select("doc_id", F.md5(F.col("text")).alias("_th"))
+    reps = (
+        docs.select("text")
+        .distinct()
+        .select(F.md5(F.col("text")).alias("_th"), "text")
+    )
+    mult = members.groupBy("_th").agg(F.count("*").alias("mult"))
+    toks = F.split(
+        F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"
+    )
+    allpos = reps.select(
+        "_th", F.posexplode(toks).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    wins = reps.select(
+        "_th",
+        F.posexplode(C.word_ngrams(F.col("text"), DUP_SPAN_W)).alias(
+            "pos", "gram"
+        ),
+    )
+    gcount = (
+        wins.groupBy("_th", "gram")
+        .agg(F.count("*").alias("c"))
+        .join(mult, "_th")
+        .groupBy("gram")
+        .agg(F.sum(F.col("c") * F.col("mult")).alias("c"))
+    )
+    dup = gcount.filter(F.col("c") >= DUP_SPAN_MIN).select("gram")
+    covered = wins.join(dup, "gram").select(
+        "_th",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + DUP_SPAN_W - 1)
+        ).alias("pos"),
+    ).distinct()
+    kept = allpos.join(covered, ["_th", "pos"], "left_anti")
+    clean = kept.groupBy("_th").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept_tokens"),
+    )
+    tokc = reps.select(
+        "_th", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        members.join(tokc, "_th")
+        .join(clean, "_th", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("long").alias(
+                "n_kept_tokens"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXTRA_QUERIES["q_text_cut_dup_spans"] = q_text_cut_dup_spans
+
+EXTRA_ORACLES["q_text_cut_dup_spans"] = f"""
+WITH g AS (
+  SELECT doc_id,
+    regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                          '\\s+') AS toks,
+    {C.word_ngrams_sql('text', DUP_SPAN_W)} AS grams
+  FROM documents
+),
+allpos AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM g, unnest(range(LEN(toks))) AS u(i)
+  WHERE toks[i + 1] <> ''
+),
+wins AS (
+  SELECT doc_id, i AS pos, grams[i + 1] AS gram
+  FROM g, unnest(range(LEN(grams))) AS u(i)
+),
+dup AS (
+  SELECT gram FROM wins GROUP BY gram HAVING COUNT(*) >= {DUP_SPAN_MIN}
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM wins JOIN dup USING (gram), unnest(range({DUP_SPAN_W})) AS r(j)
+),
+kept AS (
+  SELECT a.doc_id, a.pos, a.tok
+  FROM allpos a ANTI JOIN covered c USING (doc_id, pos)
+),
+clean AS (
+  SELECT doc_id,
+    STRING_AGG(tok, ' ' ORDER BY pos) AS clean_text,
+    COUNT(*) AS n_kept_tokens
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST({X.token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+  CAST(COALESCE(c.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+  COALESCE(c.clean_text, '') AS clean_text
+FROM base b LEFT JOIN clean c USING (doc_id)
+ORDER BY b.doc_id
+"""

@@ -191,3 +191,39 @@ def test_quota_sample_exact_counts_and_determinism(spark):
     )
     want = {d for _, d in ranked[: Q.QUOTA_PER_SOURCE]}
     assert {d for d, s in a if s == src0} == want
+
+
+def test_dup_span_detect_and_cut_agree(spark):
+    """The detector and the cutter are two views of one covered-position
+    set: per doc, kept + covered == total tokens, the cleaned text has
+    exactly n_kept_tokens whitespace tokens, and a fully-duplicated doc
+    (a clone) cuts to ''. The fixture is clone-heavy, so both sides of
+    the split must be non-degenerate."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans import (
+        text_queries as T,
+    )
+
+    det = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens)
+        for r in T.q_text_dup_spans(spark, SF_DIR).collect()
+    }
+    cut = {
+        r.doc_id: (r.n_tokens, r.n_kept_tokens, r.clean_text)
+        for r in T.q_text_cut_dup_spans(spark, SF_DIR).collect()
+    }
+    assert set(det) == set(cut) and det
+    full_cut = partial = untouched = 0
+    for doc_id, (n, dup) in det.items():
+        n2, kept, text = cut[doc_id]
+        assert n2 == n
+        assert kept + dup == n, doc_id  # one partition of the positions
+        assert len([t for t in text.split(" ") if t]) == kept, doc_id
+        if dup == n and n > 0:
+            full_cut += 1
+            assert text == ""
+        elif dup == 0:
+            untouched += 1
+        else:
+            partial += 1
+    # clone-heavy fixture: every outcome class must actually occur
+    assert full_cut > 0 and partial > 0

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from . import ledger
 from . import text as X
 from .dedup import normalized_tokens
+from .store_base import BatchDirStore
 from .store_lock import store_write_lock
 
 META_NAME = "_bm25_meta.json"
@@ -68,7 +69,12 @@ META_NAME = "_bm25_meta.json"
 IDENTITY_KEYS = ("id_col", "text_col", "n_buckets")
 
 
-class Bm25Index:
+class Bm25Index(BatchDirStore):
+    KIND = "BM25 index"
+    META_NAME = META_NAME
+    DATA_DIR = "postings"
+    IDENTITY_KEYS = IDENTITY_KEYS
+
     # token-hash partition dirs per batch: a query reads only its
     # terms' buckets, so probe I/O is |query vocab|/n_buckets of the
     # store regardless of corpus size
@@ -85,81 +91,13 @@ class Bm25Index:
     ) -> None:
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
-        self.spark = spark
-        self.path = path
         self.id_col = id_col
         self.text_col = text_col
         self.n_buckets = n_buckets
-        # wait budget, not identity (see IvfLayoutStore.__init__)
-        self.lock_timeout = lock_timeout
-        os.makedirs(path, exist_ok=True)
+        super().__init__(spark, path, lock_timeout=lock_timeout)
 
-    # -- state ------------------------------------------------------------
-    def _meta_path(self) -> str:
-        return os.path.join(self.path, META_NAME)
-
-    def _identity(self) -> dict:
-        return {k: getattr(self, k) for k in IDENTITY_KEYS}
-
-    def _read_meta(self) -> dict:
-        try:
-            with open(self._meta_path()) as fh:
-                meta = json.load(fh)
-        except FileNotFoundError:
-            return {
-                "batches": [],
-                "committed_ids": [],
-                "epoch_hwm": {},
-                "generation": 0,
-                "n_docs": 0,
-                "s_tokens": 0,
-                "stats": {},
-                **self._identity(),
-            }
-        ledger.migrate(meta)
-        for key, mine in self._identity().items():
-            theirs = meta.setdefault(key, mine)
-            if theirs != mine:
-                raise ValueError(
-                    f"BM25 index at {self.path} was built with "
-                    f"{key}={theirs!r}, opened with {key}={mine!r} — "
-                    "identity knobs are per-store; open with the stored "
-                    "values (or Bm25Index.open to adopt them)"
-                )
-        return meta
-
-    def _write_meta(self, meta: dict) -> None:
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, self._meta_path())
-
-    def _batch_dir(self, batch_id: str) -> str:
-        return os.path.join(self.path, "postings", f"batch={batch_id}")
-
-    def committed_batches(self) -> list[str]:
-        """Live postings dirs (what queries scan). Zero-token batches
-        commit to the LEDGER but add no dir — an empty partitioned
-        parquet write leaves nothing readable behind."""
-        return self._read_meta()["batches"]
-
-    def appended_batches(self, meta: dict | None = None) -> list[str]:
-        """Live batch ids excluding compaction generations — the count
-        a maintenance cadence keys on (the gen dir is always live after
-        the first fold; see IvfLayoutStore.appended_batches)."""
-        batches = (
-            meta["batches"] if meta is not None else self.committed_batches()
-        )
-        return [b for b in batches if not re.fullmatch(r"gen\d+", b)]
-
-    def committed_ids(self) -> list[str]:
-        return self._read_meta()["committed_ids"]
-
-    def epoch_high_water(self) -> dict[str, int]:
-        return dict(self._read_meta()["epoch_hwm"])
-
-    def is_committed(self, batch_id: str) -> bool:
-        return ledger.is_committed(self._read_meta(), batch_id)
+    def _meta_defaults(self) -> dict:
+        return {"n_docs": 0, "s_tokens": 0, "stats": {}}
 
     def stats(self) -> dict:
         """Corpus-level stats from ONE meta snapshot: additive exact
@@ -172,18 +110,6 @@ class Bm25Index:
             "n_appended": len(self.appended_batches(meta)),
             "generation": meta["generation"],
         }
-
-    @classmethod
-    def open(
-        cls, spark: SparkSession, path: str, lock_timeout: float = 60.0
-    ) -> "Bm25Index":
-        """Open an EXISTING index ADOPTING its pinned identity (the
-        admin/maintenance entry point — constructor validation is for
-        ingest legs). Raises FileNotFoundError when no index exists."""
-        with open(os.path.join(path, META_NAME)) as fh:
-            meta = json.load(fh)
-        knobs = {k: meta[k] for k in IDENTITY_KEYS if k in meta}
-        return cls(spark, path, lock_timeout=lock_timeout, **knobs)
 
     # -- ingest -----------------------------------------------------------
     def _tokenize(self, docs: DataFrame) -> DataFrame:
@@ -216,18 +142,7 @@ class Bm25Index:
         operation holds the store write lock — the dir write included,
         so a concurrent ``compact()``'s GC can never sweep an in-flight
         uncommitted dir."""
-        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
-            # allowlist: a path-separator id would escape the batch=
-            # namespace (shared review finding with the sibling stores)
-            raise ValueError(
-                f"batch_id {batch_id!r} must match [A-Za-z0-9._-]+ "
-                "(it names a directory under the index)"
-            )
-        if re.fullmatch(r"gen\d+", batch_id):
-            raise ValueError(
-                f"batch_id {batch_id!r} is reserved (compaction names "
-                "generations 'gen<N>')"
-            )
+        self._check_batch_id(batch_id)
         with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
             if ledger.is_committed(meta, batch_id):
@@ -280,27 +195,6 @@ class Bm25Index:
         return self.stats()
 
     # -- query ------------------------------------------------------------
-    def _require_live_dirs(self, meta: dict, verb: str) -> list[str]:
-        dirs = [self._batch_dir(b) for b in meta["batches"]]
-        missing = [d for d in dirs if not os.path.isdir(d)]
-        if missing:
-            raise RuntimeError(
-                f"BM25 index at {self.path} is corrupt: meta lists live "
-                f"batches {meta['batches']} but these dirs are missing "
-                f"on disk: {missing}; restore them or rebuild before "
-                f"{verb}"
-            )
-        return dirs
-
-    def _read_postings(self, dirs: list[str]) -> DataFrame:
-        """One multi-root scan (NOT an O(#dirs) unionByName chain —
-        the r11 analyzer-cost finding). ``batch``/``tok_bucket`` read
-        back as partition columns; filters on ``tok_bucket`` prune
-        partitions at the source."""
-        return self.spark.read.option(
-            "basePath", os.path.join(self.path, "postings")
-        ).parquet(*dirs)
-
     def topk(self, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
         """Top-``k`` documents per query string, BM25-ranked —
         bit-identical to ``q_text_bm25_topk``'s full-corpus plan over
@@ -343,7 +237,7 @@ class Bm25Index:
         vocab = sorted({r.tok for r in term_rows})
         buckets = sorted({int(r.tok_bucket) for r in term_rows})
 
-        pruned = self._read_postings(dirs).filter(
+        pruned = self._read_data(dirs).filter(
             F.col("tok_bucket").isin(buckets) & F.col("tok").isin(vocab)
         )
         # global df for the query terms: one row per (doc, tok) exists
@@ -401,7 +295,7 @@ class Bm25Index:
             if os.path.isdir(out):
                 shutil.rmtree(out)  # crashed earlier attempt
             (
-                self._read_postings(dirs)
+                self._read_data(dirs)
                 .select("doc_id", "tok", "tf", "dl", "tok_bucket")
                 .write.partitionBy("tok_bucket")
                 .parquet(out)
@@ -425,22 +319,3 @@ class Bm25Index:
             )
             self._sweep_orphans([gen_id])
         return True
-
-    def _sweep_orphans(self, keep: list[str]) -> None:
-        """Best-effort GC of every ``batch=*`` dir the meta doesn't
-        reference — listdir, not a caller's remembered list, so dirs
-        orphaned by a PRIOR crash (between a meta swap and its GC
-        loop) are reclaimed too instead of leaking forever (r12
-        review; the ivf_store family pattern). Only called under the
-        write lock: appends hold it too, so nothing unreferenced here
-        is in flight — it is either a folded-away input or a crashed
-        attempt whose retry rewrites it."""
-        root = os.path.join(self.path, "postings")
-        keep_names = {f"batch={b}" for b in keep}
-        try:
-            names = os.listdir(root)
-        except OSError:
-            return
-        for name in names:
-            if name.startswith("batch=") and name not in keep_names:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)

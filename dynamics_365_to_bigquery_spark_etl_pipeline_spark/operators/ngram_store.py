@@ -1,0 +1,196 @@
+"""Incremental n-gram window-count store: the corpus-wide occurrence
+counts behind span-level dedup, maintained O(delta) per batch (r12).
+
+``plans/text_queries.q_text_dup_spans`` decides "is this W-token
+window duplicated?" from a full-corpus count — rerun from scratch per
+sweep. This store persists per-batch window counts (counts are
+ADDITIVE, so batch-built state equals a full recount by arithmetic)
+and lets the streaming span gate (``streaming/span_gate.py``) flag
+arriving documents against everything ingested so far without ever
+re-exploding the indexed corpus.
+
+Chassis from ``operators/store_base.BatchDirStore`` (batch dirs +
+bounded ledger + write lock + orphan GC + identity pinning — shared
+with the BM25 index). A batch dir holds ``(gram, c)`` rows
+hash-partitioned into ``gram_bucket=<b>`` dirs. The bucket layout is
+for FILE-SIZE bounding and parallel compaction, not probe pruning:
+unlike the BM25 index (whose probes carry a human-sized query
+vocabulary), this store's probe side is a whole micro-batch's window
+vocabulary — the honest shape is a gram-keyed shuffle join against the
+aggregated store, and ``past_counts()`` hands the caller exactly that
+frame.
+
+Window extraction is the SHARED ``curation.word_ngrams`` reshape — the
+same rule as the batch detector, so gate and detector cannot tokenize
+differently.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import curation as C
+from . import ledger
+from .store_base import BatchDirStore
+from .store_lock import store_write_lock
+
+META_NAME = "_ngram_meta.json"
+
+IDENTITY_KEYS = ("text_col", "w", "n_buckets")
+
+
+class NgramCountStore(BatchDirStore):
+    KIND = "n-gram count store"
+    META_NAME = META_NAME
+    DATA_DIR = "counts"
+    IDENTITY_KEYS = IDENTITY_KEYS
+
+    N_BUCKETS = 16
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        text_col: str = "text",
+        w: int = 5,
+        n_buckets: int = N_BUCKETS,
+        lock_timeout: float = 60.0,
+    ) -> None:
+        if w < 1:
+            raise ValueError(f"w must be >= 1 (got {w})")
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+        self.text_col = text_col
+        self.w = w
+        self.n_buckets = n_buckets
+        super().__init__(spark, path, lock_timeout=lock_timeout)
+
+    def _meta_defaults(self) -> dict:
+        return {"n_windows": 0, "stats": {}}
+
+    # -- ingest ---------------------------------------------------------------
+    def batch_counts(self, docs: DataFrame) -> DataFrame:
+        """``(gram, c)`` for one document batch — the shared
+        ``word_ngrams`` reshape, counted. Public so the streaming gate
+        can reuse the exact expression for its in-batch counts."""
+        return (
+            docs.select(
+                F.explode(
+                    C.word_ngrams(F.col(self.text_col), self.w)
+                ).alias("gram")
+            )
+            .groupBy("gram")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def append(self, docs: DataFrame, batch_id: str) -> dict:
+        """Add one batch's window counts in O(|delta|). Returns the
+        store stats after the commit. Replay of a committed id is a
+        no-op; ``*-epoch-<n>`` ids ride the bounded monotonic ledger.
+        The whole operation holds the write lock (dir write included,
+        so a concurrent compact's GC can't sweep it)."""
+        self._check_batch_id(batch_id)
+        with store_write_lock(self.path, timeout=self.lock_timeout):
+            meta = self._read_meta()
+            if ledger.is_committed(meta, batch_id):
+                return self.stats()
+            # one evaluation: counts are cut eagerly so the stats
+            # aggregate and the dir write can't see two different
+            # views of a nondeterministic source (the r12 append rule)
+            counts = self.batch_counts(docs).localCheckpoint()
+            row = counts.agg(
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n")
+            ).collect()[0]
+            n_windows = int(row["n"])
+            out = self._batch_dir(batch_id)
+            if os.path.isdir(out):
+                shutil.rmtree(out)  # crashed earlier attempt, any retry
+            if n_windows > 0:
+                (
+                    counts.withColumn(
+                        "gram_bucket",
+                        F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)),
+                    )
+                    .write.partitionBy("gram_bucket")
+                    .parquet(out)
+                )
+                meta["batches"] = meta["batches"] + [batch_id]
+                # stats entries exist for LIVE dirs only (bounded meta
+                # under window-less epochs — the r12 discipline)
+                meta["stats"][batch_id] = {"n_windows": n_windows}
+            ledger.record(meta, batch_id)
+            meta["n_windows"] += n_windows
+            self._write_meta(meta)
+        return self.stats()
+
+    def stats(self) -> dict:
+        meta = self._read_meta()
+        return {
+            "n_windows": meta["n_windows"],
+            "n_batches": len(meta["batches"]),
+            "n_appended": len(self.appended_batches(meta)),
+            "generation": meta["generation"],
+        }
+
+    # -- probe ------------------------------------------------------------------
+    def past_counts(self) -> DataFrame:
+        """``(gram, c_past)`` aggregated over every live dir — the
+        frame a gate joins its batch vocabulary against (gram-keyed
+        shuffle join; the probe side is batch-sized, so there is no
+        small side to broadcast or prune to). An empty store yields an
+        empty frame (a gate's first epoch joins against nothing)."""
+        meta = self._read_meta()
+        if not meta["batches"]:
+            return self.spark.createDataFrame([], "gram string, c_past long")
+        dirs = self._require_live_dirs(meta, "probing")
+        return (
+            self._read_data(dirs)
+            .groupBy("gram")
+            .agg(F.sum("c").cast("long").alias("c_past"))
+        )
+
+    # -- maintenance --------------------------------------------------------------
+    def compact(self) -> bool:
+        """Sum-merge every live batch dir into one ``gen<N>`` dir —
+        counts are additive, so the fold is a groupBy(gram).sum that
+        changes no probe answer. Crash-safe two-phase, ledger
+        preserved, prior-crash orphans swept (the r12 family rules)."""
+        with store_write_lock(self.path, timeout=self.lock_timeout):
+            meta = self._read_meta()
+            self._sweep_orphans(meta["batches"])
+            live = meta["batches"]
+            if len(live) <= 1:
+                return False
+            dirs = self._require_live_dirs(meta, "compacting")
+            gen = meta["generation"] + 1
+            gen_id = f"gen{gen}"
+            out = self._batch_dir(gen_id)
+            if os.path.isdir(out):
+                shutil.rmtree(out)  # crashed earlier attempt
+            (
+                self._read_data(dirs)
+                .groupBy("gram")
+                .agg(F.sum("c").cast("long").alias("c"))
+                .withColumn(
+                    "gram_bucket",
+                    F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)),
+                )
+                .write.partitionBy("gram_bucket")
+                .parquet(out)
+            )
+            ledger.record(meta, gen_id)
+            self._write_meta(
+                {
+                    **meta,
+                    "batches": [gen_id],
+                    "generation": gen,
+                    # the fold's stats entry IS the additive total
+                    "stats": {gen_id: {"n_windows": meta["n_windows"]}},
+                }
+            )
+            self._sweep_orphans([gen_id])
+        return True

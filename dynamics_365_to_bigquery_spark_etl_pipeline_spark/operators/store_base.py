@@ -1,0 +1,194 @@
+"""Shared chassis for the batch-dir incremental stores (r12).
+
+The repo's incremental stores all share one disk grammar — per-batch
+``batch=<id>`` parquet dirs under a data root, one atomically-replaced
+meta JSON carrying the live dir list + the bounded replay ledger
+(``operators/ledger.py``) + pinned identity knobs, every mutation under
+the store write lock (``operators/store_lock.py``), crash-safe
+two-phase commits, ``gen<N>`` compaction generations, and orphan-dir
+GC. The BM25 retrieval index (r12) and the n-gram count store (r12)
+are structurally identical in all of that and differ only in what a
+batch dir CONTAINS — so the chassis lives here once (the r12 review
+habit: a second hand-synced copy of replay-guard-critical plumbing is
+how stores drift). The older stores (LSH dedup index, IVF layout)
+pre-date this base and keep their own tested plumbing; nothing here
+changes them.
+
+Subclasses define the class constants (``KIND``, ``META_NAME``,
+``DATA_DIR``, ``IDENTITY_KEYS``) plus ``_meta_defaults()``, and get:
+meta read/write with identity validation and ledger migration, the
+replay-guard API, the reserved/path-traversal batch-id allowlist, the
+multi-root partition-discovering reader, missing-dir loud failure,
+orphan sweeps, and identity-adopting ``open()``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import ledger
+
+
+class BatchDirStore:
+    KIND = "batch-dir"        # human name for error messages
+    META_NAME = "_meta.json"  # subclass overrides
+    DATA_DIR = "data"         # subclass overrides
+    IDENTITY_KEYS: tuple[str, ...] = ()
+
+    def __init__(
+        self, spark: SparkSession, path: str, lock_timeout: float = 60.0
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        # wait budget, not identity — size it to the longest mutating
+        # op a writer may queue behind (see IvfLayoutStore.__init__)
+        self.lock_timeout = lock_timeout
+        os.makedirs(path, exist_ok=True)
+
+    # -- meta ---------------------------------------------------------------
+    def _meta_defaults(self) -> dict:
+        """Store-specific meta fields for a FRESH store (additive
+        stats, etc.); subclasses override and extend."""
+        return {}
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, self.META_NAME)
+
+    def _identity(self) -> dict:
+        return {k: getattr(self, k) for k in self.IDENTITY_KEYS}
+
+    def _read_meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as fh:
+                meta = json.load(fh)
+        except FileNotFoundError:
+            return {
+                "batches": [],
+                "committed_ids": [],
+                "epoch_hwm": {},
+                "generation": 0,
+                **self._meta_defaults(),
+                **self._identity(),
+            }
+        ledger.migrate(meta)
+        for key, mine in self._identity().items():
+            theirs = meta.setdefault(key, mine)
+            if theirs != mine:
+                raise ValueError(
+                    f"{self.KIND} at {self.path} was built with "
+                    f"{key}={theirs!r}, opened with {key}={mine!r} — "
+                    "identity knobs are per-store; open with the stored "
+                    f"values (or {type(self).__name__}.open to adopt them)"
+                )
+        return meta
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._meta_path())
+
+    @classmethod
+    def open(
+        cls, spark: SparkSession, path: str, lock_timeout: float = 60.0
+    ):
+        """Open an EXISTING store ADOPTING its pinned identity (the
+        admin/maintenance entry point — constructor validation is for
+        ingest legs). Raises FileNotFoundError when no store exists."""
+        with open(os.path.join(path, cls.META_NAME)) as fh:
+            meta = json.load(fh)
+        knobs = {k: meta[k] for k in cls.IDENTITY_KEYS if k in meta}
+        return cls(spark, path, lock_timeout=lock_timeout, **knobs)
+
+    # -- replay-guard API -----------------------------------------------------
+    def committed_batches(self) -> list[str]:
+        """Live data dirs (what reads scan). Batches that produced no
+        rows commit to the LEDGER but add no dir."""
+        return self._read_meta()["batches"]
+
+    def appended_batches(self, meta: dict | None = None) -> list[str]:
+        """Live batch ids excluding compaction generations — the count
+        a maintenance cadence keys on (the gen dir is always live after
+        the first fold; see IvfLayoutStore.appended_batches)."""
+        batches = (
+            meta["batches"] if meta is not None else self.committed_batches()
+        )
+        return [b for b in batches if not re.fullmatch(r"gen\d+", b)]
+
+    def committed_ids(self) -> list[str]:
+        return self._read_meta()["committed_ids"]
+
+    def epoch_high_water(self) -> dict[str, int]:
+        return dict(self._read_meta()["epoch_hwm"])
+
+    def is_committed(self, batch_id: str) -> bool:
+        return ledger.is_committed(self._read_meta(), batch_id)
+
+    def _check_batch_id(self, batch_id: str) -> None:
+        """Allowlist, not blocklist: a path-separator id would escape
+        the batch= namespace and can resolve INTO the live generation
+        dir (which the rewrite path would rmtree as a crashed attempt);
+        ``gen<N>`` is the store's own compaction namespace."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
+            raise ValueError(
+                f"batch_id {batch_id!r} must match [A-Za-z0-9._-]+ "
+                "(it names a directory under the store)"
+            )
+        if re.fullmatch(r"gen\d+", batch_id):
+            raise ValueError(
+                f"batch_id {batch_id!r} is reserved (compaction names "
+                "generations 'gen<N>')"
+            )
+
+    # -- disk -----------------------------------------------------------------
+    def _data_root(self) -> str:
+        return os.path.join(self.path, self.DATA_DIR)
+
+    def _batch_dir(self, batch_id: str) -> str:
+        return os.path.join(self._data_root(), f"batch={batch_id}")
+
+    def _require_live_dirs(self, meta: dict, verb: str) -> list[str]:
+        dirs = [self._batch_dir(b) for b in meta["batches"]]
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            raise RuntimeError(
+                f"{self.KIND} at {self.path} is corrupt: meta lists "
+                f"live batches {meta['batches']} but these dirs are "
+                f"missing on disk: {missing}; restore them or rebuild "
+                f"before {verb}"
+            )
+        return dirs
+
+    def _read_data(self, dirs: list[str]) -> DataFrame:
+        """One multi-root scan (NOT an O(#dirs) unionByName chain —
+        the r11 analyzer-cost finding). ``batch`` and any layout
+        partition columns read back as partition columns; filters on
+        them prune at the source."""
+        return self.spark.read.option("basePath", self._data_root()).parquet(
+            *dirs
+        )
+
+    def _sweep_orphans(self, keep: list[str]) -> None:
+        """Best-effort GC of every ``batch=*`` dir the meta doesn't
+        reference — listdir, not a caller's remembered list, so dirs
+        orphaned by a PRIOR crash (between a meta swap and its GC
+        loop) are reclaimed too instead of leaking forever (r12
+        review; the ivf_store family pattern). Only called under the
+        write lock: appends hold it too, so nothing unreferenced here
+        is in flight — it is either a folded-away input or a crashed
+        attempt whose retry rewrites it."""
+        keep_names = {f"batch={b}" for b in keep}
+        try:
+            names = os.listdir(self._data_root())
+        except OSError:
+            return
+        for name in names:
+            if name.startswith("batch=") and name not in keep_names:
+                shutil.rmtree(
+                    os.path.join(self._data_root(), name), ignore_errors=True
+                )

@@ -8,10 +8,10 @@ and drift-triggered retrain as one command::
 The reference runs its maintenance inline with the nightly job (the
 argv surface at ``incremental_etl_v1.py:37-46`` is the whole ops story);
 this repo's incremental stores (LSH dedup index, IVF layout store, MG
-summary store, BM25 retrieval index) instead accrete batch dirs at
-streaming cadence and need maintenance a CRON JOB can drive beside the
-live stream — which the
-store write locks make safe (``operators/store_lock.py``): a compact
+summary store, BM25 retrieval index, n-gram count store) instead
+accrete batch dirs at streaming cadence and need maintenance a CRON
+JOB can drive beside the live stream — which the store write locks
+make safe (``operators/store_lock.py``): a compact
 here serializes against in-flight appends instead of sweeping their
 uncommitted dirs.
 
@@ -42,7 +42,7 @@ from .operators import store_lock
 
 def detect_kind(store_dir: str) -> str | None:
     """Which store lives at ``store_dir`` (by meta file), or None."""
-    from .operators import bm25_index, dedup_index, ivf_store
+    from .operators import bm25_index, dedup_index, ivf_store, ngram_store
     from .streaming import heavy_hitters
 
     for kind, meta_name in (
@@ -50,6 +50,7 @@ def detect_kind(store_dir: str) -> str | None:
         ("lsh", dedup_index.META_NAME),
         ("mg", heavy_hitters.META_NAME),
         ("bm25", bm25_index.META_NAME),
+        ("ngram", ngram_store.META_NAME),
     ):
         if os.path.isfile(os.path.join(store_dir, meta_name)):
             return kind
@@ -131,6 +132,20 @@ def _lsh_status(idx) -> dict:
     }
 
 
+def _ngram_status(store) -> dict:
+    from .operators import ledger
+
+    meta = store._read_meta()
+    return {
+        "generation": meta["generation"],
+        "batches": meta["batches"],
+        "appended_batches": len(store.appended_batches(meta)),
+        "n_windows": meta["n_windows"],
+        "epoch_hwm": dict(meta[ledger.HWM_KEY]),
+        "committed_ids": len(meta[ledger.IDS_KEY]),
+    }
+
+
 def _bm25_status(idx) -> dict:
     from .operators import ledger
 
@@ -169,14 +184,15 @@ def build_parser() -> argparse.ArgumentParser:
         description=(
             "Status / compaction / drift-retrain for the incremental "
             "stores (LSH dedup index, IVF layout, MG summaries, "
-            "BM25 retrieval index)."
+            "BM25 retrieval index, n-gram counts)."
         ),
     )
     p.add_argument("store_dir", help="a store directory (kind auto-detected)")
     p.add_argument(
         "--compact",
         action="store_true",
-        help="fold live batch dirs into one generation (IVF / LSH / BM25; "
+        help="fold live batch dirs into one generation (IVF / LSH / BM25 "
+        "/ n-gram counts; "
         "probe fan-in and file counts otherwise grow O(#batches))",
     )
     p.add_argument(
@@ -285,20 +301,24 @@ def main(argv: list[str] | None = None) -> int:
                 if args.rebuild_if_drift:
                     out["rebuilt"] = rebuilding
                 out.update(_ivf_status(store))
-            elif kind == "bm25":
+            elif kind in ("bm25", "ngram"):
                 from .operators.bm25_index import Bm25Index
+                from .operators.ngram_store import NgramCountStore
 
                 if args.rebuild_if_drift:
                     raise ValueError(
-                        "--rebuild-if-drift is an IVF action (the BM25 "
-                        "index has no centroids to drift)"
+                        f"--rebuild-if-drift is an IVF action (the "
+                        f"{kind} store has no centroids to drift)"
                     )
-                idx = Bm25Index.open(
+                cls = Bm25Index if kind == "bm25" else NgramCountStore
+                idx = cls.open(
                     spark, args.store_dir, lock_timeout=args.lock_timeout
                 )
                 if args.compact:
                     out["compacted"] = idx.compact()
-                out.update(_bm25_status(idx))
+                out.update(
+                    _bm25_status(idx) if kind == "bm25" else _ngram_status(idx)
+                )
             else:
                 from .operators.dedup_index import LshDedupIndex
 

@@ -1,0 +1,206 @@
+"""Span-level duplicate detection AT INGEST — the eighth foreachBatch
+leg (r12).
+
+The batch detector (``plans/text_queries.q_text_dup_spans``) answers
+"which token spans are duplicated" over a FINISHED corpus; this leg
+keeps the signal current on a continuously-fed one: every arriving
+micro-batch's W-token windows are counted against the incremental
+n-gram count store (``operators/ngram_store.py``) PLUS the batch's own
+windows, per-doc duplicated-token stats land beside the corpus, and
+the batch's counts are appended to the store — so a doc repeating
+boilerplate from ANY earlier epoch (or from itself, or from a
+same-epoch sibling) is flagged the epoch it arrives.
+
+AT-INGEST SEMANTICS, stated: a window is duplicated when its count in
+(past corpus + this batch) reaches ``min_occurrences``. The FIRST copy
+of a phrase whose later copies arrive in future epochs is not
+retro-flagged (the batch detector over the final corpus would flag
+both) — the same one-sided semantics as the dedup index leg, which
+emits a pair when the SECOND copy arrives. The two agree exactly when
+the corpus arrives in one epoch, and that equality is pytest-pinned
+against the driver-oracled batch detector.
+
+Per-epoch shapes: one gram explosion of the batch (delta-sized), one
+gram-keyed shuffle join against the store's aggregated counts (the
+probe side is a whole batch vocabulary — nothing to broadcast), the
+per-doc interval-union fold from the batch detector's shipped shape,
+deterministic ``spans/epoch=<key>`` overwrites, and one O(delta) store
+append. Exactly-once: the store append is the LAST action, so its
+ledger guards the epoch (the spans dir is a deterministic overwrite
+under the run-scoped key).
+
+Optional routing: ``max_dup_pct`` splits the documents themselves into
+``kept/`` / ``flagged/`` epoch dirs on the duplicated-token fraction —
+the quality-gate family shape, driven by cross-epoch state instead of
+a per-row score.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import curation as C
+from ..operators import text as X
+from ..operators.ngram_store import NgramCountStore
+from .util import (
+    check_reserved_columns,
+    project_to_schema,
+    query_id_reader,
+)
+
+
+def span_stats(
+    docs: DataFrame,
+    dup_grams: DataFrame,
+    text_col: str,
+    w: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-span stats given the duplicated-window set:
+    ``(id_col, n_tokens, n_dup_tokens, dup_pct)``. The shipped batch
+    detector's shape — positional windows, join to ``dup_grams``
+    (column ``gram``), sorted interval-union fold, one IEEE division —
+    shared here so the gate and any batch caller compute spans one
+    way."""
+    wins = docs.select(
+        id_col,
+        F.posexplode(C.word_ngrams(F.col(text_col), w)).alias("pos", "gram"),
+    )
+    perdoc = (
+        wins.join(dup_grams.select("gram"), "gram")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+        .select(
+            id_col,
+            F.aggregate(
+                F.col("ps"),
+                F.struct(
+                    F.lit(-w).cast("long").alias("prev"),
+                    F.lit(0).cast("long").alias("tot"),
+                ),
+                lambda acc, p: F.struct(
+                    p.cast("long").alias("prev"),
+                    (
+                        acc["tot"]
+                        + F.least(
+                            F.lit(w).cast("long"), p.cast("long") - acc["prev"]
+                        )
+                    ).alias("tot"),
+                ),
+                lambda acc: acc["tot"],
+            ).alias("n_dup_tokens"),
+        )
+    )
+    base = docs.select(
+        id_col, X.token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(perdoc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
+            "n_dup_tokens"
+        ),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            (100 * F.coalesce(F.col("n_dup_tokens"), F.lit(0))).cast("double")
+            / F.col("n_tokens").cast("double")
+        )
+        .alias("dup_pct"),
+    )
+
+
+def stream_span_dedup_gate(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    out_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 5,
+    min_occurrences: int = 2,
+    max_dup_pct: Optional[float] = None,
+    n_buckets: int = NgramCountStore.N_BUCKETS,
+    compact_every: int = 0,
+    max_files_per_trigger: int = 1,
+    lock_timeout: float = 60.0,
+) -> StreamingQuery:
+    """Flag duplicated spans in a document stream against everything
+    ingested so far. Writes ``spans/epoch=<key>`` stats each epoch;
+    with ``max_dup_pct`` set, also routes the documents themselves to
+    ``kept/`` / ``flagged/`` epoch dirs. The n-gram count store at
+    ``store_path`` is created on first use and appended exactly-once
+    per epoch."""
+    check_reserved_columns(
+        schema, {"n_tokens", "n_dup_tokens", "dup_pct", "epoch"}
+    )
+    store = NgramCountStore(
+        spark,
+        store_path,
+        text_col=text_col,
+        w=w,
+        n_buckets=n_buckets,
+        lock_timeout=lock_timeout,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    _query_id = query_id_reader(checkpoint_dir)
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"{_query_id()}-epoch-{epoch_id}"
+        # the store append is the epoch's LAST action: committed means
+        # the spans (and kept/flagged) dirs were already written
+        if batch_df.isEmpty() or store.is_committed(key):
+            return
+        docs = project_to_schema(batch_df, schema).localCheckpoint()
+        c_new = store.batch_counts(docs.select(text_col))
+        # duplicated = past corpus + this batch reaches the threshold
+        # (computed against COMMITTED store state — the append below
+        # has not run yet, so a replayed epoch sees identical counts)
+        dup = (
+            c_new.join(store.past_counts(), "gram", "left")
+            .filter(
+                F.col("c") + F.coalesce(F.col("c_past"), F.lit(0))
+                >= min_occurrences
+            )
+            .select("gram")
+        )
+        stats = span_stats(docs, dup, text_col, w, id_col).persist()
+        try:
+            stats.write.mode("overwrite").parquet(
+                f"{out_dir}/spans/epoch={key}"
+            )
+            if max_dup_pct is not None:
+                routed = docs.join(
+                    stats.select(id_col, "dup_pct"), id_col
+                )
+                routed.filter(F.col("dup_pct") <= max_dup_pct).drop(
+                    "dup_pct"
+                ).write.mode("overwrite").parquet(
+                    f"{out_dir}/kept/epoch={key}"
+                )
+                routed.filter(F.col("dup_pct") > max_dup_pct).write.mode(
+                    "overwrite"
+                ).parquet(f"{out_dir}/flagged/epoch={key}")
+        finally:
+            stats.unpersist()
+        store.append(docs.select(text_col), key)
+        if compact_every and len(store.appended_batches()) >= compact_every:
+            store.compact()
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

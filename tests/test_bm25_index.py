@@ -153,7 +153,7 @@ def test_meta_stats_equal_on_disk_postings(spark, tmp_path):
         idx.append(docs.filter(F.col("doc_id") % 2 == i), f"b{i}")
     st = idx.stats()
     ondisk = (
-        idx._read_postings([idx._batch_dir(b) for b in idx.committed_batches()])
+        idx._read_data([idx._batch_dir(b) for b in idx.committed_batches()])
         .agg(
             F.sum("tf").alias("s"),
             F.countDistinct("doc_id").alias("n"),
@@ -287,7 +287,7 @@ def test_query_scan_partition_prunes_to_term_buckets(spark, tmp_path):
     )
     files = [
         r.f
-        for r in idx._read_postings([idx._batch_dir("b0")])
+        for r in idx._read_data([idx._batch_dir("b0")])
         .filter(
             F.col("tok_bucket").isin([bucket]) & F.col("tok").isin(["spark"])
         )

@@ -1,0 +1,192 @@
+"""Incremental n-gram count store + streaming span-dedup gate (r12):
+batched counts must equal a whole-corpus recount (additive by
+arithmetic), the gate's single-epoch drain must match the
+driver-oracled batch detector exactly, cross-epoch repeats must flag
+the epoch they arrive, and the family's replay/compaction/identity
+rules must hold on the shared chassis."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ngram_store import (
+    NgramCountStore,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.plans.text_queries import (
+    DUP_SPAN_W,
+    q_text_dup_spans,
+)
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.span_gate import (
+    stream_span_dedup_gate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _counts(store):
+    return {
+        (r.gram, r.c_past) for r in store.past_counts().collect()
+    }
+
+
+def test_batched_counts_equal_whole_corpus(spark, tmp_path):
+    docs = _docs(spark)
+    inc = NgramCountStore(spark, str(tmp_path / "inc"), w=DUP_SPAN_W)
+    for i in range(3):
+        inc.append(docs.filter(F.col("doc_id") % 3 == i), f"b{i}")
+    full = NgramCountStore(spark, str(tmp_path / "full"), w=DUP_SPAN_W)
+    full.append(docs, "all")
+    assert _counts(inc) == _counts(full)
+    assert inc.stats()["n_windows"] == full.stats()["n_windows"] > 0
+    # replay: a committed id adds nothing
+    st = inc.stats()
+    inc.append(docs.filter(F.col("doc_id") % 3 == 0), "b0")
+    assert inc.stats() == st
+    # compaction: sum-merge, probe-identical, fan-in bounded
+    assert inc.compact() is True
+    assert inc.committed_batches() == ["gen1"]
+    assert _counts(inc) == _counts(full)
+    assert inc.stats()["n_windows"] == st["n_windows"]
+
+
+def test_identity_pinned_and_windowless_batches(spark, tmp_path):
+    docs = _docs(spark)
+    p = str(tmp_path / "s")
+    store = NgramCountStore(spark, p, w=4, n_buckets=8)
+    store.append(docs, "b0")
+    with pytest.raises(ValueError, match="identity"):
+        NgramCountStore(spark, p, w=5, n_buckets=8).stats()
+    assert NgramCountStore.open(spark, p).w == 4
+    # a batch of under-W docs commits to the ledger, moves nothing,
+    # and leaves no unreadable dir
+    shorts = spark.createDataFrame([("a b",), ("",)], "text string")
+    st = store.stats()
+    store.append(shorts, "shorts")
+    assert store.is_committed("shorts")
+    assert store.stats()["n_windows"] == st["n_windows"]
+    assert "shorts" not in store.committed_batches()
+    for bad in ("gen1", "a/b"):
+        with pytest.raises(ValueError):
+            store.append(docs, bad)
+
+
+def _drain(spark, src, schema, out, store_p, ck, **kw):
+    q = stream_span_dedup_gate(
+        spark, str(src), schema, str(out), str(store_p), str(ck),
+        w=DUP_SPAN_W, **kw,
+    )
+    assert q.awaitTermination(240)
+
+
+def test_single_epoch_gate_equals_batch_detector(spark, tmp_path):
+    """With the whole corpus in ONE epoch, at-ingest semantics and
+    batch semantics coincide — the gate's spans output must row-match
+    the driver-oracled q_text_dup_spans exactly (including the IEEE
+    fraction)."""
+    docs = _docs(spark)
+    src = tmp_path / "src"
+    docs.coalesce(1).write.parquet(str(src))
+    _drain(
+        spark, src, docs.schema, tmp_path / "out", tmp_path / "store",
+        tmp_path / "ck",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, repr(r.dup_pct))
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "spans")
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, repr(r.dup_pct))
+        for r in q_text_dup_spans(spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+
+def test_cross_epoch_repeats_flag_on_arrival(spark, tmp_path):
+    """A doc arriving in epoch 2 that repeats an epoch-1 phrase is
+    flagged; the epoch-1 original is NOT retro-flagged (at-ingest
+    semantics, stated in the module docstring); a unique doc stays
+    clean; max_dup_pct routes the documents themselves."""
+    phrase = "alpha beta gamma delta epsilon"  # exactly W=5 tokens
+    e1 = spark.createDataFrame(
+        [(1, f"{phrase} one two three four five"),
+         (2, "zig zag zip zap zoom six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    e2 = spark.createDataFrame(
+        [(3, f"{phrase} eleven twelve thirteen fourteen fifteen"),
+         (4, "unique sixteen seventeen eighteen nineteen twenty only")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "src"
+    e1.coalesce(1).write.mode("append").parquet(str(src))
+    e2.coalesce(1).write.mode("append").parquet(str(src))
+    _drain(
+        spark, src, e1.schema, tmp_path / "out", tmp_path / "store",
+        tmp_path / "ck",
+        max_dup_pct=0.0, max_files_per_trigger=1,
+    )
+    spans = {
+        r.doc_id: r.n_dup_tokens
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "spans")
+        ).collect()
+    }
+    assert spans[3] == DUP_SPAN_W  # the repeated phrase, exactly
+    assert spans[1] == 0  # first copy: not retro-flagged (documented)
+    assert spans[2] == 0 and spans[4] == 0
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "out" / "kept")).collect()
+    }
+    flagged = {
+        r.doc_id
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "flagged")
+        ).collect()
+    }
+    assert flagged == {3} and kept == {1, 2, 4}
+    # the drained store holds the full two-epoch counts
+    store = NgramCountStore.open(spark, str(tmp_path / "store"))
+    batch = NgramCountStore(spark, str(tmp_path / "ref"), w=DUP_SPAN_W)
+    batch.append(e1.unionByName(e2).select("text"), "all")
+    assert _counts(store) == _counts(batch)
+    # replay: re-drain with no new files adds nothing anywhere
+    st = store.stats()
+    dirs = sorted(os.listdir(tmp_path / "out" / "spans"))
+    _drain(
+        spark, src, e1.schema, tmp_path / "out", tmp_path / "store",
+        tmp_path / "ck",
+        max_dup_pct=0.0, max_files_per_trigger=1,
+    )
+    assert store.stats() == st
+    assert sorted(os.listdir(tmp_path / "out" / "spans")) == dirs
+
+
+def test_in_stream_compaction(spark, tmp_path):
+    docs = _docs(spark)
+    src = tmp_path / "src"
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    _drain(
+        spark, src, docs.schema, tmp_path / "out", tmp_path / "store",
+        tmp_path / "ck",
+        max_files_per_trigger=1, compact_every=2,
+    )
+    store = NgramCountStore.open(spark, str(tmp_path / "store"))
+    live = store.committed_batches()
+    assert len(live) <= 2 and any(b.startswith("gen") for b in live)
+    full = NgramCountStore(spark, str(tmp_path / "full"), w=DUP_SPAN_W)
+    full.append(docs, "all")
+    assert _counts(store) == _counts(full)

@@ -262,3 +262,35 @@ def test_compact_plus_rebuild_skips_the_double_fold(spark, tmp_path, capsys):
     assert out["generation"] == 1  # ONE new generation, not two
     assert out["batches"] == ["gen1"]
     assert not out["needs_retrain"]
+
+
+def test_ngram_status_and_compact(spark, tmp_path, capsys):
+    """The n-gram count store rides the same CLI: status (n_windows /
+    fan-in / ledger sizes from one snapshot), --compact sum-merges,
+    --rebuild-if-drift rejected, identity adopted from the meta."""
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import (
+        load_table,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ngram_store import (
+        NgramCountStore,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    p = str(tmp_path / "ng")
+    store = NgramCountStore(spark, p, w=4, n_buckets=4)
+    for i in range(2):
+        store.append(docs.filter(F.col("doc_id") % 2 == i), f"b{i}")
+    rc, out = _run(capsys, p)
+    assert rc == 0 and out["kind"] == "ngram"
+    assert out["n_windows"] == store.stats()["n_windows"] > 0
+    assert out["appended_batches"] == 2
+    rc, out = _run(capsys, p, "--compact")
+    assert rc == 0 and out["compacted"] is True
+    assert out["batches"] == ["gen1"]
+    assert out["n_windows"] == store.stats()["n_windows"]
+    rc, out = _run(capsys, p, "--rebuild-if-drift")
+    assert rc == 1 and "IVF action" in out["error"]

@@ -49,9 +49,7 @@ bounded on a long-lived ingest.
 
 from __future__ import annotations
 
-import json
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession

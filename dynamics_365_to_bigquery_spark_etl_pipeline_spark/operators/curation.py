@@ -119,3 +119,77 @@ def sample_permille(key: Column, permille: Column) -> Column:
 
 def sample_permille_sql(key_expr: str, permille_expr: str) -> str:
     return f"({hash60_sql(key_expr)} % 1000) < ({permille_expr})"
+
+
+# -- span-level duplicate detection (shared core, r12) ----------------------
+# ONE implementation of the routed duplicate-window derivation and the
+# interval-union fold for all three consumers — the span detector
+# (q_text_dup_spans), the span cutter (q_text_cut_dup_spans), and the
+# streaming span gate's per-doc stats: three hand-synced copies of
+# span-dedup-critical logic is the drift class the r12 store chassis
+# exists to prevent, applied to expressions (r12 review).
+
+
+def interval_union_len(sorted_starts: Column, w: int) -> Column:
+    """``|union of [p, p+w-1]|`` over a SORTED array of interval
+    starts: for equal-length-w intervals, union length =
+    Σ min(w, p_{i+1} - p_i) with a ``-w`` sentinel (the first interval
+    contributes exactly w). Exact integers, no w× explode, no distinct
+    exchange — the oracle twins keep the naive explode+distinct shape,
+    so every hash check verifies this identity."""
+    return F.aggregate(
+        sorted_starts,
+        F.struct(
+            F.lit(-w).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("tot"),
+        ),
+        lambda acc, p: F.struct(
+            p.cast("long").alias("prev"),
+            (
+                acc["tot"]
+                + F.least(F.lit(w).cast("long"), p.cast("long") - acc["prev"])
+            ).alias("tot"),
+        ),
+        lambda acc: acc["tot"],
+    )
+
+
+def routed_dup_windows(
+    docs: DataFrame,
+    text_col: str,
+    w: int,
+    min_occurrences: int,
+    id_col: str = "doc_id",
+):
+    """The routed duplicate-window derivation (the r9 law applied to
+    span dedup): windows are a function of the TEXT alone, and a
+    window's corpus-wide occurrence count = per-distinct-text count ×
+    clone multiplicity, summed — so the gram explosion runs once per
+    DISTINCT text (measured 27.0 -> 5.9 s at sf1 on the 10x-cloned
+    fixture) and verdicts fan back over the md5 routing key.
+
+    Returns ``(members, reps, wins, dup)``: the (id, _th) member map,
+    the (_th, text) distinct-text frame, the (_th, pos, gram)
+    positional windows per distinct text, and the duplicated-window
+    set (one ``gram`` column, corpus count >= min_occurrences)."""
+    members = docs.select(id_col, F.md5(F.col(text_col)).alias("_th"))
+    reps = (
+        docs.select(text_col)
+        .distinct()
+        .select(F.md5(F.col(text_col)).alias("_th"), text_col)
+    )
+    mult = members.groupBy("_th").agg(F.count("*").alias("mult"))
+    wins = reps.select(
+        "_th",
+        F.posexplode(word_ngrams(F.col(text_col), w)).alias("pos", "gram"),
+    )
+    dup = (
+        wins.groupBy("_th", "gram")
+        .agg(F.count("*").alias("c"))
+        .join(mult, "_th")
+        .groupBy("gram")
+        .agg(F.sum(F.col("c") * F.col("mult")).alias("c"))
+        .filter(F.col("c") >= min_occurrences)
+        .select("gram")
+    )
+    return members, reps, wins, dup

@@ -93,6 +93,16 @@ class NgramCountStore(BatchDirStore):
         no-op; ``*-epoch-<n>`` ids ride the bounded monotonic ledger.
         The whole operation holds the write lock (dir write included,
         so a concurrent compact's GC can't sweep it)."""
+        return self.append_counts(self.batch_counts(docs), batch_id)
+
+    def append_counts(self, batch_counts: DataFrame, batch_id: str) -> dict:
+        """``append`` for a caller that already computed the batch's
+        ``(gram, c)`` frame — the span gate derives its duplicate
+        verdict from the same counts it ingests, and re-exploding the
+        batch here would double the delta-sized work per epoch (r12
+        review). The frame is cut eagerly below, so a lazy input is
+        fine; a NONDETERMINISTIC one is the caller's bug (the counts
+        the verdict saw and the counts committed must be one view)."""
         self._check_batch_id(batch_id)
         with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
@@ -101,7 +111,7 @@ class NgramCountStore(BatchDirStore):
             # one evaluation: counts are cut eagerly so the stats
             # aggregate and the dir write can't see two different
             # views of a nondeterministic source (the r12 append rule)
-            counts = self.batch_counts(docs).localCheckpoint()
+            counts = batch_counts.localCheckpoint()
             row = counts.agg(
                 F.coalesce(F.sum("c"), F.lit(0)).alias("n")
             ).collect()[0]

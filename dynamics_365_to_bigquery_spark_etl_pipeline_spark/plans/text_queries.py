@@ -982,53 +982,20 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     work to duplicated windows, so a mostly-unique 100 TB corpus pays
     almost nothing past the one distinct."""
     docs = load_table(spark, sf_dir, "documents")
-    members = docs.select("doc_id", F.md5(F.col("text")).alias("_th"))
-    reps = (
-        docs.select("text")
-        .distinct()
-        .select(F.md5(F.col("text")).alias("_th"), "text")
+    # shared routed core + fold (operators/curation.py — one rule for
+    # the detector, the cutter, and the streaming span gate)
+    members, reps, wins, dup = C.routed_dup_windows(
+        docs, "text", DUP_SPAN_W, DUP_SPAN_MIN
     )
-    mult = members.groupBy("_th").agg(F.count("*").alias("mult"))
-    wins = reps.select(
-        "_th",
-        F.posexplode(C.word_ngrams(F.col("text"), DUP_SPAN_W)).alias(
-            "pos", "gram"
-        ),
-    )
-    # corpus-wide occurrence count of a window = Σ over distinct
-    # texts of (per-text count × multiplicity)
-    gcount = (
-        wins.groupBy("_th", "gram")
-        .agg(F.count("*").alias("c"))
-        .join(mult, "_th")
-        .groupBy("gram")
-        .agg(F.sum(F.col("c") * F.col("mult")).alias("c"))
-    )
-    dup = gcount.filter(F.col("c") >= DUP_SPAN_MIN).select("gram")
     pertext = (
         wins.join(dup, "gram")
         .groupBy("_th")
         .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
         .select(
             "_th",
-            F.aggregate(
-                F.col("ps"),
-                F.struct(
-                    F.lit(-DUP_SPAN_W).cast("long").alias("prev"),
-                    F.lit(0).cast("long").alias("tot"),
-                ),
-                lambda acc, p: F.struct(
-                    p.cast("long").alias("prev"),
-                    (
-                        acc["tot"]
-                        + F.least(
-                            F.lit(DUP_SPAN_W).cast("long"),
-                            p.cast("long") - acc["prev"],
-                        )
-                    ).alias("tot"),
-                ),
-                lambda acc: acc["tot"],
-            ).alias("n_dup_tokens"),
+            C.interval_union_len(F.col("ps"), DUP_SPAN_W).alias(
+                "n_dup_tokens"
+            ),
         )
     )
     tokc = reps.select(
@@ -1114,33 +1081,17 @@ def q_text_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (struct-sort here, ``STRING_AGG(... ORDER BY tokpos)`` in DuckDB),
     fully-cut and blank docs coalesce to '' on both sides."""
     docs = load_table(spark, sf_dir, "documents")
-    members = docs.select("doc_id", F.md5(F.col("text")).alias("_th"))
-    reps = (
-        docs.select("text")
-        .distinct()
-        .select(F.md5(F.col("text")).alias("_th"), "text")
+    # shared routed core (operators/curation.py — one rule with the
+    # detector and the streaming span gate)
+    members, reps, wins, dup = C.routed_dup_windows(
+        docs, "text", DUP_SPAN_W, DUP_SPAN_MIN
     )
-    mult = members.groupBy("_th").agg(F.count("*").alias("mult"))
     toks = F.split(
         F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"
     )
     allpos = reps.select(
         "_th", F.posexplode(toks).alias("pos", "tok")
     ).filter(F.col("tok") != "")
-    wins = reps.select(
-        "_th",
-        F.posexplode(C.word_ngrams(F.col("text"), DUP_SPAN_W)).alias(
-            "pos", "gram"
-        ),
-    )
-    gcount = (
-        wins.groupBy("_th", "gram")
-        .agg(F.count("*").alias("c"))
-        .join(mult, "_th")
-        .groupBy("gram")
-        .agg(F.sum(F.col("c") * F.col("mult")).alias("c"))
-    )
-    dup = gcount.filter(F.col("c") >= DUP_SPAN_MIN).select("gram")
     covered = wins.join(dup, "gram").select(
         "_th",
         F.explode(

@@ -20,12 +20,15 @@ emits a pair when the SECOND copy arrives. The two agree exactly when
 the corpus arrives in one epoch, and that equality is pytest-pinned
 against the driver-oracled batch detector.
 
-Per-epoch shapes: one gram explosion of the batch (delta-sized), one
-gram-keyed shuffle join against the store's aggregated counts (the
-probe side is a whole batch vocabulary — nothing to broadcast), the
-per-doc interval-union fold from the batch detector's shipped shape,
-deterministic ``spans/epoch=<key>`` overwrites, and one O(delta) store
-append. Exactly-once: the store append is the LAST action, so its
+Per-epoch shapes: two delta-sized window extractions of the pinned
+batch — one COUNTING aggregation whose cut frame feeds both the
+duplicate verdict and the store ingest (``append_counts`` — r12
+review: re-deriving counts inside append doubled the work), one
+POSITIONAL explode for the per-doc fold — plus one gram-keyed shuffle
+join against the store's aggregated counts (the probe side is a whole
+batch vocabulary — nothing to broadcast), the interval-union fold from
+the batch detector's shipped shape, deterministic
+``spans/epoch=<key>`` overwrites, and one O(delta) store append. Exactly-once: the store append is the LAST action, so its
 ledger guards the epoch (the spans dir is a deterministic overwrite
 under the run-scoped key).
 
@@ -77,23 +80,9 @@ def span_stats(
         .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
         .select(
             id_col,
-            F.aggregate(
-                F.col("ps"),
-                F.struct(
-                    F.lit(-w).cast("long").alias("prev"),
-                    F.lit(0).cast("long").alias("tot"),
-                ),
-                lambda acc, p: F.struct(
-                    p.cast("long").alias("prev"),
-                    (
-                        acc["tot"]
-                        + F.least(
-                            F.lit(w).cast("long"), p.cast("long") - acc["prev"]
-                        )
-                    ).alias("tot"),
-                ),
-                lambda acc: acc["tot"],
-            ).alias("n_dup_tokens"),
+            # shared fold (operators/curation.py — one rule with the
+            # batch detector and cutter)
+            C.interval_union_len(F.col("ps"), w).alias("n_dup_tokens"),
         )
     )
     base = docs.select(
@@ -163,7 +152,11 @@ def stream_span_dedup_gate(
         if batch_df.isEmpty() or store.is_committed(key):
             return
         docs = project_to_schema(batch_df, schema).localCheckpoint()
-        c_new = store.batch_counts(docs.select(text_col))
+        # ONE gram aggregation per epoch: the cut frame feeds both the
+        # duplicate verdict and the store ingest (append_counts — r12
+        # review: re-deriving the counts inside append doubled the
+        # delta-sized work)
+        c_new = store.batch_counts(docs.select(text_col)).localCheckpoint()
         # duplicated = past corpus + this batch reaches the threshold
         # (computed against COMMITTED store state — the append below
         # has not run yet, so a replayed epoch sees identical counts)
@@ -194,7 +187,7 @@ def stream_span_dedup_gate(
                 ).parquet(f"{out_dir}/flagged/epoch={key}")
         finally:
             stats.unpersist()
-        store.append(docs.select(text_col), key)
+        store.append_counts(c_new, key)
         if compact_every and len(store.appended_batches()) >= compact_every:
             store.compact()
 

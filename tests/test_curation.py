@@ -225,5 +225,8 @@ def test_dup_span_detect_and_cut_agree(spark):
             untouched += 1
         else:
             partial += 1
-    # clone-heavy fixture: every outcome class must actually occur
-    assert full_cut > 0 and partial > 0
+    # clone-heavy fixture: every outcome class must actually occur —
+    # including untouched, or the dup==0 coalesce/left-join path of
+    # both queries goes unexercised (r12 review: the counter existed
+    # but was never asserted)
+    assert full_cut > 0 and partial > 0 and untouched > 0

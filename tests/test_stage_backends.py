@@ -86,13 +86,22 @@ def test_durable_stage_writes_checkpoint_files_and_reuses_them(spark):
     before_files = rdd_files()
     assert {tuple(r) for r in staged.collect()} == _expected(spark)
     after_files = rdd_files()
-    assert after_files - before_files, (
+    new_files = after_files - before_files
+    assert new_files, (
         "first action must write reliable-checkpoint partition files "
         "(the durable storage — on a cluster this dir is shared-FS)"
     )
-    # a second consumer reads the files (no new checkpoint dirs)
+    # a second consumer reads the files (no new checkpoint dirs).
+    # Compare against THIS stage's files, not the whole dir: the
+    # session runs cleanCheckpoints=true, so a driver GC can delete
+    # EARLIER tests' checkpoint files between the walks — whole-set
+    # equality flaked once in a full-suite run (r12). Our files are
+    # still strongly referenced via the staged frame, so they must
+    # survive; the second action must add none.
     assert staged.agg(F.count("*")).collect()[0][0] == 37
-    assert rdd_files() == after_files
+    second_files = rdd_files()
+    assert new_files <= second_files
+    assert not (second_files - after_files)
 
 
 @pytest.mark.parametrize("backend", ["local", "local_disk", "durable", "parquet"])

@@ -230,3 +230,36 @@ def test_dup_span_detect_and_cut_agree(spark):
     # both queries goes unexercised (r12 review: the counter existed
     # but was never asserted)
     assert full_cut > 0 and partial > 0 and untouched > 0
+
+
+def test_interval_union_fold_matches_set_model(spark):
+    """The shared fold (curation.interval_union_len) against a naive
+    set-union model over 300 seeded-random sorted start arrays — ONE
+    Spark job evaluates every case (hypothesis-per-example would pay a
+    job each). Covers empties, singletons, dense overlaps, exact
+    w-gaps (the min() boundary), and far-apart islands."""
+    import random
+
+    w = 5
+    rng = random.Random(12012)
+    cases = [[]]
+    cases += [[rng.randrange(0, 40)] for _ in range(10)]
+    for _ in range(289):
+        n = rng.randrange(1, 30)
+        span = rng.choice([8, 20, 60, 300])
+        cases.append(sorted(rng.randrange(0, span) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, ps) for i, ps in enumerate(cases)],
+        "case_id long, ps array<long>",
+    )
+    got = {
+        r.case_id: r.n
+        for r in df.select(
+            "case_id", C.interval_union_len(F.col("ps"), w).alias("n")
+        ).collect()
+    }
+    for i, ps in enumerate(cases):
+        covered = set()
+        for p in ps:
+            covered.update(range(p, p + w))
+        assert got[i] == len(covered), (i, ps)

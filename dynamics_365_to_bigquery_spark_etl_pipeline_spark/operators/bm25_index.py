@@ -19,11 +19,12 @@ State on disk (under ``path/``):
   partition-prunes to its own terms' buckets
 - ``_bm25_meta.json`` — live batch ids, the bounded replay ledger
   (``operators/ledger.py``), ADDITIVE corpus stats (``n_docs``,
-  ``s_tokens`` — exact bigints, so batch-built scores are bit-identical
-  to a full rebuild's by arithmetic), per-batch stats, generation
-  counter, and the pinned identity (``id_col``/``text_col``/
-  ``n_buckets`` — a mismatched open fails loudly, the IVF/MG
-  convention)
+  ``s_tokens``, running ``max_dl`` — exact bigints, so batch-built
+  scores are bit-identical to a full rebuild's by arithmetic, and the
+  int64 score-headroom guard can bound the products exactly), per-batch
+  stats, generation counter, and the pinned identity (``id_col``/
+  ``text_col``/``n_buckets`` — a mismatched open fails loudly, the
+  IVF/MG convention)
 
 Per ``append`` the work is O(|delta|): tokenize the new docs (the
 SHARED ``dedup.normalized_tokens`` — the full-corpus query's
@@ -95,7 +96,7 @@ class Bm25Index(BatchDirStore):
         super().__init__(spark, path, lock_timeout=lock_timeout)
 
     def _meta_defaults(self) -> dict:
-        return {"n_docs": 0, "s_tokens": 0, "stats": {}}
+        return {"n_docs": 0, "s_tokens": 0, "max_dl": 0, "stats": {}}
 
     def stats(self) -> dict:
         """Corpus-level stats from ONE meta snapshot: additive exact
@@ -139,7 +140,23 @@ class Bm25Index(BatchDirStore):
         monotonic replay semantics (``operators/ledger.py``). The whole
         operation holds the store write lock — the dir write included,
         so a concurrent ``compact()``'s GC can never sweep an in-flight
-        uncommitted dir."""
+        uncommitted dir.
+
+        PRECONDITION — globally unique ``id_col`` values across every
+        batch ever appended: df and ``n_docs`` are exact BECAUSE each
+        (doc, tok) row exists exactly once store-wide. Re-ingesting a
+        doc id under a NEW batch id silently inflates df/n_docs and
+        breaks the bit-identity contract with ``q_text_bm25_topk``
+        (replaying the SAME batch id is safe — the ledger no-ops it).
+        The streaming legs (``streaming/bm25_ingest.py``,
+        ``streaming/ingest_pipeline.py``) inherit this: the SOURCE must
+        not re-emit a doc id across epochs.
+
+        Refuses (loudly, before committing) a batch that would push the
+        corpus past the int64-exact score headroom — see
+        ``text.bm25_require_int64_headroom``: past that line an
+        ANSI-off Spark deployment would wrap the score products
+        silently."""
         self._check_batch_id(batch_id)
         with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
@@ -161,9 +178,34 @@ class Bm25Index(BatchDirStore):
                 )
             postings = self._postings(src).localCheckpoint()
             row = postings.agg(
-                F.coalesce(F.sum("tf"), F.lit(0)).alias("s_tokens")
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("s_tokens"),
+                F.coalesce(F.max("dl"), F.lit(0)).alias("max_dl"),
             ).collect()[0]
             s_tokens = int(row["s_tokens"])
+            if "max_dl" not in meta:
+                # pre-guard store: one-time backfill of the max doc
+                # length from the live postings (dl rides every row, so
+                # this is one scan — paid once at upgrade, then additive)
+                meta["max_dl"] = (
+                    int(
+                        self._read_data(self._require_live_dirs(meta, "upgrading"))
+                        .agg(F.coalesce(F.max("dl"), F.lit(0)))
+                        .collect()[0][0]
+                    )
+                    if meta["batches"]
+                    else 0
+                )
+            new_max_dl = max(meta["max_dl"], int(row["max_dl"]))
+            # loud headroom guard BEFORE any commit: the store must
+            # never hold stats whose scores an ANSI-off engine would
+            # silently wrap (the full-corpus totals this batch would
+            # create, checked with exact Python ints)
+            X.bm25_require_int64_headroom(
+                meta["n_docs"] + n_docs,
+                meta["s_tokens"] + s_tokens,
+                new_max_dl,
+                where=f"BM25 index at {self.path}, append({batch_id!r})",
+            )
             out = self._batch_dir(batch_id)
             if os.path.isdir(out):
                 # crashed earlier attempt — removed on EVERY retry, not
@@ -189,6 +231,7 @@ class Bm25Index(BatchDirStore):
             ledger.record(meta, batch_id)
             meta["n_docs"] += n_docs
             meta["s_tokens"] += s_tokens
+            meta["max_dl"] = new_max_dl
             self._write_meta(meta)
         return self.stats()
 
@@ -200,13 +243,29 @@ class Bm25Index(BatchDirStore):
         score, shared ordered fold; additive meta stats ≡ the full
         aggregates). Returns (query_id, doc_id, score, rank).
 
+        SCORER, precisely: the odds-lift BM25-family score — Okapi
+        k1=1.2, b=0.75 with idf = (N-df+0.5)/(df+0.5) WITHOUT the log
+        (transcendental-free so JVM and DuckDB results hash-match).
+        Per-TERM ranking is order-identical to textbook Okapi (log is
+        monotonic), but the per-document sum over MULTIPLE query terms
+        weights high-idf terms more, so multi-term rankings can differ
+        from Lucene/rank_bm25 output.
+
         Scale shape: the query terms tokenize through one tiny Spark
         job (collect is query-vocabulary-sized); the postings scan
         PARTITION-PRUNES to the terms' tok_buckets across every live
         batch dir; df is counted over that pruned slice (exact — each
         (doc, tok) row exists once store-wide); everything joined to
         the scan is broadcast. No corpus-sized shuffle, no doclen join
-        (dl rides the posting row)."""
+        (dl rides the posting row).
+
+        Concurrency: the returned frame is LAZY over a meta snapshot's
+        dirs — a ``compact()`` committed between this call and the
+        caller's action can sweep those dirs, failing the action with a
+        loud FileNotFoundException (never wrong data). Re-calling
+        re-resolves to the new generation and converges; a caller
+        running queries beside a maintenance cron should expect that
+        one retry."""
         if k < 1:
             raise ValueError(f"k must be >= 1 (got {k})")
         if not queries:
@@ -218,6 +277,17 @@ class Bm25Index(BatchDirStore):
             raise RuntimeError(
                 f"BM25 index at {self.path} has no postings — append() "
                 "a batch before querying"
+            )
+        if "max_dl" in meta:
+            # pre-guard stores lack the stat (append backfills it on
+            # their next ingest); guarded stores can only hold totals
+            # the append-time check already admitted — this re-check is
+            # belt-and-braces for a meta edited out of band
+            X.bm25_require_int64_headroom(
+                meta["n_docs"],
+                meta["s_tokens"],
+                meta["max_dl"],
+                where=f"BM25 index at {self.path}, topk()",
             )
         dirs = self._require_live_dirs(meta, "querying")
 

@@ -20,6 +20,15 @@ meta read/write with identity validation and ledger migration, the
 replay-guard API, the reserved/path-traversal batch-id allowlist, the
 multi-root partition-discovering reader, missing-dir loud failure,
 orphan sweeps, and identity-adopting ``open()``.
+
+Reader-vs-compact race, shared by every store on this chassis: read
+APIs snapshot the meta and build a LAZY scan over that snapshot's
+dirs. A ``compact()`` committed between the snapshot and the caller's
+action can sweep those dirs, failing the action with a loud
+FileNotFoundException — never wrong data (the swap is atomic and the
+ledger survives it). Re-calling the read re-resolves to the new
+generation and converges; the "maintenance cron beside the live
+stream" pattern should expect that one retry on its query side.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ import json
 import os
 import re
 import shutil
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -173,7 +183,7 @@ class BatchDirStore:
             *dirs
         )
 
-    def _sweep_orphans(self, keep: list[str]) -> None:
+    def _sweep_orphans(self, keep: list[str], root: str | None = None) -> int:
         """Best-effort GC of every ``batch=*`` dir the meta doesn't
         reference — listdir, not a caller's remembered list, so dirs
         orphaned by a PRIOR crash (between a meta swap and its GC
@@ -181,14 +191,34 @@ class BatchDirStore:
         review; the ivf_store family pattern). Only called under the
         write lock: appends hold it too, so nothing unreferenced here
         is in flight — it is either a folded-away input or a crashed
-        attempt whose retry rewrites it."""
+        attempt whose retry rewrites it.
+
+        Best-effort must not mean INVISIBLE: a transient failure is
+        retried by the next sweep, but a persistently undeletable
+        orphan would otherwise leak forever with no signal — so
+        failures are counted, surfaced as ONE warning, and returned
+        (r12 verdict: ``ignore_errors=True`` hid them)."""
         keep_names = {f"batch={b}" for b in keep}
+        data_root = self._data_root() if root is None else root
         try:
-            names = os.listdir(self._data_root())
+            names = os.listdir(data_root)
         except OSError:
-            return
+            return 0
+        failed: list[str] = []
         for name in names:
             if name.startswith("batch=") and name not in keep_names:
-                shutil.rmtree(
-                    os.path.join(self._data_root(), name), ignore_errors=True
-                )
+                target = os.path.join(data_root, name)
+                try:
+                    shutil.rmtree(target)
+                except OSError:
+                    failed.append(target)
+        if failed:
+            warnings.warn(
+                f"{self.KIND} at {self.path}: could not GC "
+                f"{len(failed)} orphan dir(s) {failed} — reads never "
+                "touch them; the next sweep retries, but a PERSISTENT "
+                "failure (permissions?) leaks disk until fixed",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return len(failed)

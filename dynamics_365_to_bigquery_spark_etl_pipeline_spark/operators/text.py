@@ -328,8 +328,51 @@ def redact_pii_sql(expr: str) -> str:
 #   score_t = (22*tf*S * (2N - 2df + 1))
 #           / ((10*tf*S + 3*S + 9*dl*N) * (2df + 1))
 #
-# every factor an exact bigint (headroom ~4e17 at sf10; larger corpora
-# need a decimal cast on the products), ONE IEEE division.
+# every factor an exact bigint (headroom ~4e17 at sf10), ONE IEEE
+# division. Past the headroom the products overflow int64: ANSI Spark
+# and DuckDB both fail LOUDLY, but ANSI-off Spark would wrap silently —
+# so the incremental store refuses to grow past the line
+# (``bm25_require_int64_headroom`` below, called by
+# ``Bm25Index.append``/``topk`` from the exact additive meta stats);
+# corpora beyond it need sharded indexes or a decimal widening of both
+# scorer twins.
+
+INT64_MAX = (1 << 63) - 1
+
+
+def bm25_int64_products_bound(
+    n_docs: int, s_tokens: int, max_dl: int
+) -> int:
+    """Exact worst case of the two bigint products inside
+    ``bm25_term_score`` over any (tf, dl, df) the corpus can produce:
+    tf <= dl <= max_dl, 1 <= df <= n_docs. The numerator peaks at
+    tf=max_dl, df=1; the denominator at tf=dl=max_dl, df=n_docs.
+    Python ints are arbitrary-precision, so the bound itself cannot
+    overflow."""
+    if n_docs <= 0 or s_tokens <= 0 or max_dl <= 0:
+        return 0
+    num_max = 22 * max_dl * s_tokens * (2 * n_docs - 1)
+    den_max = (10 * max_dl * s_tokens + 3 * s_tokens + 9 * max_dl * n_docs) * (
+        2 * n_docs + 1
+    )
+    return max(num_max, den_max)
+
+
+def bm25_require_int64_headroom(
+    n_docs: int, s_tokens: int, max_dl: int, where: str
+) -> None:
+    """Loud guard for the silent-wraparound mode (ANSI-off Spark):
+    raise before any engine is asked to build a product past int64."""
+    bound = bm25_int64_products_bound(n_docs, s_tokens, max_dl)
+    if bound > INT64_MAX:
+        raise ValueError(
+            f"{where}: corpus stats (n_docs={n_docs}, s_tokens={s_tokens}, "
+            f"max_dl={max_dl}) put the worst-case BM25 score product at "
+            f"{bound} > int64 max {INT64_MAX} — scores would overflow "
+            "(loudly under ANSI Spark/DuckDB, SILENTLY on ANSI-off "
+            "Spark). Shard the corpus across indexes, or widen "
+            "bm25_term_score/_sql to decimal(38,0) in BOTH engines"
+        )
 
 
 def bm25_term_score(

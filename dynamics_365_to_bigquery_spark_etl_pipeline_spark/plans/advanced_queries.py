@@ -253,10 +253,14 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
     "q_salted_agg": q_salted_agg,
-    "cdc_merge_delta_only": cdc_merge_delta_only,
 }
 
 EXTRA_QUERIES = {
+    # delta-only CDC merge scale path: demoted r13 to free a driver
+    # slot for the r12 flagship families — it shares cdc_snapshot's
+    # oracle and its semantics stay registered via cdc_incremental_merge
+    # (full drift-union resolve); same harness via pytest
+    "cdc_merge_delta_only": cdc_merge_delta_only,
     # argmin-per-group: registered siblings q_topk_per_group (window)
     # and q_asof_join's max_by right-side dedup
     "q_min_per_group_join": q_min_per_group_join,

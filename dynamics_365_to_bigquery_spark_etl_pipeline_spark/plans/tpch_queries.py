@@ -575,7 +575,6 @@ def q21_lone_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
-    "q4_late_orders": q4_late_orders,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q_topk_per_group": q_topk_per_group,
@@ -586,6 +585,11 @@ QUERIES = {
 }
 
 EXTRA_QUERIES = {
+    # correlated EXISTS: demoted r13 to free a driver slot for the r12
+    # flagship families (q_text_bm25_topk / q_text_dup_spans) — the
+    # family stays registered via q22 (NOT EXISTS + anti); full oracle
+    # kept, same harness via pytest
+    "q4_late_orders": q4_late_orders,
     # scan-filter-agg: registered siblings q1 (grouped), q14/q19 (joined)
     "q6_forecast_revenue": q6_forecast_revenue,
     # join+agg+topN: registered siblings q3 (3-way), q5 (6-way)

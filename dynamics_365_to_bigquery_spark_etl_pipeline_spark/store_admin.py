@@ -13,7 +13,11 @@ accrete batch dirs at streaming cadence and need maintenance a CRON
 JOB can drive beside the live stream — which the store write locks
 make safe (``operators/store_lock.py``): a compact
 here serializes against in-flight appends instead of sweeping their
-uncommitted dirs.
+uncommitted dirs. READERS are the one unserialized party: a query
+frame built before the compact (``topk``/``past_counts`` are lazy over
+a meta snapshot) can fail LOUDLY with FileNotFoundException when its
+action runs after the sweep — never wrong data; re-calling re-resolves
+to the new generation (see ``operators/store_base.py``).
 
 Store kind is detected by the meta file present. With no action flags
 the command prints STATUS — one JSON line with the store's live shape

@@ -54,7 +54,14 @@ def stream_bm25_append(
     micro-batch. ``id_col``/``text_col``/``n_buckets`` must match an
     existing index's pinned identity (a mismatched open fails loudly at
     the first epoch); a fresh path starts a fresh index with these
-    knobs."""
+    knobs.
+
+    PRECONDITION (inherited from ``Bm25Index.append``): the SOURCE must
+    not re-emit an ``id_col`` value across epochs — df/n_docs are exact
+    because each (doc, tok) row exists once store-wide, and a re-landed
+    doc id under a new epoch key silently inflates them. Replayed
+    EPOCHS are safe (the ledger no-ops them); re-ingested DOCS are the
+    caller's bug."""
     idx = Bm25Index(
         spark,
         index_path,

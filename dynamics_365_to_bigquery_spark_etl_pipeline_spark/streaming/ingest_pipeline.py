@@ -115,7 +115,13 @@ def stream_ingest_pipeline(
     the LSH commit, and each store's own ledger guards its half — a
     crash before the BM25 append replays the whole epoch (dirs
     rewritten deterministically), between the two commits replays with
-    the BM25 half a no-op, after the LSH commit skips whole."""
+    the BM25 half a no-op, after the LSH commit skips whole.
+
+    PRECONDITION shared by both indexes: the SOURCE must not re-emit an
+    ``id_col`` value across epochs. The BM25 df/n_docs stats and the
+    LSH postings are exact because each doc id exists once store-wide;
+    a re-landed id under a new epoch key silently inflates them
+    (replayed EPOCHS are safe — each ledger no-ops its half)."""
     score_fn = score if score is not None else X.quality_score
     check_reserved_columns(
         schema,

@@ -49,9 +49,7 @@ key folded at read time.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,12 +57,28 @@ from pyspark.sql import functions as F
 
 from . import dedup as D
 from . import ledger
+from .store_base import BatchDirStore
 from .store_lock import store_write_lock
 
 META_NAME = "_index_meta.json"
 
 
-class LshDedupIndex:
+class LshDedupIndex(BatchDirStore):
+    """Chassis subclass (r13 — meta/ledger/lock/orphan-GC grammar from
+    ``store_base.BatchDirStore``; this class keeps what is LSH-specific:
+    the TWO data roots ``buckets``/``shingles``, the bucketed-table
+    probe plumbing, and the candidate/verify join). Meta specifics:
+    ``buckets_n`` maps a live batch id to its postings dir's bucket
+    count (absent = pre-r8 plain parquet, read via the legacy leg);
+    pre-r8 metas carry only ``batches`` and migrate in
+    ``_migrate_meta``. ``jaccard_min``/``fast`` are NOT pinned identity
+    (a caller may legitimately re-probe an existing index at a
+    different threshold); the postings/shingles layout is
+    knob-independent."""
+
+    KIND = "dedup index"
+    META_NAME = META_NAME
+    DATA_DIR = "buckets"
     # default bucket count for per-batch postings dirs; compact() sizes
     # the generation store from data volume instead
     BATCH_BUCKETS = 8
@@ -78,100 +92,31 @@ class LshDedupIndex:
         batch_buckets: int | None = None,
         lock_timeout: float = 60.0,
     ) -> None:
-        self.spark = spark
-        self.path = path
         self.jaccard_min = jaccard_min
-        # write-lock wait budget, not identity — size it to the longest
-        # mutating op a writer may queue behind (a compact() is a
-        # full-corpus rewrite; see IvfLayoutStore.__init__'s note)
-        self.lock_timeout = lock_timeout
         self.sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
         if batch_buckets is not None and batch_buckets < 1:
             # same falsy-zero trap the CLI rejects: 0 must be an error,
             # not a silent fallback to the default
             raise ValueError(f"batch_buckets must be >= 1 (got {batch_buckets})")
         self.batch_buckets = batch_buckets or self.BATCH_BUCKETS
-        os.makedirs(path, exist_ok=True)
+        # lock_timeout: write-lock wait budget, not identity — size it
+        # to the longest mutating op a writer may queue behind (a
+        # compact() is a full-corpus rewrite; IvfLayoutStore's note)
+        super().__init__(spark, path, lock_timeout=lock_timeout)
 
     # -- state ------------------------------------------------------------
-    def _meta_path(self) -> str:
-        return os.path.join(self.path, META_NAME)
+    def _meta_defaults(self) -> dict:
+        return {"buckets_n": {}}
 
-    def _read_meta(self) -> dict:
-        """Meta carries two distinct sets: ``batches`` = the LIVE store
-        dirs to read (compaction shrinks this to one), and the replay
-        ledger — ``committed_ids`` for batch-API ids plus the bounded
-        ``epoch_hwm`` high-water map for the streaming leg's
-        ``<query-id>-epoch-<n>`` keys (``operators/ledger.py``, r10
-        verdict #2: the flat list grew and was rewritten O(#epochs));
-        compaction must not forget either, or a replayed old batch
-        would double its postings. ``buckets_n`` maps a live batch id
-        to its postings dir's bucket count (absent = pre-r8 plain
-        parquet, read via the legacy leg). Older metas carry only
-        ``batches``; treat that as both. Pre-r11 metas carry epoch keys
-        in the flat list; they keep exact membership there and fold
-        away via ``ledger.record``'s pruning (``operators/ledger.py``
-        — retroactive folding would impose ordering semantics historic
-        batch ids never had, r11 review)."""
-        try:
-            with open(self._meta_path()) as fh:
-                meta = json.load(fh)
-        except FileNotFoundError:
-            return {
-                "batches": [],
-                "committed_ids": [],
-                "epoch_hwm": {},
-                "generation": 0,
-                "buckets_n": {},
-            }
+    def _migrate_meta(self, meta: dict) -> None:
+        """Pre-r8 metas carry only ``batches`` (that list was both the
+        live set and the ledger); pre-r11 metas carry epoch keys in the
+        flat list — they keep exact membership there and fold away via
+        ``ledger.record``'s pruning (retroactive folding would impose
+        ordering semantics historic batch ids never had, r11 review)."""
         meta.setdefault("committed_ids", list(meta.get("batches", [])))
         meta.setdefault("generation", 0)
         meta.setdefault("buckets_n", {})
-        ledger.migrate(meta)
-        return meta
-
-    def _write_meta(self, meta: dict) -> None:
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, self._meta_path())
-
-    def committed_batches(self) -> list[str]:
-        """Live store dirs (what reads scan)."""
-        return self._read_meta()["batches"]
-
-    def committed_ids(self) -> list[str]:
-        """The exact-membership ledger half: batch-API ids, plus — on a
-        migrated pre-r11 store, until a newer epoch commits under the
-        same prefix — historical epoch-shaped ids (migration preserves
-        their membership rather than imposing ordering semantics; see
-        ``operators/ledger.py``). New streaming epoch keys go to the
-        bounded high-water map — use ``is_committed`` for the replay
-        check."""
-        return self._read_meta()["committed_ids"]
-
-    def epoch_high_water(self) -> dict[str, int]:
-        """``{query_id: max committed epoch}`` — the streaming leg's
-        bounded replay ledger."""
-        return dict(self._read_meta()["epoch_hwm"])
-
-    def is_committed(self, batch_id: str) -> bool:
-        """Replay guard: True when the index already reflects this
-        batch id (exact membership for batch ids, high-water for
-        ``<query-id>-epoch-<n>`` keys)."""
-        return ledger.is_committed(self._read_meta(), batch_id)
-
-    def appended_batches(self) -> list[str]:
-        """Live batch ids excluding generation dirs — the count a
-        maintenance cadence should key on: a ``gen<N>`` dir is always
-        live after the first fold, so a cadence counting
-        ``committed_batches()`` degenerates from "every N ingests" to
-        "every ingest" (review finding, shared with the IVF store)."""
-        return [
-            b
-            for b in self.committed_batches()
-            if not re.fullmatch(r"gen\d+", b)
-        ]
 
     def _commit(self, batch_id: str, n_buckets: int) -> None:
         # caller holds the store write lock; re-check the ledger under
@@ -322,24 +267,10 @@ class LshDedupIndex:
         pairs, overwritten in place); a crash after commit is caught by
         the ``committed_batches`` guard with the pairs already on
         disk."""
-        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
-            # allowlist, not blocklist: an id with a path separator
-            # ('2026/08/15', 'x/../batch=gen1') escapes the batch=
-            # namespace and can resolve INTO the live generation dir,
-            # which the store writes would rmtree as a crashed attempt
-            # (review finding, shared with the IVF store)
-            raise ValueError(
-                f"batch_id {batch_id!r} must match [A-Za-z0-9._-]+ "
-                "(it names directories under the index)"
-            )
-        if re.fullmatch(r"gen\d+", batch_id):
-            # the index's own compaction namespace — an ingest named
-            # like the live generation would rmtree and replace the
-            # whole compacted corpus
-            raise ValueError(
-                f"batch_id {batch_id!r} is reserved (compaction names "
-                "generations 'gen<N>')"
-            )
+        # chassis allowlist + gen<N> reservation (a path-separator id
+        # escapes the batch= namespace; an ingest named like the live
+        # generation would rmtree and replace the compacted corpus)
+        self._check_batch_id(batch_id)
         sh = (
             docs.select(
                 F.col(id_col).alias("doc_id"),
@@ -540,12 +471,14 @@ class LshDedupIndex:
             )
             # GC everything the new meta doesn't reference — the just-merged
             # live dirs AND any orphans from a previous compact that crashed
-            # between ITS meta swap and ITS sweep (reads never see either)
+            # between ITS meta swap and ITS sweep (reads never see either).
+            # Catalog entries are a session cache of the postings dirs:
+            # drop them first (the chassis sweep only knows dirs).
             for name in self.STORE_SCHEMAS:
                 base = os.path.join(self.path, name)
-                for d in os.listdir(base) if os.path.isdir(base) else []:
-                    if d.startswith("batch=") and d != f"batch={gen_id}":
-                        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-                        if name == "buckets":
+                if name == "buckets":
+                    for d in os.listdir(base) if os.path.isdir(base) else []:
+                        if d.startswith("batch=") and d != f"batch={gen_id}":
                             self._drop_table(d[len("batch=") :])
+                self._sweep_orphans([gen_id], root=base)
             return True

@@ -48,9 +48,7 @@ compaction + new centroids + fresh build stats.
 
 from __future__ import annotations
 
-import json
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +56,7 @@ from pyspark.sql import functions as F
 
 from . import ledger
 from . import similarity as S
+from .store_base import BatchDirStore
 from .store_lock import store_write_lock
 
 META_NAME = "_ivf_meta.json"
@@ -81,7 +80,22 @@ def _assign_with_sim(
     )
 
 
-class IvfLayoutStore:
+class IvfLayoutStore(BatchDirStore):
+    """Chassis subclass (r13 — the meta/ledger/lock/identity/orphan-GC
+    grammar moved to ``store_base.BatchDirStore``; this class keeps
+    only what is IVF-specific: centroids, drift guard, assignment,
+    rebuild). The replay ledger gains the bounded high-water key via
+    the chassis (pre-r11 flat-list ids keep exact membership and fold
+    away through ``ledger.record``'s pruning); identity mismatch fails
+    loudly — a stream opened at a different ``drift_threshold`` would
+    silently move the retrain line (r10 verdict #3); pre-r11 metas
+    carry no identity keys and adopt the instance's values."""
+
+    KIND = "IVF store"
+    META_NAME = META_NAME
+    DATA_DIR = "vectors"
+    IDENTITY_KEYS = IDENTITY_KEYS
+
     def __init__(
         self,
         spark: SparkSession,
@@ -95,74 +109,20 @@ class IvfLayoutStore:
             raise ValueError(
                 f"drift_threshold must be in (0, 1) (got {drift_threshold})"
             )
-        self.spark = spark
-        self.path = path
         self.drift_threshold = drift_threshold
         self.id_col = id_col
         self.vec_col = vec_col
-        # how long a mutating op waits for the write lock. NOT part of
-        # the store identity: it sizes the WAIT, not the data. The 60 s
-        # default suits append-vs-append contention; a stream expected
-        # to ride out a concurrent compact()/rebuild() (minutes of
-        # full-corpus rewrite at scale) must size this to that window
+        # lock_timeout sizes the WAIT, not the data (not identity). The
+        # 60 s default suits append-vs-append contention; a stream
+        # expected to ride out a concurrent compact()/rebuild() (minutes
+        # of full-corpus rewrite at scale) must size this to that window
         # or the foreachBatch epoch dies in StoreLockHeld (r11 review)
-        self.lock_timeout = lock_timeout
-        os.makedirs(path, exist_ok=True)
+        super().__init__(spark, path, lock_timeout=lock_timeout)
+
+    def _meta_defaults(self) -> dict:
+        return {"stats": {}, "build_mean_sim": None, "needs_retrain": False}
 
     # -- state ------------------------------------------------------------
-    def _meta_path(self) -> str:
-        return os.path.join(self.path, META_NAME)
-
-    def _identity(self) -> dict:
-        return {k: getattr(self, k) for k in IDENTITY_KEYS}
-
-    def _read_meta(self) -> dict:
-        """Load + migrate the meta. The replay ledger gains the bounded
-        high-water key (``ledger.migrate``; pre-r11 flat-list ids keep
-        exact membership and fold away through ``ledger.record``'s
-        pruning); the store IDENTITY is validated against
-        this instance's knobs and a mismatch fails loudly — a stream
-        opened at a different ``drift_threshold`` would silently move
-        the retrain line, different columns would break the probe
-        (r10 verdict #3). Pre-r11 metas carry no identity keys: the
-        instance's values are adopted and persisted on the next
-        write."""
-        try:
-            with open(self._meta_path()) as fh:
-                meta = json.load(fh)
-        except FileNotFoundError:
-            return {
-                "batches": [],
-                "committed_ids": [],
-                "epoch_hwm": {},
-                "generation": 0,
-                "stats": {},
-                "build_mean_sim": None,
-                "needs_retrain": False,
-                **self._identity(),
-            }
-        ledger.migrate(meta)
-        for key, mine in self._identity().items():
-            theirs = meta.setdefault(key, mine)
-            if theirs != mine:
-                raise ValueError(
-                    f"IVF store at {self.path} was built with "
-                    f"{key}={theirs!r}, opened with {key}={mine!r} — "
-                    "identity knobs are per-store (pinned at build()); "
-                    "open with the build values, or build() afresh to "
-                    "re-pin them"
-                )
-        return meta
-
-    def _write_meta(self, meta: dict) -> None:
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, self._meta_path())
-
-    def _batch_dir(self, batch_id: str) -> str:
-        return os.path.join(self.path, "vectors", f"batch={batch_id}")
-
     def _centroids_dir(self) -> str:
         """The CURRENT generation's centroid dir — versioned through the
         meta so ``rebuild`` can stage new centroids beside the live ones
@@ -170,63 +130,14 @@ class IvfLayoutStore:
         name = self._read_meta().get("centroids_dir", "centroids")
         return os.path.join(self.path, name)
 
-    def committed_batches(self) -> list[str]:
-        return self._read_meta()["batches"]
-
     def appended_batches(self, meta: dict | None = None) -> list[str]:
-        """Live batch ids excluding the build/generation dir — the
-        count a maintenance cadence should key on: the base/gen dir is
-        ALWAYS present, so a cadence counting ``committed_batches()``
-        degenerates from "every N appends" to "every epoch" once a
-        first fold exists (review finding). ``meta`` as in ``drift``:
-        pass a snapshot to keep multi-field status reads untorn — and
-        so the reserved-name rule lives HERE, not re-derived by
-        callers (r11 review)."""
-        batches = (
-            meta["batches"] if meta is not None else self.committed_batches()
-        )
-        return [
-            b
-            for b in batches
-            if b != "base" and not re.fullmatch(r"gen\d+", b)
-        ]
-
-    def committed_ids(self) -> list[str]:
-        """The exact-membership ledger half (batch-API ids, ``base``,
-        ``gen<N>`` — plus, on a migrated pre-r11 store, historical
-        epoch-shaped ids until a newer epoch commits under the same
-        prefix: see ``operators/ledger.py``). New streaming epoch keys
-        go to the bounded high-water map instead — use ``is_committed``
-        for the replay check (r10 verdict #2)."""
-        return self._read_meta()["committed_ids"]
-
-    def epoch_high_water(self) -> dict[str, int]:
-        """``{query_id: max committed epoch}`` — the streaming legs'
-        bounded replay ledger."""
-        return dict(self._read_meta()["epoch_hwm"])
-
-    def is_committed(self, batch_id: str) -> bool:
-        """Replay guard: True when the store's state already reflects
-        this batch id (exact membership for batch ids, high-water for
-        ``<query-id>-epoch-<n>`` keys)."""
-        return ledger.is_committed(self._read_meta(), batch_id)
-
-    @classmethod
-    def open(
-        cls, spark: SparkSession, path: str, lock_timeout: float = 60.0
-    ) -> "IvfLayoutStore":
-        """Open an EXISTING store ADOPTING its pinned identity knobs.
-        The constructor validates instance knobs against the meta and
-        fails loudly on mismatch — right for the ingest legs, where a
-        silently different ``drift_threshold`` would move the retrain
-        line (r10 verdict #3). A maintenance/admin flow is the
-        opposite case: it should operate on whatever the build pinned,
-        not guess constructor values. Raises ``FileNotFoundError``
-        when no store exists at ``path``."""
-        with open(os.path.join(path, META_NAME)) as fh:
-            meta = json.load(fh)
-        knobs = {k: meta[k] for k in IDENTITY_KEYS if k in meta}
-        return cls(spark, path, lock_timeout=lock_timeout, **knobs)
+        """Live batch ids excluding the build dir ``base`` on top of
+        the chassis' gen-dir exclusion — the count a maintenance
+        cadence should key on: the base/gen dir is ALWAYS present, so
+        a cadence counting ``committed_batches()`` degenerates from
+        "every N appends" to "every epoch" once a first fold exists
+        (review finding)."""
+        return [b for b in super().appended_batches(meta) if b != "base"]
 
     def centroids(self) -> DataFrame:
         """The PINNED centroid frame every batch in the current
@@ -250,21 +161,12 @@ class IvfLayoutStore:
         return self._read_vectors(dirs)
 
     def _read_vectors(self, dirs: list[str]) -> DataFrame:
-        """One multi-root scan over live dirs — NOT an O(#dirs)-deep
-        unionByName chain, whose analyzer cost grows with batch fan-in
-        (r11 review). Shared by ``vectors()`` and ``rebuild()`` so the
-        corpus read cannot fork. The store's batch dirs all live under
-        ``<path>/vectors/``, so that root is the common ``basePath``
-        multi-root partition discovery needs (explicit dir list keeps
-        orphan/uncommitted dirs invisible; ``batch``/``bucket_id`` read
-        back as partition columns and are projected away)."""
-        return (
-            self.spark.read.option(
-                "basePath", os.path.join(self.path, "vectors")
-            )
-            .parquet(*dirs)
-            .select(self.id_col, self.vec_col)
-        )
+        """One multi-root scan over live dirs (the chassis reader —
+        NOT an O(#dirs)-deep unionByName chain, r11 review). Shared by
+        ``vectors()`` and ``rebuild()`` so the corpus read cannot fork;
+        ``batch``/``bucket_id`` read back as partition columns and are
+        projected away."""
+        return self._read_data(dirs).select(self.id_col, self.vec_col)
 
     # -- build / append ----------------------------------------------------
     def build(self, corpus: DataFrame, centroids: DataFrame) -> dict:
@@ -342,24 +244,15 @@ class IvfLayoutStore:
         write lock — see ``store_lock.store_write_lock`` for why the
         dir write is inside it (a concurrent compact's GC would sweep
         an uncommitted in-flight dir)."""
-        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", batch_id):
-            # allowlist, not blocklist: an id with a path separator
-            # ('2026/08/15', 'x/../batch=gen1') would escape the
-            # batch= dir and can resolve INTO the live generation dir,
-            # which _write_batch would then rmtree as a crashed attempt
-            # (review finding)
-            raise ValueError(
-                f"batch_id {batch_id!r} must match [A-Za-z0-9._-]+ "
-                "(it names a directory under the store)"
-            )
-        if batch_id == "base" or re.fullmatch(r"gen\d+", batch_id):
-            # the store's own dir namespace — an append named like the
-            # live generation would pass the replay guard, then rmtree
-            # the generation dir as a "crashed earlier attempt" and
-            # replace the corpus with the delta (review finding)
+        # chassis allowlist + gen<N> reservation; 'base' (the build
+        # dir) is this store's extra reserved name — an append named
+        # like either would pass the replay guard, then rmtree the live
+        # dir as a "crashed earlier attempt" (review finding)
+        self._check_batch_id(batch_id)
+        if batch_id == "base":
             raise ValueError(
                 f"batch_id {batch_id!r} is reserved (the store names its "
-                "build 'base' and compaction/rebuild generations 'gen<N>')"
+                "build 'base')"
             )
         with store_write_lock(self.path, timeout=self.lock_timeout):
             # replay check INSIDE the lock: a concurrent writer may have
@@ -424,30 +317,6 @@ class IvfLayoutStore:
             ),
         }
 
-    def _require_live_dirs(self, meta: dict, verb: str) -> list[str]:
-        """Every meta-listed live batch dir, failing LOUDLY if any is
-        missing on disk: any committed state has all its live dirs (the
-        two-phase swaps guarantee it), so a hole is corruption — and
-        silently skipping it would drop committed vectors from a probe
-        result or, worse, rebuild a new generation from a partial
-        corpus with ``committed_ids`` still blocking re-ingest
-        (r10 advice: compact() had this check, rebuild()/topk()
-        didn't)."""
-        live = meta["batches"]
-        missing = [
-            self._batch_dir(b)
-            for b in live
-            if not os.path.isdir(self._batch_dir(b))
-        ]
-        if missing:
-            raise RuntimeError(
-                f"IVF store at {self.path} is corrupt: meta lists live "
-                f"batches {live} but these dirs are missing on disk: "
-                f"{missing}; restore them or rebuild from source before "
-                f"{verb}"
-            )
-        return [self._batch_dir(b) for b in live]
-
     # -- probe -------------------------------------------------------------
     def topk(self, queries: DataFrame, k: int = 10, nprobe: int = 4) -> DataFrame:
         """ANN top-k over every live batch dir — the partition-pruned
@@ -486,9 +355,9 @@ class IvfLayoutStore:
             dirs = self._require_live_dirs(meta, "compacting")
             gen = meta["generation"] + 1
             gen_id = f"gen{gen}"
-            merged = self.spark.read.parquet(dirs[0])
-            for d in dirs[1:]:
-                merged = merged.unionByName(self.spark.read.parquet(d))
+            # chassis multi-root scan; 'batch' reads back as a partition
+            # column and must not be written into the generation's data
+            merged = self._read_data(dirs).drop("batch")
             out = self._batch_dir(gen_id)
             if os.path.isdir(out):
                 shutil.rmtree(out)  # crashed earlier attempt
@@ -511,10 +380,7 @@ class IvfLayoutStore:
                     "stats": {gen_id: folded},
                 }
             )
-            base = os.path.join(self.path, "vectors")
-            for d in os.listdir(base) if os.path.isdir(base) else []:
-                if d.startswith("batch=") and d != f"batch={gen_id}":
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            self._sweep_orphans([gen_id])
         return True
 
     def rebuild(self, centroids: DataFrame) -> dict:
@@ -558,10 +424,7 @@ class IvfLayoutStore:
                 }
             )
             # GC everything the new meta doesn't reference
-            base = os.path.join(self.path, "vectors")
-            for d in os.listdir(base) if os.path.isdir(base) else []:
-                if d.startswith("batch=") and d != f"batch={gen_id}":
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            self._sweep_orphans([gen_id])
             for d in os.listdir(self.path):
                 if d.startswith("centroids") and d != cdir_name:
                     shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

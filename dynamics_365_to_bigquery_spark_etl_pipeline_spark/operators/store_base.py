@@ -10,9 +10,10 @@ GC. The BM25 retrieval index (r12) and the n-gram count store (r12)
 are structurally identical in all of that and differ only in what a
 batch dir CONTAINS — so the chassis lives here once (the r12 review
 habit: a second hand-synced copy of replay-guard-critical plumbing is
-how stores drift). The older stores (LSH dedup index, IVF layout)
-pre-date this base and keep their own tested plumbing; nothing here
-changes them.
+how stores drift). r13 migrated the two older stores (LSH dedup index,
+IVF layout) onto it too — their test files passed UNCHANGED across the
+move, which is the contract — so the replay-guard grammar now has ONE
+implementation for all four batch-dir stores.
 
 Subclasses define the class constants (``KIND``, ``META_NAME``,
 ``DATA_DIR``, ``IDENTITY_KEYS``) plus ``_meta_defaults()``, and get:
@@ -66,6 +67,12 @@ class BatchDirStore:
         stats, etc.); subclasses override and extend."""
         return {}
 
+    def _migrate_meta(self, meta: dict) -> None:
+        """Store-specific in-place upgrades for a meta written by an
+        OLDER layout (runs before the shared ledger migration) —
+        subclasses with a pre-chassis disk history override (the LSH
+        index's pre-r8 metas lack ``buckets_n``/``generation``, r13)."""
+
     def _meta_path(self) -> str:
         return os.path.join(self.path, self.META_NAME)
 
@@ -85,6 +92,7 @@ class BatchDirStore:
                 **self._meta_defaults(),
                 **self._identity(),
             }
+        self._migrate_meta(meta)
         ledger.migrate(meta)
         for key, mine in self._identity().items():
             theirs = meta.setdefault(key, mine)

@@ -238,7 +238,7 @@ def _full_headline_result() -> dict:
     the streaming row, worst-case float widths, two normalized blocks
     with full ratio maps and flags — the shape whose single-line JSON
     outgrew the driver's 2000-char tail capture in r10."""
-    names = list(bench.HEADLINE) + [bench.STREAM_ROW]
+    names = list(bench.HEADLINE) + [bench.STREAM_ROW, bench.INGEST_ROW]
     queries = {n: 12.345 for n in names}
     spread = {n: [11.111, 13.999] for n in names}
     block = {

@@ -12,13 +12,23 @@ re-exploding the indexed corpus.
 Chassis from ``operators/store_base.BatchDirStore`` (batch dirs +
 bounded ledger + write lock + orphan GC + identity pinning — shared
 with the BM25 index). A batch dir holds ``(gram, c)`` rows
-hash-partitioned into ``gram_bucket=<b>`` dirs. The bucket layout is
-for FILE-SIZE bounding and parallel compaction, not probe pruning:
-unlike the BM25 index (whose probes carry a human-sized query
-vocabulary), this store's probe side is a whole micro-batch's window
-vocabulary — the honest shape is a gram-keyed shuffle join against the
-aggregated store, and ``past_counts()`` hands the caller exactly that
-frame.
+hash-partitioned into ``gram_bucket=<b>`` dirs, ONE gram-sorted file
+per bucket (r13 — bounded file counts, tight row-group stats).
+
+Probe cost (r12 verdict #1 — this was the one per-epoch cost in any
+leg that grew with the CORPUS instead of the delta): every dir holds
+at most one row per gram (appends write aggregated counts, compaction
+sum-merges), so with a single live dir — ``compact_every=1``, the
+documented LOW-LATENCY mode — the probe needs NO re-aggregation, just
+a scan. ``probe_counts(grams)`` additionally PARTITION-PRUNES that
+scan to the probe vocabulary's ``gram_bucket`` dirs: sublinear reads
+whenever the arriving batch's vocabulary hits fewer buckets than the
+store has (size ``n_buckets`` to the expected batch vocabulary — a
+small-batch low-latency gate over ``n_buckets=256`` reads only the
+buckets its grams hash to; a bulk gate whose batches hit every bucket
+degrades to the full scan, the honest exact-semantics floor).
+``past_counts()`` keeps the unpruned whole-store frame for callers
+that need it.
 
 Window extraction is the SHARED ``curation.word_ngrams`` reshape — the
 same rule as the batch detector, so gate and detector cannot tokenize
@@ -120,14 +130,7 @@ class NgramCountStore(BatchDirStore):
             if os.path.isdir(out):
                 shutil.rmtree(out)  # crashed earlier attempt, any retry
             if n_windows > 0:
-                (
-                    counts.withColumn(
-                        "gram_bucket",
-                        F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)),
-                    )
-                    .write.partitionBy("gram_bucket")
-                    .parquet(out)
-                )
+                self._write_bucketed(counts, out)
                 meta["batches"] = meta["batches"] + [batch_id]
                 # stats entries exist for LIVE dirs only (bounded meta
                 # under window-less epochs — the r12 discipline)
@@ -136,6 +139,24 @@ class NgramCountStore(BatchDirStore):
             meta["n_windows"] += n_windows
             self._write_meta(meta)
         return self.stats()
+
+    def _write_bucketed(self, counts: DataFrame, out: str) -> None:
+        """One gram-sorted file per ``gram_bucket=<b>`` dir: without
+        the repartition, every shuffle task writes a file into every
+        bucket it touches (up to parallelism x n_buckets tiny files per
+        dir — measured 512 at default settings); the in-partition sort
+        gives each file tight gram row-group stats for free while a
+        shuffle is happening anyway (r13)."""
+        (
+            counts.withColumn(
+                "gram_bucket",
+                F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)),
+            )
+            .repartition("gram_bucket")
+            .sortWithinPartitions("gram_bucket", "gram")
+            .write.partitionBy("gram_bucket")
+            .parquet(out)
+        )
 
     def stats(self) -> dict:
         meta = self._read_meta()
@@ -147,21 +168,97 @@ class NgramCountStore(BatchDirStore):
         }
 
     # -- probe ------------------------------------------------------------------
+    EMPTY_PROBE = "gram string, c_past long"
+
+    def _counts_over(self, scan: DataFrame, n_dirs: int) -> DataFrame:
+        """``(gram, c_past)`` from a live-dir scan. Every dir holds at
+        most ONE row per gram (appends write aggregated counts,
+        compaction sum-merges), so a single-dir store needs no
+        re-aggregation at all — the r12-verdict fast path that makes
+        ``compact_every=1`` the low-latency mode: the per-epoch probe
+        drops its store-sized groupBy exchange and becomes scan +
+        join."""
+        if n_dirs == 1:
+            return scan.select("gram", F.col("c").cast("long").alias("c_past"))
+        return scan.groupBy("gram").agg(
+            F.sum("c").cast("long").alias("c_past")
+        )
+
     def past_counts(self) -> DataFrame:
-        """``(gram, c_past)`` aggregated over every live dir — the
-        frame a gate joins its batch vocabulary against (gram-keyed
-        shuffle join; the probe side is batch-sized, so there is no
-        small side to broadcast or prune to). An empty store yields an
-        empty frame (a gate's first epoch joins against nothing)."""
+        """``(gram, c_past)`` over every live dir, unpruned — the
+        whole-store frame (maintenance, audits, gates whose batches
+        span the full vocabulary). An empty store yields an empty frame
+        (a gate's first epoch joins against nothing). Lazy over a meta
+        snapshot: racing a concurrent ``compact()`` can fail the
+        caller's action loudly (FileNotFoundException, never wrong
+        data); re-calling re-resolves (see ``store_base``)."""
         meta = self._read_meta()
         if not meta["batches"]:
-            return self.spark.createDataFrame([], "gram string, c_past long")
+            return self.spark.createDataFrame([], self.EMPTY_PROBE)
         dirs = self._require_live_dirs(meta, "probing")
-        return (
-            self._read_data(dirs)
-            .groupBy("gram")
-            .agg(F.sum("c").cast("long").alias("c_past"))
-        )
+        return self._counts_over(self._read_data(dirs), len(dirs))
+
+    # probe vocabularies at or under this size also push the gram list
+    # itself into the scan (driver-side strings, ~50 KiB worst case —
+    # the BM25 topk convention, where the query vocabulary is always
+    # inline-sized); larger vocabularies prune by bucket only
+    MAX_INLINE_VOCAB = 512
+
+    def probe_counts(
+        self, grams: DataFrame, max_inline_vocab: int = MAX_INLINE_VOCAB
+    ) -> DataFrame:
+        """``(gram, c_past)`` restricted to what the probe vocabulary
+        (``grams`` — any frame with a ``gram`` column) can possibly
+        match — the gate's per-epoch shape (r12 verdict #1). Two
+        pushdowns, both exact:
+
+        - PARTITION pruning: the vocabulary's ``gram_bucket`` set is
+          collected driver-side (bounded by ``n_buckets``, never by
+          data) and a batch hitting b of the store's n buckets reads
+          ~b/n of it. A gram outside the scanned buckets cannot exist
+          in them (same hash on both sides), so joining the result on
+          ``gram`` loses nothing.
+        - ROW-GROUP skipping: a vocabulary at or under
+          ``max_inline_vocab`` grams is additionally pushed as a
+          ``gram IN (...)`` data filter; the bucket files are
+          gram-SORTED at write (r13), so parquet min/max stats skip
+          every row group holding none of the probed grams — the
+          low-latency case reads O(|vocab|) row groups, not the store.
+
+        Callers should pass an already-cut (checkpointed) frame — a
+        lazy ``grams`` would recompute per consumer here."""
+        meta = self._read_meta()
+        if not meta["batches"]:
+            return self.spark.createDataFrame([], self.EMPTY_PROBE)
+        dirs = self._require_live_dirs(meta, "probing")
+        scan = self._read_data(dirs)
+        if max_inline_vocab > 0:
+            # distinct BEFORE the limit: a caller passing a
+            # non-aggregated frame must not have duplicates eat the
+            # sample budget and silently drop grams from the pushdown
+            sample = [
+                r.gram
+                for r in grams.select("gram")
+                .distinct()
+                .limit(max_inline_vocab + 1)
+                .collect()
+            ]
+            if len(sample) <= max_inline_vocab:
+                scan = scan.filter(F.col("gram").isin(sorted(sample)))
+        if self.n_buckets > 1:
+            buckets = sorted(
+                int(r["b"])
+                for r in grams.select(
+                    F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)).alias(
+                        "b"
+                    )
+                )
+                .distinct()
+                .collect()
+            )
+            if len(buckets) < self.n_buckets:
+                scan = scan.filter(F.col("gram_bucket").isin(buckets))
+        return self._counts_over(scan, len(dirs))
 
     # -- maintenance --------------------------------------------------------------
     def compact(self) -> bool:
@@ -181,16 +278,11 @@ class NgramCountStore(BatchDirStore):
             out = self._batch_dir(gen_id)
             if os.path.isdir(out):
                 shutil.rmtree(out)  # crashed earlier attempt
-            (
+            self._write_bucketed(
                 self._read_data(dirs)
                 .groupBy("gram")
-                .agg(F.sum("c").cast("long").alias("c"))
-                .withColumn(
-                    "gram_bucket",
-                    F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)),
-                )
-                .write.partitionBy("gram_bucket")
-                .parquet(out)
+                .agg(F.sum("c").cast("long").alias("c")),
+                out,
             )
             ledger.record(meta, gen_id)
             self._write_meta(

@@ -24,13 +24,17 @@ Per-epoch shapes: two delta-sized window extractions of the pinned
 batch — one COUNTING aggregation whose cut frame feeds both the
 duplicate verdict and the store ingest (``append_counts`` — r12
 review: re-deriving counts inside append doubled the work), one
-POSITIONAL explode for the per-doc fold — plus one gram-keyed shuffle
-join against the store's aggregated counts (the probe side is a whole
-batch vocabulary — nothing to broadcast), the interval-union fold from
-the batch detector's shipped shape, deterministic
-``spans/epoch=<key>`` overwrites, and one O(delta) store append. Exactly-once: the store append is the LAST action, so its
-ledger guards the epoch (the spans dir is a deterministic overwrite
-under the run-scoped key).
+POSITIONAL explode for the per-doc fold — plus one gram-keyed join
+against the store's counts through ``probe_counts`` (r13, r12 verdict
+#1): the store scan PARTITION-PRUNES to the batch vocabulary's
+``gram_bucket`` dirs, and with ``compact_every=1`` — the documented
+LOW-LATENCY mode — the single pre-summed generation dir needs no
+re-aggregation, so the store-side cost per epoch is a pruned scan, not
+a corpus-vocabulary shuffle. Then the interval-union fold from the
+batch detector's shipped shape, deterministic ``spans/epoch=<key>``
+overwrites, and one O(delta) store append. Exactly-once: the store
+append is the LAST action, so its ledger guards the epoch (the spans
+dir is a deterministic overwrite under the run-scoped key).
 
 Optional routing: ``max_dup_pct`` splits the documents themselves into
 ``kept/`` / ``flagged/`` epoch dirs on the duplicated-token fraction —
@@ -159,9 +163,15 @@ def stream_span_dedup_gate(
         c_new = store.batch_counts(docs.select(text_col)).localCheckpoint()
         # duplicated = past corpus + this batch reaches the threshold
         # (computed against COMMITTED store state — the append below
-        # has not run yet, so a replayed epoch sees identical counts)
+        # has not run yet, so a replayed epoch sees identical counts).
+        # probe_counts partition-prunes the store scan to the batch
+        # vocabulary's gram_buckets and skips the store-sized
+        # re-aggregation when one live dir holds pre-summed counts
+        # (compact_every=1, the documented low-latency mode) — r12
+        # verdict #1: this was the one per-epoch cost that grew with
+        # the corpus instead of the delta
         dup = (
-            c_new.join(store.past_counts(), "gram", "left")
+            c_new.join(store.probe_counts(c_new), "gram", "left")
             .filter(
                 F.col("c") + F.coalesce(F.col("c_past"), F.lit(0))
                 >= min_occurrences

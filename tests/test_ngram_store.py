@@ -190,3 +190,157 @@ def test_in_stream_compaction(spark, tmp_path):
     full = NgramCountStore(spark, str(tmp_path / "full"), w=DUP_SPAN_W)
     full.append(docs, "all")
     assert _counts(store) == _counts(full)
+
+
+def test_probe_counts_matches_past_counts_multi_and_single_dir(
+    spark, tmp_path
+):
+    """The pruned probe (r13) must answer EXACTLY like a past_counts
+    join for every probe gram — across multiple live dirs (aggregation
+    path) and after compaction (the single-dir fast path)."""
+    docs = _docs(spark)
+    store = NgramCountStore(
+        spark, str(tmp_path / "s"), w=DUP_SPAN_W, n_buckets=32
+    )
+    for i in range(3):
+        store.append(docs.filter(F.col("doc_id") % 3 == i), f"b{i}")
+    probe = store.batch_counts(
+        docs.orderBy("doc_id").limit(2).select("text")
+    ).localCheckpoint()
+
+    def lookup(counts_df):
+        return {
+            r.gram: r.c_past
+            for r in probe.join(counts_df, "gram", "left").collect()
+        }
+
+    want = lookup(store.past_counts())
+    assert lookup(store.probe_counts(probe)) == want and want
+    assert store.compact() is True  # single pre-summed generation dir
+    assert lookup(store.probe_counts(probe)) == want
+    assert lookup(store.past_counts()) == want
+
+
+def test_probe_counts_partition_prunes_and_single_dir_skips_agg(
+    spark, tmp_path
+):
+    """(a) a small probe vocabulary lands its bucket predicate in
+    PartitionFilters — directory-level pruning before any file IO (the
+    BM25 topk discipline applied to the gate's probe); (b) with one
+    live dir the probe plan carries NO aggregation exchange — the
+    compact_every=1 low-latency mode's whole point."""
+    docs = _docs(spark)
+    store = NgramCountStore(
+        spark, str(tmp_path / "s"), w=DUP_SPAN_W, n_buckets=32
+    )
+    store.append(docs.filter(F.col("doc_id") % 2 == 0), "b0")
+    store.append(docs.filter(F.col("doc_id") % 2 == 1), "b1")
+    one_gram = store.batch_counts(
+        spark.createDataFrame(
+            [("alpha beta gamma delta epsilon",)], "text string"
+        )
+    ).localCheckpoint()
+    assert one_gram.count() == 1
+    plan = (
+        store.probe_counts(one_gram)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "gram_bucket" in pf
+    assert "Aggregate" in plan  # two live dirs: the sum is still needed
+    assert store.compact() is True
+    plan1 = (
+        store.probe_counts(one_gram)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Aggregate" not in plan1  # fast path: scan + project only
+    assert "gram_bucket" in plan1.split("PartitionFilters: [", 1)[1]
+
+
+def test_append_writes_one_sorted_file_per_bucket(spark, tmp_path):
+    """r13 layout: one gram-sorted parquet file per gram_bucket dir —
+    without the write-side repartition every shuffle task wrote a file
+    into every bucket it touched (hundreds of tiny files per dir)."""
+    docs = _docs(spark)
+    store = NgramCountStore(
+        spark, str(tmp_path / "s"), w=DUP_SPAN_W, n_buckets=8
+    )
+    store.append(docs, "b0")
+    root = store._batch_dir("b0")
+    for d in os.listdir(root):
+        if not d.startswith("gram_bucket="):
+            continue
+        files = [
+            f for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: {len(files)} files"
+        rows = [
+            r.gram
+            for r in spark.read.parquet(os.path.join(root, d)).collect()
+        ]
+        assert rows == sorted(rows)
+
+
+def test_gate_low_latency_mode_compact_every_1(spark, tmp_path):
+    """compact_every=1 (the documented low-latency mode): every epoch
+    probes ONE pre-summed generation dir, and the drained store still
+    equals a whole-corpus recount."""
+    docs = _docs(spark)
+    src = tmp_path / "src"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    _drain(
+        spark, src, docs.schema, tmp_path / "out", tmp_path / "store",
+        tmp_path / "ck",
+        max_files_per_trigger=1, compact_every=1,
+    )
+    store = NgramCountStore.open(spark, str(tmp_path / "store"))
+    live = store.committed_batches()
+    assert len(live) == 1 and live[0].startswith("gen")
+    full = NgramCountStore(spark, str(tmp_path / "full"), w=DUP_SPAN_W)
+    full.append(docs, "all")
+    assert _counts(store) == _counts(full)
+
+
+def test_probe_inline_vocab_pushes_rowgroup_filter_and_stays_exact(
+    spark, tmp_path
+):
+    """A small probe vocabulary is pushed as a gram IN (...) DATA
+    filter (PushedFilters — row-group skipping over the gram-sorted
+    files); disabling the inline path (bucket pruning only) answers
+    identically, as does the whole-store past_counts join."""
+    docs = _docs(spark)
+    store = NgramCountStore(
+        spark, str(tmp_path / "s"), w=DUP_SPAN_W, n_buckets=32
+    )
+    store.append(docs, "b0")
+    probe = store.batch_counts(
+        docs.orderBy("doc_id").limit(1).select("text")
+    ).localCheckpoint()
+    plan = (
+        store.probe_counts(probe)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "In(gram" in pushed or "EqualTo(gram" in pushed
+
+    def lookup(counts_df):
+        return {
+            r.gram: r.c_past
+            for r in probe.join(counts_df, "gram", "left").collect()
+        }
+
+    want = lookup(store.past_counts())
+    assert want and lookup(store.probe_counts(probe)) == want
+    assert lookup(store.probe_counts(probe, max_inline_vocab=0)) == want

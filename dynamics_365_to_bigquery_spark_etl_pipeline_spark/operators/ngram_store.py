@@ -225,30 +225,48 @@ class NgramCountStore(BatchDirStore):
           every row group holding none of the probed grams — the
           low-latency case reads O(|vocab|) row groups, not the store.
 
-        Callers should pass an already-cut (checkpointed) frame — a
-        lazy ``grams`` would recompute per consumer here."""
+        ``grams`` MUST be deterministic across evaluations (pass the
+        gate's already-cut localCheckpoint frame): the pushdowns are
+        derived from one evaluation and the caller's join re-evaluates
+        — a nondeterministic frame whose second evaluation grows new
+        grams would have them scan-filtered out and read as c_past=0,
+        WRONG DATA with no error. Same rule as ``append_counts``: a
+        nondeterministic input is the caller's bug — here it corrupts
+        answers instead of state."""
         meta = self._read_meta()
         if not meta["batches"]:
             return self.spark.createDataFrame([], self.EMPTY_PROBE)
         dirs = self._require_live_dirs(meta, "probing")
         scan = self._read_data(dirs)
+        sample: list[str] | None = None
         if max_inline_vocab > 0:
             # distinct BEFORE the limit: a caller passing a
             # non-aggregated frame must not have duplicates eat the
             # sample budget and silently drop grams from the pushdown
-            sample = [
-                r.gram
-                for r in grams.select("gram")
+            rows = (
+                grams.select("gram")
                 .distinct()
                 .limit(max_inline_vocab + 1)
                 .collect()
-            ]
-            if len(sample) <= max_inline_vocab:
-                scan = scan.filter(F.col("gram").isin(sorted(sample)))
+            )
+            if len(rows) <= max_inline_vocab:
+                sample = sorted(r.gram for r in rows)
+                scan = scan.filter(F.col("gram").isin(sample))
         if self.n_buckets > 1:
+            # bucket ids from the complete inline sample when we have
+            # it (a 512-row local frame — no second delta-sized
+            # distinct exchange on the per-epoch hot path, r13 review),
+            # else one pass over the probe frame
+            bucket_src = (
+                self.spark.createDataFrame(
+                    [(g,) for g in sample], "gram string"
+                )
+                if sample is not None
+                else grams
+            )
             buckets = sorted(
                 int(r["b"])
-                for r in grams.select(
+                for r in bucket_src.select(
                     F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)).alias(
                         "b"
                     )

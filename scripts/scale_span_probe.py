@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 
@@ -184,7 +185,7 @@ def main() -> None:
                     bname, n, last
                 )
                 results[(bname, n)] = {
-                    a: sorted(t)[len(t) // 2] for a, t in timings.items()
+                    a: statistics.median(t) for a, t in timings.items()
                 }
                 print(
                     f"{bname:5s} batch vs {n:>7d}-doc store: "

@@ -90,6 +90,11 @@ def stream_ingest_pipeline(
     lock_timeout: float = 60.0,
     bm25_path: Optional[str] = None,
     bm25_buckets: Optional[int] = None,
+    span_store_path: Optional[str] = None,
+    span_w: int = 5,
+    span_min_occurrences: int = 2,
+    span_max_dup_pct: Optional[float] = None,
+    span_buckets: Optional[int] = None,
 ) -> StreamingQuery:
     """Run the full ingest pipeline over a document file-source stream.
 
@@ -117,17 +122,55 @@ def stream_ingest_pipeline(
     rewritten deterministically), between the two commits replays with
     the BM25 half a no-op, after the LSH commit skips whole.
 
+    ``span_store_path`` (optional, r13) inserts the span-dedup gate
+    between decontamination and the clean write: each decontamination
+    survivor's duplicated-span stats are computed against the
+    incremental n-gram count store (committed state + in-batch counts —
+    the standalone ``stream_span_dedup_gate``'s exact rule, via the
+    SHARED ``span_stats``/``batch_counts``/``probe_counts`` pieces) and
+    written to ``spans/epoch=<key>``; with ``span_max_dup_pct`` set,
+    docs over the threshold route to ``span_flagged/epoch=<key>``
+    INSTEAD of ``clean/`` — the indexes then never see span-heavy docs.
+    The store ingests EVERY span-stage survivor's counts (flagged
+    included — their text occurred; dropping it would let a phrase
+    re-arrive "fresh"). Exactly-once ORDER changes when this stage is
+    on: the n-gram append becomes the epoch's LAST action and ITS
+    ledger the whole-epoch guard — the span verdict reads store state,
+    so the append must follow every artifact write or a replay would
+    recompute different stats against double-counted state; the LSH
+    commit gains its own per-store guard (the BM25 pattern) for the
+    crash window between the two commits.
+
     PRECONDITION shared by both indexes: the SOURCE must not re-emit an
     ``id_col`` value across epochs. The BM25 df/n_docs stats and the
     LSH postings are exact because each doc id exists once store-wide;
     a re-landed id under a new epoch key silently inflates them
     (replayed EPOCHS are safe — each ledger no-ops its half)."""
     score_fn = score if score is not None else X.quality_score
-    check_reserved_columns(
-        schema,
-        {"quality_score", "_th", "n_doc_ngrams", "n_contaminated", "epoch"},
-    )
+    reserved = {"quality_score", "_th", "n_doc_ngrams", "n_contaminated", "epoch"}
+    if span_store_path is not None:
+        reserved |= {"n_tokens", "n_dup_tokens", "dup_pct"}
+    check_reserved_columns(schema, reserved)
     grams = stage(heldout_gram_set(heldout, text_col, n))
+    ngrams = None
+    if span_store_path is not None:
+        from ..operators.ngram_store import NgramCountStore
+
+        ngrams = NgramCountStore(
+            spark,
+            span_store_path,
+            text_col=text_col,
+            w=span_w,
+            # passthrough, the bm25_buckets rationale: a store built by
+            # the standalone gate at a non-default bucket count must be
+            # feedable without tripping the identity check
+            n_buckets=(
+                span_buckets
+                if span_buckets is not None
+                else NgramCountStore.N_BUCKETS
+            ),
+            lock_timeout=lock_timeout,
+        )
     idx = LshDedupIndex(
         spark, index_path, jaccard_min=jaccard_min, lock_timeout=lock_timeout
     )
@@ -160,12 +203,18 @@ def stream_ingest_pipeline(
 
     _query_id = query_id_reader(checkpoint_dir)
 
+    # the whole-epoch replay guard is whichever store commits LAST:
+    # the n-gram store when the span stage is on (its append must
+    # follow every artifact write — the span verdict reads its state),
+    # else the LSH index (the r12 order)
+    epoch_guard = ngrams if ngrams is not None else idx
+
     def run_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         key = f"{_query_id()}-epoch-{epoch_id}"
-        # the index commit is the LAST action of the epoch, so its
-        # ledger is the whole epoch's replay guard: committed means
-        # every dir below was already written under this key
-        if batch_df.isEmpty() or idx.is_committed(key):
+        # the guard store's commit is the LAST action of the epoch:
+        # committed means every dir below was already written under
+        # this key
+        if batch_df.isEmpty() or epoch_guard.is_committed(key):
             return
         clean_dir = os.path.join(out_dir, "clean", f"epoch={key}")
         # persisted around the epoch's writes — the source scan behind
@@ -200,9 +249,59 @@ def stream_ingest_pipeline(
                 ).write.mode("overwrite").parquet(
                     os.path.join(out_dir, "contaminated", f"epoch={key}")
                 )
-                tagged.filter(F.col("n_contaminated").isNull()).drop(
+                surv = tagged.filter(F.col("n_contaminated").isNull()).drop(
                     "n_doc_ngrams", "n_contaminated"
-                ).write.mode("overwrite").parquet(clean_dir)
+                )
+                if ngrams is None:
+                    c_new = None
+                    surv.write.mode("overwrite").parquet(clean_dir)
+                else:
+                    # span stage (r13): verdict against COMMITTED store
+                    # state + in-batch counts — the standalone gate's
+                    # exact rule through the shared pieces; both cuts
+                    # are the one-evaluation law (the counts the verdict
+                    # saw are the counts appended below)
+                    from .span_gate import span_stats
+
+                    surv = surv.localCheckpoint()
+                    c_new = ngrams.batch_counts(
+                        surv.select(text_col)
+                    ).localCheckpoint()
+                    dup = (
+                        c_new.join(ngrams.probe_counts(c_new), "gram", "left")
+                        .filter(
+                            F.col("c") + F.coalesce(F.col("c_past"), F.lit(0))
+                            >= span_min_occurrences
+                        )
+                        .select("gram")
+                    )
+                    stats = span_stats(
+                        surv, dup, text_col, span_w, id_col
+                    ).persist(StorageLevel.MEMORY_AND_DISK)
+                    try:
+                        stats.write.mode("overwrite").parquet(
+                            os.path.join(out_dir, "spans", f"epoch={key}")
+                        )
+                        if span_max_dup_pct is None:
+                            surv.write.mode("overwrite").parquet(clean_dir)
+                        else:
+                            routed = surv.join(
+                                stats.select(id_col, "dup_pct"), id_col
+                            )
+                            routed.filter(
+                                F.col("dup_pct") > span_max_dup_pct
+                            ).write.mode("overwrite").parquet(
+                                os.path.join(
+                                    out_dir, "span_flagged", f"epoch={key}"
+                                )
+                            )
+                            routed.filter(
+                                F.col("dup_pct") <= span_max_dup_pct
+                            ).drop("dup_pct").write.mode("overwrite").parquet(
+                                clean_dir
+                            )
+                    finally:
+                        stats.unpersist()
             finally:
                 hits.unpersist()
         finally:
@@ -223,13 +322,23 @@ def stream_ingest_pipeline(
                 # (each store's own ledger guards its half; append
                 # refuses empty batches, hence the probe)
                 bm25.append(clean_on_disk, key)
-        pairs, commit = idx.prepare_batch(
-            clean_on_disk, key, id_col, text_col
-        )
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "pairs", f"epoch={epoch_id}")
-        )
-        commit()
+        if not idx.is_committed(key):
+            # guarded like the BM25 half once the n-gram store is the
+            # epoch guard: a crash between the LSH commit and the final
+            # n-gram append replays the epoch, and re-probing an index
+            # that already holds this batch would rewrite DIFFERENT
+            # pairs (every doc would match its own stored copy)
+            pairs, commit = idx.prepare_batch(
+                clean_on_disk, key, id_col, text_col
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "pairs", f"epoch={epoch_id}")
+            )
+            commit()
+        if ngrams is not None:
+            # the epoch's LAST action — this ledger entry is the
+            # whole-epoch replay guard (see epoch_guard above)
+            ngrams.append_counts(c_new, key)
         # cadence keys on APPENDED batches (the live gen dir is
         # excluded) — counting committed_batches() degenerates to a
         # full rewrite every epoch (r10 review, shared with the
@@ -242,6 +351,12 @@ def stream_ingest_pipeline(
             and len(bm25.appended_batches()) >= compact_every
         ):
             bm25.compact()
+        if (
+            ngrams is not None
+            and compact_every
+            and len(ngrams.appended_batches()) >= compact_every
+        ):
+            ngrams.compact()
 
     return (
         stream.writeStream.foreachBatch(run_epoch)

@@ -242,3 +242,165 @@ def test_compaction_folds_into_the_stream(spark, tmp_path):
     assert len(live) <= 2 and any(b.startswith("gen") for b in live)
     pairs, _commit = idx.prepare_batch(train.limit(20), "probe-after")
     pairs.collect()  # probe path stays readable across the fold
+
+
+def test_span_stage_equals_chained_gate_single_epoch(spark, tmp_path):
+    """span_store_path inserts the span-dedup gate between
+    decontamination and the clean write. With the corpus in ONE epoch
+    (at-ingest == batch semantics on both arms), the unified run must
+    land exactly what the four-leg chain lands: same span stats, same
+    flagged/kept split, same pair set, and count-identical n-gram
+    stores."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ngram_store import (
+        NgramCountStore,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.streaming.span_gate import (
+        stream_span_dedup_gate,
+    )
+
+    heldout, train = _corpus(spark)
+    src = tmp_path / "src"
+    train.coalesce(1).write.parquet(str(src))
+
+    out_u = tmp_path / "uni_out"
+    _drain_unified(
+        spark, src, train.schema, heldout, out_u,
+        tmp_path / "uni_idx", tmp_path / "uni_ck",
+        span_store_path=str(tmp_path / "uni_ng"), span_max_dup_pct=0.0,
+    )
+
+    # chained reference: quality -> decontaminate -> span gate -> index
+    out_q, out_d, out_s = tmp_path / "ch_q", tmp_path / "ch_d", tmp_path / "ch_s"
+    q = stream_quality_gate(
+        spark, str(src), train.schema, str(out_q),
+        str(tmp_path / "ck_q"), min_score=MIN_SCORE,
+    )
+    assert q.awaitTermination(240)
+    q = stream_decontaminate(
+        spark, str(out_q / "kept"), train.schema, heldout, str(out_d),
+        str(tmp_path / "ck_d"), n=NGRAM_N,
+    )
+    assert q.awaitTermination(240)
+    q = stream_span_dedup_gate(
+        spark, str(out_d / "clean"), train.schema, str(out_s),
+        str(tmp_path / "ch_ng"), str(tmp_path / "ck_s"),
+        max_dup_pct=0.0,
+    )
+    assert q.awaitTermination(240)
+    pairs_d = tmp_path / "ch_pairs"
+    q = stream_dedup_index(
+        spark, str(out_s / "kept"), train.schema,
+        str(tmp_path / "ch_idx"), str(pairs_d), str(tmp_path / "ck_i"),
+        jaccard_min=JACC,
+    )
+    assert q.awaitTermination(240)
+
+    def span_set(path):
+        return {
+            (r.doc_id, r.n_tokens, r.n_dup_tokens, repr(r.dup_pct))
+            for r in spark.read.parquet(str(path)).collect()
+        }
+
+    assert span_set(out_u / "spans") == span_set(out_s / "spans")
+    flagged_u = _ids(spark, out_u / "span_flagged")
+    assert flagged_u == _ids(spark, out_s / "flagged")
+    assert flagged_u, "fixture must flag at least one span-heavy doc"
+    clean_u = _ids(spark, out_u / "clean")
+    assert clean_u == _ids(spark, out_s / "kept") and clean_u
+    assert _pair_set(spark, out_u / "pairs") == _pair_set(spark, pairs_d)
+    # flagged docs never reach the index
+    assert not flagged_u & clean_u
+    # the two n-gram stores hold identical corpus counts
+    ng_u = NgramCountStore.open(spark, str(tmp_path / "uni_ng"))
+    ng_c = NgramCountStore.open(spark, str(tmp_path / "ch_ng"))
+    cnt = lambda s: {(r.gram, r.c_past) for r in s.past_counts().collect()}
+    assert cnt(ng_u) == cnt(ng_c) and cnt(ng_u)
+
+
+def test_span_stage_cross_epoch_flags_and_replay(spark, tmp_path):
+    """At-ingest semantics inside the pipeline: a doc repeating an
+    earlier EPOCH's phrase is span-flagged on arrival (the first copy
+    is not retro-flagged), the flagged doc is indexed by NEITHER store,
+    and a checkpoint replay adds nothing anywhere — the n-gram append
+    is the epoch guard."""
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.bm25_index import (
+        Bm25Index,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ngram_store import (
+        NgramCountStore,
+    )
+
+    phrase = "alpha beta gamma delta epsilon"
+    e1 = spark.createDataFrame(
+        [(1, f"{phrase} one two three four five"),
+         (2, "zig zag zip zap zoom six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    e2 = spark.createDataFrame(
+        [(3, f"{phrase} eleven twelve thirteen fourteen fifteen")],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(99, "zzz qqq rrr sss ttt uuu vvv www")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "src"
+    e1.coalesce(1).write.mode("append").parquet(str(src))
+    e2.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain():
+        q = stream_ingest_pipeline(
+            spark, str(src), e1.schema, heldout, str(tmp_path / "out"),
+            str(tmp_path / "idx"), str(tmp_path / "ck"),
+            min_score=0, n=NGRAM_N, jaccard_min=JACC,
+            max_files_per_trigger=1,
+            bm25_path=str(tmp_path / "bm25"),
+            span_store_path=str(tmp_path / "ng"), span_max_dup_pct=0.0,
+        )
+        assert q.awaitTermination(240)
+
+    drain()
+    out = tmp_path / "out"
+    spans = {
+        r.doc_id: r.n_dup_tokens
+        for r in spark.read.parquet(str(out / "spans")).collect()
+    }
+    assert spans[3] == 5  # the repeated W-token phrase, on arrival
+    assert spans[1] == 0 and spans[2] == 0  # first copy not retro-flagged
+    assert _ids(spark, out / "span_flagged") == {3}
+    assert _ids(spark, out / "clean") == {1, 2}
+    # neither index ever saw the flagged doc
+    assert Bm25Index(spark, str(tmp_path / "bm25")).stats()["n_docs"] == 2
+    # the store holds ALL three docs' counts (flagged text still occurred)
+    ng = NgramCountStore.open(spark, str(tmp_path / "ng"))
+    ref = NgramCountStore(spark, str(tmp_path / "ng_ref"))
+    ref.append(e1.unionByName(e2).select("text"), "all")
+    cnt = lambda s: {(r.gram, r.c_past) for r in s.past_counts().collect()}
+    assert cnt(ng) == cnt(ref)
+    # replay: nothing doubles, no new epoch dirs
+    st = ng.stats()
+    dirs = {
+        side: sorted(os.listdir(out / side))
+        for side in ("spans", "span_flagged", "clean", "pairs")
+    }
+    drain()
+    assert ng.stats() == st
+    for side, d in dirs.items():
+        assert sorted(os.listdir(out / side)) == d, side
+
+
+def test_span_reserved_columns_only_when_enabled(spark, tmp_path):
+    heldout, _train = _corpus(spark)
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("dup_pct", T.DoubleType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="reserved column"):
+        stream_ingest_pipeline(
+            spark, str(tmp_path / "src"), sch, heldout,
+            str(tmp_path / "out"), str(tmp_path / "idx"),
+            str(tmp_path / "ck"), span_store_path=str(tmp_path / "ng"),
+        )

@@ -105,14 +105,20 @@ class NgramCountStore(BatchDirStore):
         so a concurrent compact's GC can't sweep it)."""
         return self.append_counts(self.batch_counts(docs), batch_id)
 
-    def append_counts(self, batch_counts: DataFrame, batch_id: str) -> dict:
+    def append_counts(
+        self, batch_counts: DataFrame, batch_id: str, cut: bool = True
+    ) -> dict:
         """``append`` for a caller that already computed the batch's
         ``(gram, c)`` frame — the span gate derives its duplicate
         verdict from the same counts it ingests, and re-exploding the
         batch here would double the delta-sized work per epoch (r12
-        review). The frame is cut eagerly below, so a lazy input is
-        fine; a NONDETERMINISTIC one is the caller's bug (the counts
-        the verdict saw and the counts committed must be one view)."""
+        review). With ``cut=True`` (default) the frame is cut eagerly
+        below, so a lazy input is fine; a NONDETERMINISTIC one is the
+        caller's bug (the counts the verdict saw and the counts
+        committed must be one view). A caller that already
+        localCheckpointed the frame passes ``cut=False`` and skips the
+        redundant second materialization (r13 review — the gate and
+        the pipeline stage both pin the frame for their verdicts)."""
         self._check_batch_id(batch_id)
         with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
@@ -121,7 +127,7 @@ class NgramCountStore(BatchDirStore):
             # one evaluation: counts are cut eagerly so the stats
             # aggregate and the dir write can't see two different
             # views of a nondeterministic source (the r12 append rule)
-            counts = batch_counts.localCheckpoint()
+            counts = batch_counts.localCheckpoint() if cut else batch_counts
             row = counts.agg(
                 F.coalesce(F.sum("c"), F.lit(0)).alias("n")
             ).collect()[0]

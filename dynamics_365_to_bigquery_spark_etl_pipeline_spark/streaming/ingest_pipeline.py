@@ -141,11 +141,21 @@ def stream_ingest_pipeline(
     commit gains its own per-store guard (the BM25 pattern) for the
     crash window between the two commits.
 
-    PRECONDITION shared by both indexes: the SOURCE must not re-emit an
-    ``id_col`` value across epochs. The BM25 df/n_docs stats and the
-    LSH postings are exact because each doc id exists once store-wide;
-    a re-landed id under a new epoch key silently inflates them
-    (replayed EPOCHS are safe — each ledger no-ops its half)."""
+    PRECONDITIONS. (1) Ids: the SOURCE must not re-emit an ``id_col``
+    value across epochs, and ids must be NON-NULL — BM25 df/n_docs and
+    LSH postings are exact because each doc id exists once store-wide
+    (a re-landed id silently inflates them; replayed EPOCHS are safe —
+    each ledger no-ops its half), and a NULL id merges in per-doc
+    aggregates and never equi-joins in the span routing. (2) The STAGE
+    SET is fixed for a checkpoint's lifetime: the whole-epoch replay
+    guard is the LAST store's ledger, so toggling ``span_store_path``
+    on a checkpoint that already committed epochs without it would let
+    a replayed epoch recompute different artifacts while the other
+    stores skip theirs. Enabling the stage over prior epochs' commits
+    fails loudly at the first non-blank epoch; start a fresh
+    checkpoint (and fresh stores — the id precondition forbids
+    re-ingesting the old corpus into the same stores) to change the
+    stage set."""
     score_fn = score if score is not None else X.quality_score
     reserved = {"quality_score", "_th", "n_doc_ngrams", "n_contaminated", "epoch"}
     if span_store_path is not None:
@@ -208,6 +218,7 @@ def stream_ingest_pipeline(
     # follow every artifact write — the span verdict reads its state),
     # else the LSH index (the r12 order)
     epoch_guard = ngrams if ngrams is not None else idx
+    _toggle_checked = [False]
 
     def run_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         key = f"{_query_id()}-epoch-{epoch_id}"
@@ -216,6 +227,27 @@ def stream_ingest_pipeline(
         # this key
         if batch_df.isEmpty() or epoch_guard.is_committed(key):
             return
+        if ngrams is not None and not _toggle_checked[0]:
+            # the stage set is fixed per checkpoint (docstring
+            # precondition): the LSH ledger holding FULLY-COMMITTED
+            # epochs under this query id that the n-gram store lacks
+            # means the span stage was toggled on mid-life — a replay
+            # would then recompute routed artifacts the other stores
+            # skip. (idx_hwm == this epoch is the legitimate
+            # between-commits crash window and proceeds.)
+            qid = _query_id()
+            idx_hwm = idx.epoch_high_water().get(qid, -1)
+            ng_hwm = ngrams.epoch_high_water().get(qid, -1)
+            if ng_hwm < idx_hwm < epoch_id:
+                raise RuntimeError(
+                    f"span stage enabled on checkpoint {checkpoint_dir!r} "
+                    f"whose LSH index already committed epochs up to "
+                    f"{idx_hwm} without it (n-gram store high-water: "
+                    f"{ng_hwm}) — the stage set is fixed for a "
+                    "checkpoint's lifetime; start a fresh checkpoint and "
+                    "fresh stores to add the span stage"
+                )
+            _toggle_checked[0] = True
         clean_dir = os.path.join(out_dir, "clean", f"epoch={key}")
         # persisted around the epoch's writes — the source scan behind
         # the batch is the expensive part (heavy-hitters lesson), and
@@ -258,23 +290,21 @@ def stream_ingest_pipeline(
                 else:
                     # span stage (r13): verdict against COMMITTED store
                     # state + in-batch counts — the standalone gate's
-                    # exact rule through the shared pieces; both cuts
-                    # are the one-evaluation law (the counts the verdict
-                    # saw are the counts appended below)
-                    from .span_gate import span_stats
+                    # rule through the SHARED dup_grams/span_stats/
+                    # route_by_dup_pct pieces (one rule per fact); both
+                    # cuts are the one-evaluation law (the counts the
+                    # verdict saw are the counts appended below)
+                    from .span_gate import (
+                        dup_grams,
+                        route_by_dup_pct,
+                        span_stats,
+                    )
 
                     surv = surv.localCheckpoint()
                     c_new = ngrams.batch_counts(
                         surv.select(text_col)
                     ).localCheckpoint()
-                    dup = (
-                        c_new.join(ngrams.probe_counts(c_new), "gram", "left")
-                        .filter(
-                            F.col("c") + F.coalesce(F.col("c_past"), F.lit(0))
-                            >= span_min_occurrences
-                        )
-                        .select("gram")
-                    )
+                    dup = dup_grams(ngrams, c_new, span_min_occurrences)
                     stats = span_stats(
                         surv, dup, text_col, span_w, id_col
                     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -285,21 +315,15 @@ def stream_ingest_pipeline(
                         if span_max_dup_pct is None:
                             surv.write.mode("overwrite").parquet(clean_dir)
                         else:
-                            routed = surv.join(
-                                stats.select(id_col, "dup_pct"), id_col
+                            kept, flagged = route_by_dup_pct(
+                                surv, stats, id_col, span_max_dup_pct
                             )
-                            routed.filter(
-                                F.col("dup_pct") > span_max_dup_pct
-                            ).write.mode("overwrite").parquet(
+                            flagged.write.mode("overwrite").parquet(
                                 os.path.join(
                                     out_dir, "span_flagged", f"epoch={key}"
                                 )
                             )
-                            routed.filter(
-                                F.col("dup_pct") <= span_max_dup_pct
-                            ).drop("dup_pct").write.mode("overwrite").parquet(
-                                clean_dir
-                            )
+                            kept.write.mode("overwrite").parquet(clean_dir)
                     finally:
                         stats.unpersist()
             finally:
@@ -337,8 +361,9 @@ def stream_ingest_pipeline(
             commit()
         if ngrams is not None:
             # the epoch's LAST action — this ledger entry is the
-            # whole-epoch replay guard (see epoch_guard above)
-            ngrams.append_counts(c_new, key)
+            # whole-epoch replay guard (see epoch_guard above); the
+            # frame was already cut for the verdict
+            ngrams.append_counts(c_new, key, cut=False)
         # cadence keys on APPENDED batches (the live gen dir is
         # excluded) — counting committed_batches() degenerates to a
         # full rewrite every epoch (r10 review, shared with the

@@ -61,6 +61,41 @@ from .util import (
 )
 
 
+def dup_grams(
+    store: NgramCountStore, c_new: DataFrame, min_occurrences: int
+) -> DataFrame:
+    """The duplicate-window verdict, ONE rule for the standalone gate
+    and the unified pipeline's span stage (r13 review — the threshold
+    join was copy-pasted and could drift): a window is duplicated when
+    its count in (committed store + this batch) reaches
+    ``min_occurrences``. ``c_new`` must be the batch's already-cut
+    ``(gram, c)`` frame (the probe pushdowns and the verdict must see
+    one evaluation)."""
+    return (
+        c_new.join(store.probe_counts(c_new), "gram", "left")
+        .filter(
+            F.col("c") + F.coalesce(F.col("c_past"), F.lit(0))
+            >= min_occurrences
+        )
+        .select("gram")
+    )
+
+
+def route_by_dup_pct(
+    docs: DataFrame, stats: DataFrame, id_col: str, max_dup_pct: float
+) -> tuple[DataFrame, DataFrame]:
+    """``(kept, flagged)`` split of ``docs`` on the stats frame's
+    ``dup_pct`` — shared by the gate and the pipeline stage so the
+    routing rule cannot fork. Ids must be NON-NULL and unique (the
+    family-wide id precondition): a NULL id never equi-joins, so the
+    row would silently land in neither side."""
+    routed = docs.join(stats.select(id_col, "dup_pct"), id_col)
+    return (
+        routed.filter(F.col("dup_pct") <= max_dup_pct).drop("dup_pct"),
+        routed.filter(F.col("dup_pct") > max_dup_pct),
+    )
+
+
 def span_stats(
     docs: DataFrame,
     dup_grams: DataFrame,
@@ -129,7 +164,13 @@ def stream_span_dedup_gate(
     with ``max_dup_pct`` set, also routes the documents themselves to
     ``kept/`` / ``flagged/`` epoch dirs. The n-gram count store at
     ``store_path`` is created on first use and appended exactly-once
-    per epoch."""
+    per epoch.
+
+    PRECONDITION (the family-wide id rule): ``id_col`` values must be
+    NON-NULL and unique within the stream — a NULL id merges all
+    null-id docs in the per-doc stats aggregate and never equi-joins
+    in the kept/flagged routing (the row would silently land in
+    neither dir)."""
     check_reserved_columns(
         schema, {"n_tokens", "n_dup_tokens", "dup_pct", "epoch"}
     )
@@ -164,40 +205,30 @@ def stream_span_dedup_gate(
         # duplicated = past corpus + this batch reaches the threshold
         # (computed against COMMITTED store state — the append below
         # has not run yet, so a replayed epoch sees identical counts).
-        # probe_counts partition-prunes the store scan to the batch
-        # vocabulary's gram_buckets and skips the store-sized
-        # re-aggregation when one live dir holds pre-summed counts
-        # (compact_every=1, the documented low-latency mode) — r12
-        # verdict #1: this was the one per-epoch cost that grew with
-        # the corpus instead of the delta
-        dup = (
-            c_new.join(store.probe_counts(c_new), "gram", "left")
-            .filter(
-                F.col("c") + F.coalesce(F.col("c_past"), F.lit(0))
-                >= min_occurrences
-            )
-            .select("gram")
-        )
+        # The shared verdict rides probe_counts: partition-pruned to
+        # the batch vocabulary's gram_buckets, re-aggregation-free when
+        # one live dir holds pre-summed counts (compact_every=1, the
+        # documented low-latency mode) — r12 verdict #1: this was the
+        # one per-epoch cost that grew with the corpus, not the delta
+        dup = dup_grams(store, c_new, min_occurrences)
         stats = span_stats(docs, dup, text_col, w, id_col).persist()
         try:
             stats.write.mode("overwrite").parquet(
                 f"{out_dir}/spans/epoch={key}"
             )
             if max_dup_pct is not None:
-                routed = docs.join(
-                    stats.select(id_col, "dup_pct"), id_col
+                kept, flagged = route_by_dup_pct(
+                    docs, stats, id_col, max_dup_pct
                 )
-                routed.filter(F.col("dup_pct") <= max_dup_pct).drop(
-                    "dup_pct"
-                ).write.mode("overwrite").parquet(
+                kept.write.mode("overwrite").parquet(
                     f"{out_dir}/kept/epoch={key}"
                 )
-                routed.filter(F.col("dup_pct") > max_dup_pct).write.mode(
-                    "overwrite"
-                ).parquet(f"{out_dir}/flagged/epoch={key}")
+                flagged.write.mode("overwrite").parquet(
+                    f"{out_dir}/flagged/epoch={key}"
+                )
         finally:
             stats.unpersist()
-        store.append_counts(c_new, key)
+        store.append_counts(c_new, key, cut=False)  # pinned above
         if compact_every and len(store.appended_batches()) >= compact_every:
             store.compact()
 

@@ -404,3 +404,129 @@ def test_span_reserved_columns_only_when_enabled(spark, tmp_path):
             str(tmp_path / "out"), str(tmp_path / "idx"),
             str(tmp_path / "ck"), span_store_path=str(tmp_path / "ng"),
         )
+
+
+def test_span_guard_swap_between_commits_crash_window(spark, tmp_path):
+    """The r13 ordering's actual crash window, exercised for real (r13
+    review: a no-new-files re-drain runs zero micro-batches and pins
+    nothing): simulate a crash AFTER the LSH commit of the last epoch
+    but BEFORE the n-gram append by (a) surgically removing the n-gram
+    store's record of that epoch and (b) deleting the checkpoint's
+    commit marker so Spark re-delivers it. The replay must skip the
+    LSH half (same pairs, no doubled postings), recompute identical
+    span stats (the store state it reads is pre-epoch again), and
+    complete the n-gram append."""
+    import json
+    import shutil as _shutil
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ngram_store import (
+        NgramCountStore,
+    )
+
+    phrase = "alpha beta gamma delta epsilon"
+    e1 = spark.createDataFrame(
+        [(1, f"{phrase} one two three four five"),
+         (2, "zig zag zip zap zoom six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    e2 = spark.createDataFrame(
+        [(3, f"{phrase} eleven twelve thirteen fourteen fifteen")],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(99, "zzz qqq rrr sss ttt uuu vvv www")],
+        "doc_id long, text string",
+    )
+    src, out, ck = tmp_path / "src", tmp_path / "out", tmp_path / "ck"
+    e1.coalesce(1).write.mode("append").parquet(str(src))
+    e2.coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(ckpt):
+        q = stream_ingest_pipeline(
+            spark, str(src), e1.schema, heldout, str(out),
+            str(tmp_path / "idx"), str(ckpt),
+            min_score=0, n=NGRAM_N, jaccard_min=JACC,
+            max_files_per_trigger=1,
+            span_store_path=str(tmp_path / "ng"), span_max_dup_pct=0.0,
+        )
+        assert q.awaitTermination(240)
+
+    drain(ck)
+    with open(ck / "metadata") as fh:
+        qid = json.load(fh)["id"]
+    key = f"{qid}-epoch-1"
+    ng = NgramCountStore.open(spark, str(tmp_path / "ng"))
+    assert ng.is_committed(key)
+    idx = LshDedupIndex(spark, str(tmp_path / "idx"), jaccard_min=JACC)
+    lsh_batches = sorted(idx.committed_batches())
+    pairs_before = _pair_set(spark, out / "pairs")
+    spans_before = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, repr(r.dup_pct))
+        for r in spark.read.parquet(str(out / "spans")).collect()
+    }
+
+    # (a) un-commit epoch 1 from the n-gram store (crash before append)
+    meta_p = os.path.join(str(tmp_path / "ng"), "_ngram_meta.json")
+    with open(meta_p) as fh:
+        meta = json.load(fh)
+    assert meta["epoch_hwm"][qid] == 1
+    meta["epoch_hwm"][qid] = 0
+    meta["n_windows"] -= meta["stats"].pop(key)["n_windows"]
+    meta["batches"] = [b for b in meta["batches"] if b != key]
+    with open(meta_p, "w") as fh:
+        json.dump(meta, fh)
+    _shutil.rmtree(ng._batch_dir(key))
+    assert not NgramCountStore.open(
+        spark, str(tmp_path / "ng")
+    ).is_committed(key)
+    # (b) make Spark re-deliver epoch 1: truncate the commit log —
+    # BOTH the marker and its Hadoop CRC sidecar (a stale .crc makes
+    # the commit rewrite fail as "Multiple streaming queries are
+    # concurrently using <commits>", a misleading message that is
+    # really ChecksumFileSystem tripping on the orphaned checksum)
+    os.remove(ck / "commits" / "1")
+    os.remove(ck / "commits" / ".1.crc")
+
+    drain(ck)  # the replay
+    ng2 = NgramCountStore.open(spark, str(tmp_path / "ng"))
+    assert ng2.is_committed(key)  # append completed this time
+    ref = NgramCountStore(spark, str(tmp_path / "ng_ref2"))
+    ref.append(e1.unionByName(e2).select("text"), "all")
+    cnt = lambda s: {(r.gram, r.c_past) for r in s.past_counts().collect()}
+    assert cnt(ng2) == cnt(ref)
+    # the LSH half was skipped: same batches, same pairs (a re-probe
+    # against an index already holding the batch would have paired
+    # every doc with its own stored copy)
+    assert sorted(idx.committed_batches()) == lsh_batches
+    assert _pair_set(spark, out / "pairs") == pairs_before
+    # and the recomputed span stats are bit-identical
+    spans_after = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, repr(r.dup_pct))
+        for r in spark.read.parquet(str(out / "spans")).collect()
+    }
+    assert spans_after == spans_before
+
+
+def test_span_stage_toggle_on_existing_checkpoint_fails_loudly(
+    spark, tmp_path
+):
+    """The stage set is fixed per checkpoint: enabling span_store_path
+    after epochs committed without it must fail the first non-blank
+    epoch, not silently change replay semantics."""
+    heldout, train = _corpus(spark)
+    src = tmp_path / "src"
+    train.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    out, idx_p, ck = tmp_path / "out", tmp_path / "idx", tmp_path / "ck"
+    _drain_unified(spark, src, train.schema, heldout, out, idx_p, ck)
+    train.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    with pytest.raises(Exception, match="stage set is fixed"):
+        q = stream_ingest_pipeline(
+            spark, str(src), train.schema, heldout, str(out), str(idx_p),
+            str(ck), min_score=MIN_SCORE, n=NGRAM_N, jaccard_min=JACC,
+            span_store_path=str(tmp_path / "ng_late"),
+        )
+        q.awaitTermination(240)

@@ -86,6 +86,23 @@ def _lock_status(store_dir: str) -> dict:
     }
 
 
+def _orphan_dirs(data_root: str, live: list[str]) -> int:
+    """``batch=*`` dirs under ``data_root`` the meta doesn't reference
+    — normally zero transiently (a sweep reclaims them), so a PERSISTENT
+    nonzero here is the disk-leak signal the sweep's one-shot warning
+    (r12 verdict #7) can miss when nobody reads the log; surfacing it
+    in the status line lets a scheduler alert on it (same best-effort
+    discipline as ``_dir_bytes``)."""
+    keep = {f"batch={b}" for b in live}
+    try:
+        names = os.listdir(data_root)
+    except OSError:
+        return 0
+    return sum(
+        1 for n in names if n.startswith("batch=") and n not in keep
+    )
+
+
 def _dir_bytes(store_dir: str) -> int:
     """Best-effort store footprint: files vanishing mid-walk (a live
     writer's tmp-file os.replace, a compact's GC) are skipped — a size
@@ -121,6 +138,7 @@ def _ivf_status(store) -> dict:
         "drift_threshold": store.drift_threshold,
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
+        "orphan_dirs": _orphan_dirs(store._data_root(), meta["batches"]),
     }
 
 
@@ -133,6 +151,10 @@ def _lsh_status(idx) -> dict:
         "bucketed_dirs": len(meta.get("buckets_n", {})),
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
+        "orphan_dirs": sum(
+            _orphan_dirs(idx._store(name), meta["batches"])
+            for name in idx.STORE_SCHEMAS
+        ),
     }
 
 
@@ -147,6 +169,7 @@ def _ngram_status(store) -> dict:
         "n_windows": meta["n_windows"],
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
+        "orphan_dirs": _orphan_dirs(store._data_root(), meta["batches"]),
     }
 
 
@@ -162,6 +185,7 @@ def _bm25_status(idx) -> dict:
         "s_tokens": meta["s_tokens"],
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
+        "orphan_dirs": _orphan_dirs(idx._data_root(), meta["batches"]),
     }
 
 

@@ -344,3 +344,82 @@ def test_probe_inline_vocab_pushes_rowgroup_filter_and_stays_exact(
     want = lookup(store.past_counts())
     assert want and lookup(store.probe_counts(probe)) == want
     assert lookup(store.probe_counts(probe, max_inline_vocab=0)) == want
+
+
+def test_probe_counts_property_random_corpora(spark, tmp_path):
+    """Hypothesis pin for the r13 probe: for random tiny corpora,
+    random bucket counts, random batch splits, and every inline-vocab
+    budget regime, probe_counts joined against a random probe frame
+    answers exactly like the unpruned past_counts join."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    counter = [0]
+
+    @st.composite
+    def corpora(draw):
+        n_docs = draw(st.integers(min_value=1, max_value=8))
+        docs = [
+            " ".join(
+                draw(
+                    st.lists(
+                        st.sampled_from(WORDS), min_size=0, max_size=8
+                    )
+                )
+            )
+            for _ in range(n_docs)
+        ]
+        probe = [
+            " ".join(
+                draw(st.lists(st.sampled_from(WORDS), min_size=2, max_size=6))
+            )
+        ]
+        return (
+            docs,
+            probe,
+            draw(st.integers(min_value=1, max_value=2)),  # n batches
+            draw(st.sampled_from([1, 2, 16])),  # n_buckets
+            draw(st.sampled_from([0, 1, 512])),  # max_inline_vocab
+        )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpora())
+    def check(case):
+        docs, probe_texts, n_batches, n_buckets, inline = case
+        counter[0] += 1
+        store = NgramCountStore(
+            spark,
+            str(tmp_path / f"s{counter[0]}"),
+            w=2,
+            n_buckets=n_buckets,
+        )
+        frame = spark.createDataFrame([(t,) for t in docs], "text string")
+        appended = False
+        for i in range(n_batches):
+            part = spark.createDataFrame(
+                [(t,) for j, t in enumerate(docs) if j % n_batches == i]
+                or [("",)],
+                "text string",
+            )
+            st_ = store.append(part, f"b{i}")
+            appended = appended or st_["n_windows"] > 0
+        probe = store.batch_counts(
+            spark.createDataFrame([(t,) for t in probe_texts], "text string")
+        ).localCheckpoint()
+
+        def lookup(counts_df):
+            return {
+                r.gram: r.c_past
+                for r in probe.join(counts_df, "gram", "left").collect()
+            }
+
+        want = lookup(store.past_counts())
+        got = lookup(store.probe_counts(probe, max_inline_vocab=inline))
+        assert got == want
+
+    check()

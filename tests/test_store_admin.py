@@ -294,3 +294,39 @@ def test_ngram_status_and_compact(spark, tmp_path, capsys):
     assert out["n_windows"] == store.stats()["n_windows"]
     rc, out = _run(capsys, p, "--rebuild-if-drift")
     assert rc == 1 and "IVF action" in out["error"]
+
+
+def test_orphan_dirs_surface_in_status(spark, tmp_path, capsys):
+    """r13 (r12 verdict #7 follow-through): a persistently undeletable
+    orphan should be visible to a SCHEDULER, not only as a one-shot
+    log warning — every store's status line carries the count of
+    unreferenced batch=* dirs, and it returns to 0 once a sweep
+    reclaims them."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import (
+        load_table,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ngram_store import (
+        NgramCountStore,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    p = str(tmp_path / "ng")
+    store = NgramCountStore(spark, p, w=4, n_buckets=4)
+    for i in range(2):
+        store.append(docs.filter(F.col("doc_id") % 2 == i), f"b{i}")
+    rc, out = _run(capsys, p)
+    assert rc == 0 and out["orphan_dirs"] == 0
+    _os.makedirs(_os.path.join(store._data_root(), "batch=crashed"))
+    rc, out = _run(capsys, p)
+    assert rc == 0 and out["orphan_dirs"] == 1
+    # a compact's sweep reclaims it (it holds the write lock, listdirs,
+    # and rmtrees everything the meta doesn't reference)
+    rc, out = _run(capsys, p, "--compact")
+    assert rc == 0 and out["compacted"] is True
+    assert out["orphan_dirs"] == 0

@@ -215,7 +215,14 @@ class Bm25Index(BatchDirStore):
                 # compact's sweep (r12 review)
                 shutil.rmtree(out)
             if s_tokens > 0:
-                postings.write.partitionBy("tok_bucket").parquet(out)
+                # delta-sized: ONE tok-sorted file per bucket (r13 —
+                # bounded file counts on a streaming ingest; topk
+                # pushes tok IN (vocab), so the sort feeds row-group
+                # skipping). The chassis rule, shared with the n-gram
+                # store.
+                self._write_bucket_sorted(
+                    postings, out, "tok_bucket", ("tok",), bound_files=True
+                )
                 meta["batches"] = meta["batches"] + [batch_id]
                 # stats entries exist for LIVE dirs only — a zero-token
                 # epoch must not grow the meta (a stream of all-blank
@@ -362,11 +369,17 @@ class Bm25Index(BatchDirStore):
             out = self._batch_dir(gen_id)
             if os.path.isdir(out):
                 shutil.rmtree(out)  # crashed earlier attempt
-            (
-                self._read_data(dirs)
-                .select("doc_id", "tok", "tf", "dl", "tok_bucket")
-                .write.partitionBy("tok_bucket")
-                .parquet(out)
+            # corpus-sized: task-parallel writes (bound_files here
+            # would cap the whole-corpus rewrite at n_buckets tasks —
+            # r13 review); the in-task sort still gives every written
+            # file tok row-group stats
+            self._write_bucket_sorted(
+                self._read_data(dirs).select(
+                    "doc_id", "tok", "tf", "dl", "tok_bucket"
+                ),
+                out,
+                "tok_bucket",
+                ("tok",),
             )
             # the fold's stats entry IS the additive totals — compaction
             # moves rows, never recounts them, and the totals are the

@@ -201,11 +201,23 @@ class IvfLayoutStore(BatchDirStore):
         return self.drift()
 
     def _write_batch(
-        self, vectors: DataFrame, batch_id: str, centroids: DataFrame | None = None
+        self,
+        vectors: DataFrame,
+        batch_id: str,
+        centroids: DataFrame | None = None,
+        bound_files: bool = False,
     ) -> dict:
         """Assign + write one batch dir; returns its stats. The
         assignment is cut once (two consumers: the layout write and the
-        stats aggregate must not run the kernel twice)."""
+        stats aggregate must not run the kernel twice).
+        ``bound_files=True`` (the APPEND path, r13) repartitions on the
+        bucket before the write — one file per touched bucket instead
+        of up to parallelism x buckets tiny files per delta, the
+        file-explosion driver on a streaming ingest. Builds/rebuilds
+        keep task-parallel writes: a corpus-sized repartition to
+        #centroids partitions would serialize the big write (parquet
+        stays splittable either way, so probe parallelism is
+        unaffected)."""
         assigned = _assign_with_sim(
             vectors,
             self.centroids() if centroids is None else centroids,
@@ -215,10 +227,11 @@ class IvfLayoutStore(BatchDirStore):
         out = self._batch_dir(batch_id)
         if os.path.isdir(out):
             shutil.rmtree(out)  # crashed earlier attempt
-        (
-            assigned.drop("sim")
-            .write.partitionBy("bucket_id")
-            .parquet(out)
+        # chassis write rule; no sort key — IVF probes read whole
+        # pruned buckets (matmul over every vector), so there is no
+        # row-level pushdown for sorted stats to feed
+        self._write_bucket_sorted(
+            assigned.drop("sim"), out, "bucket_id", bound_files=bound_files
         )
         row = assigned.agg(
             F.count("*").alias("n"),
@@ -265,7 +278,7 @@ class IvfLayoutStore(BatchDirStore):
                 )
             if ledger.is_committed(meta, batch_id):
                 return self.drift()  # replay: state already reflects it
-            stats = self._write_batch(vectors, batch_id)
+            stats = self._write_batch(vectors, batch_id, bound_files=True)
             # the lock freezes the meta — no re-read needed between the
             # batch write and the commit (pre-r11 this was an unlocked
             # RMW that could lose a concurrent writer's entry)

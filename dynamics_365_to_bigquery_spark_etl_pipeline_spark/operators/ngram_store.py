@@ -136,7 +136,17 @@ class NgramCountStore(BatchDirStore):
             if os.path.isdir(out):
                 shutil.rmtree(out)  # crashed earlier attempt, any retry
             if n_windows > 0:
-                self._write_bucketed(counts, out)
+                # delta-sized: ONE gram-sorted file per bucket (r13 —
+                # the chassis rule; bounded file counts per epoch, and
+                # probe_counts' gram IN (...) pushdown gets row-group
+                # skipping from the sort)
+                self._write_bucket_sorted(
+                    self._bucketed(counts),
+                    out,
+                    "gram_bucket",
+                    ("gram",),
+                    bound_files=True,
+                )
                 meta["batches"] = meta["batches"] + [batch_id]
                 # stats entries exist for LIVE dirs only (bounded meta
                 # under window-less epochs — the r12 discipline)
@@ -146,22 +156,10 @@ class NgramCountStore(BatchDirStore):
             self._write_meta(meta)
         return self.stats()
 
-    def _write_bucketed(self, counts: DataFrame, out: str) -> None:
-        """One gram-sorted file per ``gram_bucket=<b>`` dir: without
-        the repartition, every shuffle task writes a file into every
-        bucket it touches (up to parallelism x n_buckets tiny files per
-        dir — measured 512 at default settings); the in-partition sort
-        gives each file tight gram row-group stats for free while a
-        shuffle is happening anyway (r13)."""
-        (
-            counts.withColumn(
-                "gram_bucket",
-                F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)),
-            )
-            .repartition("gram_bucket")
-            .sortWithinPartitions("gram_bucket", "gram")
-            .write.partitionBy("gram_bucket")
-            .parquet(out)
+    def _bucketed(self, counts: DataFrame) -> DataFrame:
+        return counts.withColumn(
+            "gram_bucket",
+            F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)),
         )
 
     def stats(self) -> dict:
@@ -302,11 +300,18 @@ class NgramCountStore(BatchDirStore):
             out = self._batch_dir(gen_id)
             if os.path.isdir(out):
                 shutil.rmtree(out)  # crashed earlier attempt
-            self._write_bucketed(
-                self._read_data(dirs)
-                .groupBy("gram")
-                .agg(F.sum("c").cast("long").alias("c")),
+            # vocabulary-sized: task-parallel writes (bound_files would
+            # cap the fold at n_buckets tasks — r13 review); in-task
+            # sort keeps the row-group stats the probe pushdown uses
+            self._write_bucket_sorted(
+                self._bucketed(
+                    self._read_data(dirs)
+                    .groupBy("gram")
+                    .agg(F.sum("c").cast("long").alias("c"))
+                ),
                 out,
+                "gram_bucket",
+                ("gram",),
             )
             ledger.record(meta, gen_id)
             self._write_meta(

@@ -191,6 +191,35 @@ class BatchDirStore:
             *dirs
         )
 
+    def _write_bucket_sorted(
+        self,
+        df: DataFrame,
+        out: str,
+        bucket_col: str,
+        sort_cols: tuple[str, ...] = (),
+        bound_files: bool = False,
+    ) -> None:
+        """The bucket-dir write rule, ONE implementation for every
+        store on the chassis (r13 review — three near-copies were
+        diverging): ``partitionBy(bucket_col)`` dirs, rows sorted by
+        ``(bucket_col, *sort_cols)`` within each task so every written
+        file carries tight row-group stats on the sort key (feeds the
+        ``IN (vocab)``-style pushdowns the probes do).
+
+        ``bound_files=True`` additionally repartitions on the bucket —
+        ONE file per touched bucket. Right for DELTA-sized writes
+        (appends: the per-epoch file-explosion driver is tasks x
+        buckets tiny files, and the extra shuffle is delta-sized);
+        WRONG for corpus-sized writes (compaction/builds), where it
+        would cap the rewrite at n_buckets tasks regardless of cluster
+        size — those keep task-parallel writes and accept tasks x
+        buckets files for the one-time fold."""
+        if bound_files:
+            df = df.repartition(bucket_col)
+        if sort_cols:
+            df = df.sortWithinPartitions(bucket_col, *sort_cols)
+        df.write.partitionBy(bucket_col).parquet(out)
+
     def _sweep_orphans(self, keep: list[str], root: str | None = None) -> int:
         """Best-effort GC of every ``batch=*`` dir the meta doesn't
         reference — listdir, not a caller's remembered list, so dirs

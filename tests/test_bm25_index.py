@@ -296,3 +296,29 @@ def test_query_scan_partition_prunes_to_term_buckets(spark, tmp_path):
         .collect()
     ]
     assert files and all(f"tok_bucket={bucket}" in f for f in files)
+
+
+def test_append_writes_one_tok_sorted_file_per_bucket(spark, tmp_path):
+    """r13 layout (the n-gram store's move applied here): one
+    tok-sorted parquet file per tok_bucket dir per batch — bounded
+    file counts on a streaming ingest, and tight tok row-group stats
+    under the tok IN (vocab) filter topk pushes into the scan."""
+    docs = _docs(spark)
+    idx = Bm25Index(spark, str(tmp_path / "bm25"), n_buckets=8)
+    idx.append(docs, "b0")
+    root = idx._batch_dir("b0")
+    bucket_dirs = [
+        d for d in os.listdir(root) if d.startswith("tok_bucket=")
+    ]
+    assert bucket_dirs, "append must produce tok_bucket= partition dirs"
+    for d in bucket_dirs:
+        files = [
+            f for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: {len(files)} files"
+        toks = [
+            r.tok
+            for r in spark.read.parquet(os.path.join(root, d)).collect()
+        ]
+        assert toks == sorted(toks)

@@ -272,9 +272,11 @@ def test_append_writes_one_sorted_file_per_bucket(spark, tmp_path):
     )
     store.append(docs, "b0")
     root = store._batch_dir("b0")
-    for d in os.listdir(root):
-        if not d.startswith("gram_bucket="):
-            continue
+    bucket_dirs = [
+        d for d in os.listdir(root) if d.startswith("gram_bucket=")
+    ]
+    assert bucket_dirs, "append must produce gram_bucket= partition dirs"
+    for d in bucket_dirs:
         files = [
             f for f in os.listdir(os.path.join(root, d))
             if f.endswith(".parquet")

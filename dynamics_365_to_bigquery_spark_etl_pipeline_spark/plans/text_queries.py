@@ -1179,3 +1179,34 @@ SELECT b.doc_id, b.n_tokens,
 FROM base b LEFT JOIN clean c USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+# -- BPE tokenizer training (r13) -------------------------------------------
+# Iterative algorithm (one argmax + one merge per round) — genuinely
+# non-SQL-expressible, so this extra carries NO DuckDB oracle and takes
+# the driver's weaker rows-only check; the EXACT oracle lives in
+# tests/test_bpe.py as a pure-Python reference implementation whose
+# merge sequence and segmentation the Spark trainer must match bit for
+# bit (deterministic count-desc/lexicographic tie-break).
+
+BPE_MERGES = 16
+
+
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE subword vocabulary over the documents corpus and
+    return the learned merge table in rank order — the tokenizer-
+    TRAINING step of an LLM data pipeline (q_text_token_ids assigns
+    ids from a fixed vocabulary; this LEARNS one). Corpus scanned
+    once into word frequencies; every merge round is vocabulary-sized
+    (``operators/bpe.py``)."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = bpe.train_bpe(bpe.word_counts(docs), BPE_MERGES)
+    return spark.createDataFrame(
+        [(m.rank, m.left, m.right, m.merged, m.count) for m in merges],
+        "rank int, left string, right string, merged string, pair_count long",
+    ).orderBy("rank")
+
+
+EXTRA_QUERIES["q_bpe_merge_table"] = q_bpe_merge_table

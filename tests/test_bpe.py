@@ -1,0 +1,134 @@
+"""Distributed BPE tokenizer training (r13): the Spark-side trainer
+must reproduce the reference algorithm EXACTLY — same merge sequence,
+same segmentation — against a pure-Python implementation of Sennrich
+et al. 2015 run on the identical word-frequency dict, with the same
+deterministic tie-break (count DESC, left ASC, right ASC)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import load_table
+from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import bpe
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _word_syms(word: str) -> tuple[str, ...]:
+    return tuple([*word[:-1], word[-1] + bpe.END])
+
+
+def reference_bpe(wc: dict[str, int], n_merges: int, min_count: int = 1):
+    """The sequential textbook algorithm — the oracle the distributed
+    trainer must match bit for bit."""
+    vocab = {_word_syms(w): n for w, n in wc.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        pairs = {p: c for p, c in pairs.items() if c >= min_count}
+        if not pairs:
+            break
+        (a, b), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, c))
+        vocab = {
+            tuple(_ref_apply(syms, a, b)): n for syms, n in vocab.items()
+        }
+    return merges
+
+
+def _ref_apply(syms, a, b):
+    out, pend = [], None
+    for x in syms:
+        if pend is None:
+            pend = x
+        elif pend == a and x == b:
+            out.append(a + b)
+            pend = None
+        else:
+            out.append(pend)
+            pend = x
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+def _corpus_words(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    return bpe.word_counts(docs)
+
+
+def test_trained_merges_match_pure_python_reference(spark):
+    wc_df = _corpus_words(spark)
+    wc = {r.word: r.n for r in wc_df.collect()}
+    got = [tuple(m) for m in bpe.train_bpe(wc_df, 24)]
+    want = reference_bpe(wc, 24)
+    assert got == want and len(got) == 24
+
+
+def test_segmentation_matches_reference_and_reassembles(spark):
+    wc_df = _corpus_words(spark).localCheckpoint()
+    wc = {r.word: r.n for r in wc_df.collect()}
+    merges = bpe.train_bpe(wc_df, 16)
+    seg = {
+        r.word: tuple(r.pieces)
+        for r in bpe.segment_words(
+            wc_df.select("word"), merges, checkpoint_every=5
+        ).collect()
+    }
+    # reference replay over the same merge list
+    for word in wc:
+        syms = list(_word_syms(word))
+        for m in merges:
+            syms = _ref_apply(syms, m.left, m.right)
+        assert seg[word] == tuple(syms), word
+    # every segmentation reassembles to word + END marker
+    for word, pieces in seg.items():
+        assert "".join(pieces) == word + bpe.END
+
+
+def test_tiebreak_and_greedy_leftmost_nonoverlapping(spark):
+    """'aaa': pairs (a,a) and (a,a</w>) tie at the word count — the
+    lexicographic tie-break picks (a,a); the greedy fold then merges
+    leftmost-nonoverlapping, [aa, a</w>], never [a, aa</w>]."""
+    docs = spark.createDataFrame([("aaa aaa",)], "text string")
+    wc = bpe.word_counts(docs)
+    merges = bpe.train_bpe(wc, 1)
+    assert [(m.left, m.right) for m in merges] == [("a", "a")]
+    seg = bpe.segment_words(wc.select("word"), merges).collect()
+    assert tuple(seg[0].pieces) == ("aa", "a" + bpe.END)
+
+
+def test_dry_corpus_stops_early_and_validation(spark):
+    docs = spark.createDataFrame([("ab ab",)], "text string")
+    wc = bpe.word_counts(docs)
+    # 'ab' exhausts after one merge: [a, b</w>] -> [ab</w>], no pairs left
+    merges = bpe.train_bpe(wc, 10)
+    assert len(merges) == 1
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.train_bpe(wc, 0)
+    with pytest.raises(ValueError, match="min_count"):
+        bpe.train_bpe(wc, 1, min_count=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        bpe.segment_words(wc.select("word"), merges, checkpoint_every=0)
+    # min_count above every pair count: empty merge table, not an error
+    assert bpe.train_bpe(wc, 3, min_count=99) == []
+
+
+def test_single_char_and_empty_words(spark):
+    docs = spark.createDataFrame([("a a a bc",)], "text string")
+    wc = bpe.word_counts(docs)
+    merges = bpe.train_bpe(wc, 3)
+    # 'a' contributes no pairs; 'bc' gives exactly one
+    assert [(m.left, m.right) for m in merges] == [("b", "c" + bpe.END)]
+    seg = {
+        r.word: tuple(r.pieces)
+        for r in bpe.segment_words(wc.select("word"), merges).collect()
+    }
+    assert seg["a"] == ("a" + bpe.END,)
+    assert seg["bc"] == ("bc" + bpe.END,)

@@ -67,13 +67,17 @@ def _with_symbols(df: DataFrame) -> DataFrame:
     """Add the initial ``symbols`` column: the word's characters with
     the end-of-word marker folded onto the last one. Sibling columns
     ride along (``n`` for training, bare ``word`` for segmentation)."""
-    chars = F.split(F.col("word"), "")
+    # the last-element test compares against length(word) - 1, NOT
+    # size(chars) - 1: HOF lambdas run interpreted without
+    # subexpression elimination, so a size(split(...)) inside the
+    # lambda would re-split the word per element (the dedup.py HOF
+    # rule); character count == split element count for these tokens
     return df.withColumn(
         "symbols",
         F.transform(
-            chars,
+            F.split(F.col("word"), ""),
             lambda c, i: F.when(
-                i == F.size(chars) - 1, F.concat(c, F.lit(END))
+                i == F.length("word") - 1, F.concat(c, F.lit(END))
             ).otherwise(c),
         ),
     )
@@ -183,6 +187,8 @@ def train_bpe(
                 int(row["c"]),
             )
         )
+        if rank + 1 == n_merges:
+            break  # the final frame is never read — don't fold it
         # superseded checkpoints are reclaimed by the ContextCleaner
         # once unreferenced; explicit unpersist() doesn't reach
         # localCheckpoint storage

@@ -221,7 +221,12 @@ class Bm25Index(BatchDirStore):
                 # skipping). The chassis rule, shared with the n-gram
                 # store.
                 self._write_bucket_sorted(
-                    postings, out, "tok_bucket", ("tok",), bound_files=True
+                    postings,
+                    out,
+                    "tok_bucket",
+                    ("tok",),
+                    bound_files=True,
+                    n_partitions=self.n_buckets,
                 )
                 meta["batches"] = meta["batches"] + [batch_id]
                 # stats entries exist for LIVE dirs only — a zero-token

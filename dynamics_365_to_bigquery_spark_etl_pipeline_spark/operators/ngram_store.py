@@ -52,6 +52,51 @@ META_NAME = "_ngram_meta.json"
 
 IDENTITY_KEYS = ("text_col", "w", "n_buckets")
 
+# logical-plan leaves whose re-evaluation provably replays the same
+# rows: a localCheckpoint/createDataFrame RDD, an inline relation, or
+# a Range — NOT a file scan (the files could change between the
+# pushdown sample and the caller's join) and NOT anything carrying a
+# nondeterministic expression
+_PINNED_LEAVES = ("LogicalRDD", "LocalRelation", "OneRowRelation", "Range")
+
+
+def _require_pinned_plan(df: DataFrame, where: str) -> None:
+    """Refuse a probe frame that could re-evaluate differently (r13
+    verdict #5): ``probe_counts`` derives its pushdowns from ONE
+    evaluation while the caller's join re-evaluates the frame — a
+    frame that grows new grams on the second evaluation would have
+    them scan-filtered out and read as c_past=0, WRONG DATA with no
+    error. The check is a driver-side plan walk (no job): every node
+    must be deterministic and every leaf a pinned relation."""
+    jplan = df._jdf.queryExecution().analyzed()
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        children = node.children()
+        n = children.size()
+        cls = node.getClass().getSimpleName()
+        if n == 0 and cls not in _PINNED_LEAVES:
+            raise ValueError(
+                f"{where}: probe frame reads a re-evaluatable source "
+                f"({cls}) — the pushdowns here are derived from one "
+                "evaluation while your join re-evaluates the frame, so "
+                "a source that changes between the two reads missing "
+                "grams as c_past=0 with no error. localCheckpoint() "
+                "the frame first (the gate's rule), or pass "
+                "unsafe_allow_recompute=True if the source is provably "
+                "immutable"
+            )
+        if not node.deterministic():
+            raise ValueError(
+                f"{where}: probe frame carries a nondeterministic "
+                f"expression ({cls}) — its re-evaluation in your join "
+                "can produce grams the pushdown sample never saw, read "
+                "back as c_past=0 with no error. localCheckpoint() the "
+                "frame first, or pass unsafe_allow_recompute=True"
+            )
+        for i in range(n):
+            stack.append(children.apply(i))
+
 
 class NgramCountStore(BatchDirStore):
     KIND = "n-gram count store"
@@ -146,6 +191,7 @@ class NgramCountStore(BatchDirStore):
                     "gram_bucket",
                     ("gram",),
                     bound_files=True,
+                    n_partitions=self.n_buckets,
                 )
                 meta["batches"] = meta["batches"] + [batch_id]
                 # stats entries exist for LIVE dirs only (bounded meta
@@ -209,7 +255,10 @@ class NgramCountStore(BatchDirStore):
     MAX_INLINE_VOCAB = 512
 
     def probe_counts(
-        self, grams: DataFrame, max_inline_vocab: int = MAX_INLINE_VOCAB
+        self,
+        grams: DataFrame,
+        max_inline_vocab: int = MAX_INLINE_VOCAB,
+        unsafe_allow_recompute: bool = False,
     ) -> DataFrame:
         """``(gram, c_past)`` restricted to what the probe vocabulary
         (``grams`` — any frame with a ``gram`` column) can possibly
@@ -234,9 +283,17 @@ class NgramCountStore(BatchDirStore):
         derived from one evaluation and the caller's join re-evaluates
         — a nondeterministic frame whose second evaluation grows new
         grams would have them scan-filtered out and read as c_past=0,
-        WRONG DATA with no error. Same rule as ``append_counts``: a
-        nondeterministic input is the caller's bug — here it corrupts
-        answers instead of state."""
+        WRONG DATA with no error. r14 (r13 verdict #5): the rule is
+        ENFORCED, not just documented — a plan-shape walk refuses
+        frames with re-evaluatable leaves (file scans) or
+        nondeterministic expressions before any pushdown is derived;
+        ``unsafe_allow_recompute=True`` opts out for callers whose
+        source is provably immutable between the probe and their
+        join."""
+        if not unsafe_allow_recompute:
+            _require_pinned_plan(
+                grams, f"{self.KIND} at {self.path}, probe_counts()"
+            )
         meta = self._read_meta()
         if not meta["batches"]:
             return self.spark.createDataFrame([], self.EMPTY_PROBE)

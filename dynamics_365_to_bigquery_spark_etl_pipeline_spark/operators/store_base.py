@@ -198,6 +198,7 @@ class BatchDirStore:
         bucket_col: str,
         sort_cols: tuple[str, ...] = (),
         bound_files: bool = False,
+        n_partitions: int | None = None,
     ) -> None:
         """The bucket-dir write rule, ONE implementation for every
         store on the chassis (r13 review — three near-copies were
@@ -213,9 +214,17 @@ class BatchDirStore:
         WRONG for corpus-sized writes (compaction/builds), where it
         would cap the rewrite at n_buckets tasks regardless of cluster
         size — those keep task-parallel writes and accept tasks x
-        buckets files for the one-time fold."""
+        buckets files for the one-time fold. Stores that know their
+        bucket count pass it as ``n_partitions`` so the delta shuffle
+        lands in exactly that many partitions instead of the session
+        default (e.g. 200 mostly-empty shuffle partitions for a
+        few-row streaming append — r13 advice)."""
         if bound_files:
-            df = df.repartition(bucket_col)
+            df = (
+                df.repartition(n_partitions, bucket_col)
+                if n_partitions
+                else df.repartition(bucket_col)
+            )
         if sort_cols:
             df = df.sortWithinPartitions(bucket_col, *sort_cols)
         df.write.partitionBy(bucket_col).parquet(out)

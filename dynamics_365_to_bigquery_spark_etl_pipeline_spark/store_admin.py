@@ -86,6 +86,21 @@ def _lock_status(store_dir: str) -> dict:
     }
 
 
+def _orphan_names(data_root: str, live: list[str]) -> set[str]:
+    """Batch ids of ``batch=*`` dirs under ``data_root`` the meta
+    doesn't reference."""
+    keep = {f"batch={b}" for b in live}
+    try:
+        names = os.listdir(data_root)
+    except OSError:
+        return set()
+    return {
+        n[len("batch="):]
+        for n in names
+        if n.startswith("batch=") and n not in keep
+    }
+
+
 def _orphan_dirs(data_root: str, live: list[str]) -> int:
     """``batch=*`` dirs under ``data_root`` the meta doesn't reference
     — normally zero transiently (a sweep reclaims them), so a PERSISTENT
@@ -93,14 +108,7 @@ def _orphan_dirs(data_root: str, live: list[str]) -> int:
     (r12 verdict #7) can miss when nobody reads the log; surfacing it
     in the status line lets a scheduler alert on it (same best-effort
     discipline as ``_dir_bytes``)."""
-    keep = {f"batch={b}" for b in live}
-    try:
-        names = os.listdir(data_root)
-    except OSError:
-        return 0
-    return sum(
-        1 for n in names if n.startswith("batch=") and n not in keep
-    )
+    return len(_orphan_names(data_root, live))
 
 
 def _dir_bytes(store_dir: str) -> int:
@@ -151,9 +159,18 @@ def _lsh_status(idx) -> dict:
         "bucketed_dirs": len(meta.get("buckets_n", {})),
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
-        "orphan_dirs": sum(
-            _orphan_dirs(idx._store(name), meta["batches"])
-            for name in idx.STORE_SCHEMAS
+        # DISTINCT orphaned batch ids, not a sum over the two roots —
+        # one crashed compact orphans the same id under buckets/ AND
+        # shingles/, and a scheduler alerting on the count needs the
+        # same unit every store kind reports: one per orphaned batch
+        # (r13 advice)
+        "orphan_dirs": len(
+            set().union(
+                *(
+                    _orphan_names(idx._store(name), meta["batches"])
+                    for name in idx.STORE_SCHEMAS
+                )
+            )
         ),
     }
 

@@ -50,6 +50,7 @@ the fixed-cost saving is measured in SCALING.md
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable, Optional
 
@@ -68,6 +69,42 @@ from .util import (
     project_to_schema,
     query_id_reader,
 )
+
+
+STAGE_SET_MARKER = "_stage_set.json"
+
+
+def _check_stage_set_marker(out_dir: str, stages: dict[str, bool]) -> None:
+    """The stage set is fixed for a pipeline's lifetime (docstring
+    precondition (2)) — persist it under ``out_dir`` on first start
+    and refuse a restart whose OPTIONAL stages differ in EITHER
+    direction (r13 advice: the ledger high-water check only caught
+    toggling the span stage ON; toggling it OFF after a crash in the
+    LSH-commit-to-ngram-append window silently lost the epoch's n-gram
+    counts). The marker write is atomic (tmp + replace) so a crash
+    mid-setup can't leave a half-written marker a restart would choke
+    on."""
+    path = os.path.join(out_dir, STAGE_SET_MARKER)
+    try:
+        with open(path) as fh:
+            recorded = json.load(fh)
+    except FileNotFoundError:
+        recorded = None
+    if recorded is not None and recorded != stages:
+        raise RuntimeError(
+            f"pipeline output dir {out_dir!r} was previously run with "
+            f"stage set {recorded}, now started with {stages} — the "
+            "stage set is fixed for a checkpoint's lifetime (toggling a "
+            "stage whose store ledger guards replay loses or duplicates "
+            "epoch state); start a fresh checkpoint + out_dir and fresh "
+            "stores to change it"
+        )
+    if recorded is None:
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(stages, fh)
+        os.replace(tmp, path)
 
 
 def stream_ingest_pipeline(
@@ -151,11 +188,21 @@ def stream_ingest_pipeline(
     guard is the LAST store's ledger, so toggling ``span_store_path``
     on a checkpoint that already committed epochs without it would let
     a replayed epoch recompute different artifacts while the other
-    stores skip theirs. Enabling the stage over prior epochs' commits
-    fails loudly at the first non-blank epoch; start a fresh
-    checkpoint (and fresh stores — the id precondition forbids
-    re-ingesting the old corpus into the same stores) to change the
-    stage set."""
+    stores skip theirs — and toggling it OFF after a crash in the
+    LSH-commit-to-ngram-append window would make the replayed epoch
+    skip entirely (the LSH guard is satisfied), silently losing that
+    epoch's n-gram counts. BOTH directions are enforced (r13 advice):
+    a ``_stage_set.json`` marker persisted under ``out_dir`` on first
+    start makes any later start with a different stage set fail
+    loudly BEFORE the stream begins; pre-marker checkpoints
+    additionally keep the ledger high-water toggle-ON check at the
+    first non-blank epoch. Start a fresh checkpoint + out_dir (and
+    fresh stores — the id precondition forbids re-ingesting the old
+    corpus into the same stores) to change the stage set."""
+    _check_stage_set_marker(
+        out_dir,
+        {"span": span_store_path is not None, "bm25": bm25_path is not None},
+    )
     score_fn = score if score is not None else X.quality_score
     reserved = {"quality_score", "_th", "n_doc_ngrams", "n_contaminated", "epoch"}
     if span_store_path is not None:

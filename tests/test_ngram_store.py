@@ -425,3 +425,42 @@ def test_probe_counts_property_random_corpora(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_probe_counts_refuses_recomputable_frames(spark, tmp_path):
+    """r14 (r13 verdict #5): the documented silent-wrong mode — a probe
+    frame whose re-evaluation could grow new grams — is now a loud
+    error before any pushdown is derived: file-scan leaves and
+    nondeterministic expressions both refuse; the explicit
+    unsafe_allow_recompute opt-out answers exactly for a source the
+    caller knows is immutable."""
+    docs = _docs(spark)
+    store = NgramCountStore(spark, str(tmp_path / "s"), w=DUP_SPAN_W)
+    store.append(docs, "b0")
+    src = str(tmp_path / "probe_src")
+    store.batch_counts(
+        docs.orderBy("doc_id").limit(2).select("text")
+    ).write.parquet(src)
+    raw = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="re-evaluatable"):
+        store.probe_counts(raw)
+    nd = spark.range(3).select(
+        F.concat(F.lit("g"), (F.rand() * 100).cast("int").cast("string"))
+        .alias("gram")
+    )
+    with pytest.raises(ValueError, match="nondeterministic"):
+        store.probe_counts(nd)
+
+    def lookup(probe, counts_df):
+        return {
+            r.gram: r.c_past
+            for r in probe.join(counts_df, "gram", "left").collect()
+        }
+
+    pinned = raw.localCheckpoint()
+    want = lookup(pinned, store.past_counts())
+    assert want
+    # opt-out: the parquet dir really is immutable here, so the answer
+    # is exact; the pinned path needs no flag
+    assert lookup(pinned, store.probe_counts(raw, unsafe_allow_recompute=True)) == want
+    assert lookup(pinned, store.probe_counts(pinned)) == want

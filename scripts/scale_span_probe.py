@@ -20,9 +20,12 @@ arriving micro-batch each of two shapes:
   fires; the honest target is wall growth FAR below the 10x data
   growth (row groups read are O(|vocab|), job overhead dominates)
 - ``bulk`` (2000 docs): vocabulary exceeds both the inline budget and
-  the bucket count — pruning cannot fire and the probe degrades to
-  scan + join, the exact-semantics floor; the r13 win here is only
-  the dropped re-aggregation (fast path) and sorted/bounded files
+  the bucket count. Through r13 this degraded to scan + join (the
+  r13-measured 2.73x growth across the 10x store); r14 adds the
+  Bloom-sidecar prefilter (r13 verdict #2) — the mostly-new bulk
+  vocabulary shrinks to survivors (true dups + ~fpp) which ride the
+  inline pushdown, so the honest target is now ≪ linear here too;
+  only saturated blooms or duplicate-heavy batches pay the floor
 
 Arms per (size, batch) cell, interleaved per ab_lib discipline:
 ``r12_agg_join`` (scan -> groupBy -> join, the shipped r12 shape) vs

@@ -464,3 +464,65 @@ def test_probe_counts_refuses_recomputable_frames(spark, tmp_path):
     # is exact; the pinned path needs no flag
     assert lookup(pinned, store.probe_counts(raw, unsafe_allow_recompute=True)) == want
     assert lookup(pinned, store.probe_counts(pinned)) == want
+
+
+def test_bulk_probe_bloom_tier_is_exact_and_falls_back(spark, tmp_path):
+    """r14 (r13 verdict #2): a BULK probe vocabulary (over the inline
+    budget) consults the per-bucket Bloom sidecars, drops the grams
+    that are provably absent store-wide, and rides the inline pushdown
+    with the survivors — answering EXACTLY like the unpruned
+    past_counts join. A live dir without a sidecar (legacy store)
+    disables the tier and the probe stays on its exact floor."""
+    docs = _docs(spark)
+    store = NgramCountStore(
+        spark, str(tmp_path / "s"), w=DUP_SPAN_W, n_buckets=8
+    )
+    for i in range(2):
+        store.append(docs.filter(F.col("doc_id") % 2 == i), f"b{i}")
+    # sidecars landed beside both batch dirs
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import (
+        bloom_sidecar as B,
+    )
+
+    for b in store.committed_batches():
+        assert B.load_sidecar(store._batch_dir(b)) is not None
+    # bulk probe: half store grams (must all survive — no false
+    # negatives), half fresh grams (mostly bloom-dropped)
+    probe = (
+        store.batch_counts(docs.limit(6).select("text"))
+        .unionByName(
+            store.batch_counts(
+                spark.createDataFrame(
+                    [
+                        (" ".join(f"zz{i}_{j}" for j in range(12)),)
+                        for i in range(40)
+                    ],
+                    "text string",
+                )
+            )
+        )
+        .localCheckpoint()
+    )
+
+    def lookup(counts_df):
+        return {
+            r.gram: r.c_past
+            for r in probe.join(counts_df, "gram", "left").collect()
+        }
+
+    want = lookup(store.past_counts())
+    assert want
+    # force the bulk tier (vocab over the inline budget)
+    got = lookup(store.probe_counts(probe, max_inline_vocab=1))
+    assert got == want
+    # a legacy dir (no sidecar) disables the tier -> exact floor
+    os.remove(
+        os.path.join(store._batch_dir("b0"), B.SIDECAR_NAME)
+    )
+    assert lookup(store.probe_counts(probe, max_inline_vocab=1)) == want
+    # compact rewrites the sidecar (the legacy upgrade path) and the
+    # tier fires again, still exact
+    assert store.compact() is True
+    gen = store.committed_batches()[0]
+    assert B.load_sidecar(store._batch_dir(gen)) is not None
+    assert lookup(store.probe_counts(probe, max_inline_vocab=1)) == want

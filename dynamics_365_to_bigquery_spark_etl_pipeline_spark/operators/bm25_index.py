@@ -21,8 +21,11 @@ State on disk (under ``path/``):
   (``operators/ledger.py``), ADDITIVE corpus stats (``n_docs``,
   ``s_tokens``, running ``max_dl`` — exact bigints, so batch-built
   scores are bit-identical to a full rebuild's by arithmetic, and the
-  int64 score-headroom guard can bound the products exactly), per-batch
-  stats, generation counter, and the pinned identity (``id_col``/
+  score-headroom guards can bound the products exactly), the active
+  ``score_mode`` (``int64`` until the corpus crosses the int64 product
+  line, then — one-way, r14 — ``decimal38``: exact products to 10^38-1
+  in both engines, bit-identical in-range scores), per-batch stats,
+  generation counter, and the pinned identity (``id_col``/
   ``text_col``/``n_buckets`` — a mismatched open fails loudly, the
   IVF/MG convention)
 
@@ -52,6 +55,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,11 +100,19 @@ class Bm25Index(BatchDirStore):
         super().__init__(spark, path, lock_timeout=lock_timeout)
 
     def _meta_defaults(self) -> dict:
-        return {"n_docs": 0, "s_tokens": 0, "max_dl": 0, "stats": {}}
+        return {
+            "n_docs": 0,
+            "s_tokens": 0,
+            "max_dl": 0,
+            "stats": {},
+            "score_mode": "int64",
+        }
 
     def stats(self) -> dict:
         """Corpus-level stats from ONE meta snapshot: additive exact
-        ``n_docs``/``s_tokens``, live dir count, ledger sizes."""
+        ``n_docs``/``s_tokens``, live dir count, ledger sizes, and the
+        active score mode (int64 until the corpus crosses the int64
+        product line, decimal38 — one-way — after)."""
         meta = self._read_meta()
         return {
             "n_docs": meta["n_docs"],
@@ -108,6 +120,7 @@ class Bm25Index(BatchDirStore):
             "n_batches": len(meta["batches"]),
             "n_appended": len(self.appended_batches(meta)),
             "generation": meta["generation"],
+            "score_mode": meta.get("score_mode", "int64"),
         }
 
     # -- ingest -----------------------------------------------------------
@@ -152,11 +165,15 @@ class Bm25Index(BatchDirStore):
         ``streaming/ingest_pipeline.py``) inherit this: the SOURCE must
         not re-emit a doc id across epochs.
 
-        Refuses (loudly, before committing) a batch that would push the
-        corpus past the int64-exact score headroom — see
-        ``text.bm25_require_int64_headroom``: past that line an
-        ANSI-off Spark deployment would wrap the score products
-        silently."""
+        Headroom (r14): a batch pushing the corpus past the int64-exact
+        score line no longer refuses — the store switches (one-way,
+        with a RuntimeWarning, recorded in the meta) to
+        ``score_mode='decimal38'``, whose widened exact envelope is
+        10^38-1 in BOTH engines (``text.bm25_term_score_dec/_sql``);
+        in-range scores are bit-identical across modes. Only a batch
+        that would cross the DECIMAL envelope refuses (loudly, before
+        committing) — past both engines' widest exact integer, the
+        remedy is sharding across child indexes."""
         self._check_batch_id(batch_id)
         with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
@@ -196,16 +213,43 @@ class Bm25Index(BatchDirStore):
                     else 0
                 )
             new_max_dl = max(meta["max_dl"], int(row["max_dl"]))
-            # loud headroom guard BEFORE any commit: the store must
-            # never hold stats whose scores an ANSI-off engine would
-            # silently wrap (the full-corpus totals this batch would
-            # create, checked with exact Python ints)
-            X.bm25_require_int64_headroom(
-                meta["n_docs"] + n_docs,
-                meta["s_tokens"] + s_tokens,
-                new_max_dl,
-                where=f"BM25 index at {self.path}, append({batch_id!r})",
-            )
+            # headroom check BEFORE any commit, on the exact Python-int
+            # totals this batch would create. r14 (r13 verdict #1): a
+            # batch crossing the int64 product line no longer dead-ends
+            # the ingest — the store AUTO-WIDENS to the decimal(38,0)
+            # scorer (one-way; recorded in the meta with this commit,
+            # so a crash before the write replays into the same
+            # decision). The widened envelope (10^38-1, both engines'
+            # widest exact integer) keeps its own loud guard: past it
+            # the remedy really is sharding.
+            tot_docs = meta["n_docs"] + n_docs
+            tot_tokens = meta["s_tokens"] + s_tokens
+            mode = meta.get("score_mode", "int64")
+            where = f"BM25 index at {self.path}, append({batch_id!r})"
+            if (
+                mode == "int64"
+                and X.bm25_int64_products_bound(
+                    tot_docs, tot_tokens, new_max_dl
+                )
+                > X.INT64_MAX
+            ):
+                mode = "decimal38"
+                warnings.warn(
+                    f"{where}: corpus stats crossed the int64 score-"
+                    "product line — switching the store to score_mode="
+                    "'decimal38' (exact scores continue; in-range "
+                    "scores are bit-identical across modes)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            if mode == "decimal38":
+                X.bm25_require_decimal38_headroom(
+                    tot_docs, tot_tokens, new_max_dl, where=where
+                )
+            else:
+                X.bm25_require_int64_headroom(
+                    tot_docs, tot_tokens, new_max_dl, where=where
+                )
             out = self._batch_dir(batch_id)
             if os.path.isdir(out):
                 # crashed earlier attempt — removed on EVERY retry, not
@@ -244,6 +288,7 @@ class Bm25Index(BatchDirStore):
             meta["n_docs"] += n_docs
             meta["s_tokens"] += s_tokens
             meta["max_dl"] = new_max_dl
+            meta["score_mode"] = mode
             self._write_meta(meta)
         return self.stats()
 
@@ -261,7 +306,12 @@ class Bm25Index(BatchDirStore):
         Per-TERM ranking is order-identical to textbook Okapi (log is
         monotonic), but the per-document sum over MULTIPLE query terms
         weights high-idf terms more, so multi-term rankings can differ
-        from Lucene/rank_bm25 output.
+        from Lucene/rank_bm25 output. Carried in int64 products until
+        the corpus crosses the int64 line, then (r14) in decimal(38,0)
+        products — same integers, same one double division, so
+        in-range scores are bit-identical across modes and the
+        q_text_bm25_topk identity contract survives the switch for
+        any corpus the full plan can score at all.
 
         Scale shape: the query terms tokenize through one tiny Spark
         job (collect is query-vocabulary-sized); the postings scan
@@ -290,12 +340,20 @@ class Bm25Index(BatchDirStore):
                 f"BM25 index at {self.path} has no postings — append() "
                 "a batch before querying"
             )
+        mode = meta.get("score_mode", "int64")
         if "max_dl" in meta:
             # pre-guard stores lack the stat (append backfills it on
             # their next ingest); guarded stores can only hold totals
             # the append-time check already admitted — this re-check is
-            # belt-and-braces for a meta edited out of band
-            X.bm25_require_int64_headroom(
+            # belt-and-braces for a meta edited out of band, against
+            # the ACTIVE mode's envelope (an int64-mode meta holding
+            # past-int64 stats is inconsistent: append would have
+            # switched it)
+            (
+                X.bm25_require_decimal38_headroom
+                if mode == "decimal38"
+                else X.bm25_require_int64_headroom
+            )(
                 meta["n_docs"],
                 meta["s_tokens"],
                 meta["max_dl"],
@@ -326,16 +384,27 @@ class Bm25Index(BatchDirStore):
         matched = pruned.join(
             F.broadcast(qterms.select("query_id", "tok")), "tok"
         ).join(F.broadcast(dfreq), "tok")
-        scored = matched.withColumn(
-            "score_t",
-            X.bm25_term_score(
+        if mode == "decimal38":
+            # the widened twin (r14): decimal(38,0) products; the
+            # corpus literals enter as Python ints (they may exceed
+            # int64). In-range scores are bit-identical to the int64
+            # scorer's — same integers, same one double division.
+            score_t = X.bm25_term_score_dec(
+                F.col("tf"),
+                F.col("dl"),
+                F.col("df"),
+                meta["n_docs"],
+                meta["s_tokens"],
+            )
+        else:
+            score_t = X.bm25_term_score(
                 F.col("tf"),
                 F.col("dl"),
                 F.col("df"),
                 F.lit(meta["n_docs"]).cast("long"),
                 F.lit(meta["s_tokens"]).cast("long"),
-            ),
-        )
+            )
+        scored = matched.withColumn("score_t", score_t)
         per_doc = scored.groupBy("query_id", "doc_id").agg(
             X.bm25_fold_scores(F.col("tok"), F.col("score_t")).alias("score")
         )

@@ -331,13 +331,20 @@ def redact_pii_sql(expr: str) -> str:
 # every factor an exact bigint (headroom ~4e17 at sf10), ONE IEEE
 # division. Past the headroom the products overflow int64: ANSI Spark
 # and DuckDB both fail LOUDLY, but ANSI-off Spark would wrap silently —
-# so the incremental store refuses to grow past the line
-# (``bm25_require_int64_headroom`` below, called by
-# ``Bm25Index.append``/``topk`` from the exact additive meta stats);
-# corpora beyond it need sharded indexes or a decimal widening of both
-# scorer twins.
+# so the incremental store checks the exact additive meta stats before
+# any engine is asked to build a product (``bm25_require_int64_headroom``
+# below, from ``Bm25Index.append``/``topk``). r14 (r13 verdict #1):
+# past the int64 line the store AUTO-WIDENS to the decimal(38,0)
+# scorer twins (``bm25_term_score_dec`` / ``bm25_term_score_dec_sql``
+# — Spark decimal(38,0) products / DuckDB HUGEINT products, both exact
+# integers, then ONE cast-to-double division). The same integer
+# products produce the same doubles, so in-range scores are
+# BIT-IDENTICAL across modes; the widened envelope is 10^38-1
+# (~1e20x the int64 line — a 100 TB corpus sits comfortably inside),
+# and only past THAT do corpora need sharded indexes.
 
 INT64_MAX = (1 << 63) - 1
+DEC38_MAX = 10**38 - 1
 
 
 def bm25_int64_products_bound(
@@ -362,16 +369,40 @@ def bm25_require_int64_headroom(
     n_docs: int, s_tokens: int, max_dl: int, where: str
 ) -> None:
     """Loud guard for the silent-wraparound mode (ANSI-off Spark):
-    raise before any engine is asked to build a product past int64."""
+    raise before any engine is asked to build an int64-mode product
+    past int64. ``Bm25Index.append`` handles this by auto-widening the
+    store to the decimal(38,0) scorer; a raise from here means an
+    int64-MODE plan was asked to score stats only the decimal mode can
+    hold (e.g. a meta edited out of band)."""
     bound = bm25_int64_products_bound(n_docs, s_tokens, max_dl)
     if bound > INT64_MAX:
         raise ValueError(
             f"{where}: corpus stats (n_docs={n_docs}, s_tokens={s_tokens}, "
             f"max_dl={max_dl}) put the worst-case BM25 score product at "
-            f"{bound} > int64 max {INT64_MAX} — scores would overflow "
-            "(loudly under ANSI Spark/DuckDB, SILENTLY on ANSI-off "
-            "Spark). Shard the corpus across indexes, or widen "
-            "bm25_term_score/_sql to decimal(38,0) in BOTH engines"
+            f"{bound} > int64 max {INT64_MAX} — int64-mode scores would "
+            "overflow (loudly under ANSI Spark/DuckDB, SILENTLY on "
+            "ANSI-off Spark). The store auto-widens to score_mode="
+            "'decimal38' at append time (bm25_term_score_dec/_sql); an "
+            "int64-mode store holding these stats is inconsistent"
+        )
+
+
+def bm25_require_decimal38_headroom(
+    n_docs: int, s_tokens: int, max_dl: int, where: str
+) -> None:
+    """The decimal(38,0) envelope's own loud guard: past 10^38-1 the
+    Spark decimal products overflow (null on ANSI-off) and DuckDB's
+    HUGEINT products error — there is no wider exact integer type in
+    both engines, so corpora beyond this line genuinely need sharding
+    (hash docs across N child indexes, merge topk driver-side)."""
+    bound = bm25_int64_products_bound(n_docs, s_tokens, max_dl)
+    if bound > DEC38_MAX:
+        raise ValueError(
+            f"{where}: corpus stats (n_docs={n_docs}, s_tokens={s_tokens}, "
+            f"max_dl={max_dl}) put the worst-case BM25 score product at "
+            f"{bound} > decimal(38,0) max {DEC38_MAX} — past the widest "
+            "exact integer BOTH engines share. Shard the corpus across "
+            "child indexes (hash on doc id) and merge their topk"
         )
 
 
@@ -392,6 +423,60 @@ def bm25_term_score_sql(
         f"CAST((22 * {tf} * {s_tokens}) * (2 * {n_docs} - 2 * {df} + 1) "
         f"AS DOUBLE)\n      / CAST((10 * {tf} * {s_tokens} + 3 * {s_tokens}"
         f"\n              + 9 * {dl} * {n_docs}) * (2 * {df} + 1) AS DOUBLE)"
+    )
+
+
+def bm25_term_score_dec(
+    tf: Column, dl: Column, df: Column, n_docs: int, s_tokens: int
+) -> Column:
+    """The widened scorer twin (r14): SAME rational arithmetic as
+    ``bm25_term_score`` carried in decimal(38,0) — exact integer
+    products up to 10^38-1 instead of int64's ~9.2e18, then the same
+    ONE cast-to-double division. The same integer values produce the
+    same doubles (both casts round to nearest), so in-range scores are
+    bit-identical across modes; past int64 this is the only mode that
+    can score at all. ``n_docs``/``s_tokens`` are PYTHON ints (they
+    may themselves exceed int64, so they enter the plan as string
+    literals cast to decimal, never as longs)."""
+
+    def dec(x) -> Column:
+        if isinstance(x, int):
+            return F.lit(str(x)).cast("decimal(38,0)")
+        return x.cast("decimal(38,0)")
+
+    nd, st = dec(n_docs), dec(s_tokens)
+    tfd, dld, dfd = dec(tf), dec(dl), dec(df)
+    num = (22 * tfd * st) * (2 * nd - 2 * dfd + 1)
+    den = (10 * tfd * st + 3 * st + 9 * dld * nd) * (2 * dfd + 1)
+    return num.cast("double") / den.cast("double")
+
+
+def bm25_term_score_dec_sql(
+    tf: str, dl: str, df: str, n_docs: str, s_tokens: str
+) -> str:
+    """DuckDB twin of ``bm25_term_score_dec``: HUGEINT (int128)
+    products — DuckDB's widest exact integer, covering the same
+    10^38-1 envelope the Spark decimal(38,0) side enforces — then the
+    same cast-to-double division. The double conversion goes THROUGH
+    VARCHAR on purpose: DuckDB's direct HUGEINT->DOUBLE cast
+    double-rounds (high word * 2^64 + low word, two roundings) and is
+    off by one ulp for ~1% of values a few bits above 2^63 — measured
+    362/30000 mismatches vs Python/JVM in that band — while its
+    string->double parse is correctly rounded (0/30000). Spark's
+    decimal->double cast is correctly rounded (BigDecimal.doubleValue),
+    so with the VARCHAR route both engines produce the SAME double
+    from the same exact integer and the bit-identity contract holds
+    past the int64 line."""
+    tfh, dlh, dfh = (f"CAST({c} AS HUGEINT)" for c in (tf, dl, df))
+    ndh, sth = (f"CAST({c} AS HUGEINT)" for c in (n_docs, s_tokens))
+    num = f"(22 * {tfh} * {sth}) * (2 * {ndh} - 2 * {dfh} + 1)"
+    den = (
+        f"(10 * {tfh} * {sth} + 3 * {sth} + 9 * {dlh} * {ndh})"
+        f" * (2 * {dfh} + 1)"
+    )
+    return (
+        f"CAST(CAST({num} AS VARCHAR) AS DOUBLE)"
+        f"\n      / CAST(CAST({den} AS VARCHAR) AS DOUBLE)"
     )
 
 

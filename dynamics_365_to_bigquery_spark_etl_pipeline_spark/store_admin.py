@@ -200,6 +200,7 @@ def _bm25_status(idx) -> dict:
         "appended_batches": len(idx.appended_batches(meta)),
         "n_docs": meta["n_docs"],
         "s_tokens": meta["s_tokens"],
+        "score_mode": meta.get("score_mode", "int64"),
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
         "orphan_dirs": _orphan_dirs(idx._data_root(), meta["batches"]),

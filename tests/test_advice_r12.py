@@ -86,19 +86,26 @@ def _doctor_meta(path: str, **updates) -> None:
         json.dump(meta, fh)
 
 
-def test_append_refuses_past_headroom_and_commits_nothing(spark, tmp_path):
+def test_append_past_int64_now_widens_to_decimal38(spark, tmp_path):
+    """r14 (r13 verdict #1): crossing the int64 product line is no
+    longer an ingest dead-end — the append WARNS, switches the store
+    to score_mode='decimal38' (one-way, recorded with the commit),
+    and the batch lands; the refusal moved to the decimal envelope
+    (tests/test_bm25_decimal.py)."""
     docs = _docs(spark)
     idx = Bm25Index(spark, str(tmp_path / "bm25"))
-    idx.append(docs.filter(F.col("doc_id") % 2 == 0), "b0")
+    assert idx.append(docs.filter(F.col("doc_id") % 2 == 0), "b0")[
+        "score_mode"
+    ] == "int64"
     # simulate a corpus grown to the wrap line (synthetic totals — the
     # real corpus would need ~1e9 tokens)
     _doctor_meta(idx.path, s_tokens=10**15, n_docs=10**9, max_dl=10**6)
-    before = idx.committed_batches()
-    with pytest.raises(ValueError, match="int64 max"):
-        idx.append(docs.filter(F.col("doc_id") % 2 == 1), "b1")
-    # the refused batch committed NOTHING: no dir, no ledger entry
-    assert idx.committed_batches() == before
-    assert not idx.is_committed("b1")
+    with pytest.warns(RuntimeWarning, match="decimal38"):
+        stats = idx.append(docs.filter(F.col("doc_id") % 2 == 1), "b1")
+    assert stats["score_mode"] == "decimal38"
+    assert idx.is_committed("b1")
+    # one-way: a later in-range-sized append stays decimal38
+    assert idx.stats()["score_mode"] == "decimal38"
 
 
 def test_topk_refuses_on_doctored_meta(spark, tmp_path):

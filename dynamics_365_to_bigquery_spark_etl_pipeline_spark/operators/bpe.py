@@ -316,20 +316,94 @@ def train_bpe(
 
 
 def segment_words(
-    words: DataFrame, merges: list[Merge], checkpoint_every: int = 10
+    words: DataFrame,
+    merges: list[Merge],
+    checkpoint_every: int = 10,
+    impl: str = "single_pass",
 ) -> DataFrame:
-    """``(word, pieces array<string>)`` — replay the trained merge
+    """``(word, pieces array<string>)`` — apply the trained merge
     table in rank order over a word frame (distinct corpus words or
     new OOV words alike; pairs the training never saw simply never
-    merge). The fold chain is cut every ``checkpoint_every`` merges so
-    the analyzer never sees an unboundedly deep plan."""
-    if checkpoint_every < 1:
-        raise ValueError(
-            f"checkpoint_every must be >= 1 (got {checkpoint_every})"
-        )
-    cur = _with_symbols(words.select("word"))
-    for i, m in enumerate(merges):
-        cur = _apply_merge(cur, m.left, m.right)
-        if (i + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint()
-    return cur.select("word", F.col("symbols").alias("pieces"))
+    merge).
+
+    ``impl='single_pass'`` (default, r14): ONE vectorized Arrow pass —
+    per word, repeatedly apply the lowest-rank merge not yet applied
+    whose pair is present (each merge at most once, ascending rank:
+    exactly the replay semantics, skipping the absent ones), with the
+    merge table shipped once per executor. Wall is independent of
+    n_merges' plan depth — the r13 fold replay built an
+    n_merges-deep chain (3,200 localCheckpoints at 32k merges).
+    NOTE: each merge applies ONCE even if a LATER merge re-creates its
+    pair via a merged-string collision ((a,b)->ab next to c after
+    (ab,c) already ran) — subword-nmt's re-applying priority loop
+    differs there; this repo's contract is the replay, pinned by the
+    pure-Python oracle.
+
+    ``impl='fold'``: the r13 JVM fold chain (no Python anywhere), cut
+    every ``checkpoint_every`` merges so the analyzer never sees an
+    unboundedly deep plan — the right path when Python workers are
+    unavailable and n_merges is small. Both paths are bit-identical by
+    test."""
+    if impl == "fold":
+        if checkpoint_every < 1:
+            raise ValueError(
+                f"checkpoint_every must be >= 1 (got {checkpoint_every})"
+            )
+        cur = _with_symbols(words.select("word"))
+        for i, m in enumerate(merges):
+            cur = _apply_merge(cur, m.left, m.right)
+            if (i + 1) % checkpoint_every == 0:
+                cur = cur.localCheckpoint()
+        return cur.select("word", F.col("symbols").alias("pieces"))
+    if impl != "single_pass":
+        raise ValueError(f"impl must be 'single_pass' or 'fold' (got {impl!r})")
+    table = [(m.left, m.right, m.merged) for m in merges]
+    end = END
+
+    # closures, not module functions — the worker-shipping rule
+    def run(batches):
+        import pandas as _pd
+
+        ranks = {(l, r): i for i, (l, r, _m) in enumerate(table)}
+
+        def sweep(syms, left, right, merged):
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == left and x == right:
+                    out.append(merged)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            return out
+
+        def segment(word):
+            syms = [*word[:-1], word[-1] + end]
+            done = -1
+            while True:
+                best = None
+                for p in zip(syms, syms[1:]):
+                    rk = ranks.get(p)
+                    if rk is not None and rk > done and (
+                        best is None or rk < best
+                    ):
+                        best = rk
+                if best is None:
+                    return syms
+                left, right, merged = table[best]
+                syms = sweep(syms, left, right, merged)
+                done = best
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "pieces": [segment(w) for w in pdf["word"]],
+                }
+            )
+
+    return words.select("word").mapInPandas(run, "word string, pieces array<string>")

@@ -1210,3 +1210,112 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_bpe_merge_table"] = q_bpe_merge_table
+
+BPE_PACK_SEQ_LEN = 128
+
+
+def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-tokenizer pipeline END TO END (r14, r13 verdict #4):
+    corpus -> ``train_bpe`` -> ``segment_words`` -> piece-id assignment
+    -> concat-and-chop packing — ids from a TRAINED subword vocabulary,
+    not q_text_token_ids' fixed word-frequency one. Returns per doc:
+    (doc_id, source, n_pieces, piece_ids, seq_id, offset_in_seq,
+    spans_boundary).
+
+    Pieces are ranked by (corpus piece count DESC, piece ASC) — a
+    total order, ids 0..V-1; the trained vocabulary is CLOSED over the
+    training corpus, so every encoded token resolves (no UNK id at
+    train time). Packing is q_pack_sequences' per-source windowed
+    concat-and-chop over PIECE counts. Like q_bpe_merge_table, the
+    iterative trainer is not SQL-expressible — no DuckDB oracle; the
+    EXACT oracle is the pure-Python pipeline in tests/test_bpe_pack.py.
+
+    Scale shapes: one corpus scan for word frequencies; training on
+    the vocabulary (driver-local under the threshold, distributed
+    rounds above); segmentation + piece ranking are vocabulary-sized
+    (the ranking window is a SinglePartition over VOCAB rows — bounded
+    by construction); the corpus re-encode is one posexplode + two
+    BROADCAST joins (word->pieces, piece->id, both vocabulary-sized)
+    + one doc-keyed re-assembly; packing windows per source, never
+    globally."""
+    from pyspark.sql import Window
+
+    from ..operators import bpe
+    from ..operators.dedup import normalized_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = bpe.word_counts(docs.select("text")).localCheckpoint()
+    merges = bpe.train_bpe(wc, BPE_MERGES)
+    seg = bpe.segment_words(wc.select("word"), merges)
+    word_pieces = seg.join(wc, "word")  # (word, pieces, n)
+    piece_vocab = (
+        word_pieces.select(F.explode("pieces").alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .withColumn(
+            "piece_id",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            )
+            - 1,
+        )
+        .select("piece", "piece_id")
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(normalized_tokens(F.col("text"))).alias("pos", "word"),
+    )
+    encoded = (
+        toks.join(F.broadcast(seg), "word")
+        .select(
+            "doc_id",
+            "source",
+            "pos",
+            F.posexplode("pieces").alias("ppos", "piece"),
+        )
+        .join(F.broadcast(piece_vocab), "piece")
+    )
+    per_doc = encoded.groupBy("doc_id", "source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ppos", "piece_id"))),
+            lambda x: x.piece_id,
+        ).alias("piece_ids"),
+        F.count("*").cast("long").alias("n_pieces"),
+    )
+    # blank docs tokenize to nothing and vanish in the joins — packing
+    # must still cover every doc (0-piece docs occupy no span)
+    base = docs.select("doc_id", "source").join(
+        per_doc, ["doc_id", "source"], "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("piece_ids", F.array().cast("array<int>")).alias(
+            "piece_ids"
+        ),
+        F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = base.withColumn(
+        "start_offset", F.coalesce(F.sum("n_pieces").over(w), F.lit(0))
+    )
+    seq_id = F.floor(F.col("start_offset") / F.lit(BPE_PACK_SEQ_LEN))
+    end = F.col("start_offset") + F.greatest(F.col("n_pieces"), F.lit(1)) - 1
+    return staged.select(
+        "doc_id",
+        "source",
+        "n_pieces",
+        "piece_ids",
+        seq_id.alias("seq_id"),
+        (F.col("start_offset") % BPE_PACK_SEQ_LEN).alias("offset_in_seq"),
+        (F.floor(end / F.lit(BPE_PACK_SEQ_LEN)) > seq_id)
+        .cast("int")
+        .alias("spans_boundary"),
+    )
+
+
+EXTRA_QUERIES["q_bpe_token_ids"] = q_bpe_token_ids

@@ -64,23 +64,37 @@ def _corpus_words(spark):
 
 
 def test_trained_merges_match_pure_python_reference(spark):
+    """BOTH trainer paths (r14 driver-local fast path; the distributed
+    loop forced via local_threshold=0) must reproduce the reference
+    merge sequence bit for bit."""
     wc_df = _corpus_words(spark)
     wc = {r.word: r.n for r in wc_df.collect()}
-    got = [tuple(m) for m in bpe.train_bpe(wc_df, 24)]
     want = reference_bpe(wc, 24)
-    assert got == want and len(got) == 24
+    got_local = [tuple(m) for m in bpe.train_bpe(wc_df, 24)]
+    got_dist = [
+        tuple(m) for m in bpe.train_bpe(wc_df, 24, local_threshold=0)
+    ]
+    assert got_local == want and len(got_local) == 24
+    assert got_dist == want
 
 
 def test_segmentation_matches_reference_and_reassembles(spark):
+    """BOTH segmentation impls (r14 single_pass default; the r13 JVM
+    fold) must match the reference replay bit for bit."""
     wc_df = _corpus_words(spark).localCheckpoint()
     wc = {r.word: r.n for r in wc_df.collect()}
     merges = bpe.train_bpe(wc_df, 16)
     seg = {
         r.word: tuple(r.pieces)
+        for r in bpe.segment_words(wc_df.select("word"), merges).collect()
+    }
+    seg_fold = {
+        r.word: tuple(r.pieces)
         for r in bpe.segment_words(
-            wc_df.select("word"), merges, checkpoint_every=5
+            wc_df.select("word"), merges, checkpoint_every=5, impl="fold"
         ).collect()
     }
+    assert seg == seg_fold
     # reference replay over the same merge list
     for word in wc:
         syms = list(_word_syms(word))
@@ -115,9 +129,14 @@ def test_dry_corpus_stops_early_and_validation(spark):
     with pytest.raises(ValueError, match="min_count"):
         bpe.train_bpe(wc, 1, min_count=0)
     with pytest.raises(ValueError, match="checkpoint_every"):
-        bpe.segment_words(wc.select("word"), merges, checkpoint_every=0)
+        bpe.segment_words(
+            wc.select("word"), merges, checkpoint_every=0, impl="fold"
+        )
+    with pytest.raises(ValueError, match="impl"):
+        bpe.segment_words(wc.select("word"), merges, impl="nope")
     # min_count above every pair count: empty merge table, not an error
     assert bpe.train_bpe(wc, 3, min_count=99) == []
+    assert bpe.train_bpe(wc, 3, min_count=99, local_threshold=0) == []
 
 
 def test_single_char_and_empty_words(spark):
@@ -132,3 +151,33 @@ def test_single_char_and_empty_words(spark):
     }
     assert seg["a"] == ("a" + bpe.END,)
     assert seg["bc"] == ("bc" + bpe.END,)
+
+
+def test_local_trainer_property_random_corpora():
+    """Hypothesis pin for the r14 incremental local trainer: the lazy
+    heap + delta bookkeeping (including merged-string collisions like
+    (a,bc)/(ab,c) -> abc re-increasing a pair it already saw) must
+    reproduce the naive-recount reference on random corpora, merge
+    budgets, and min_counts. Pure Python — no Spark in the loop."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+            min_size=1,
+            max_size=10,
+        ),
+        st.integers(min_value=1, max_value=14),
+        st.integers(min_value=1, max_value=3),
+    )
+    def check(wc, n_merges, min_count):
+        got = [
+            tuple(m)
+            for m in bpe._train_bpe_local(list(wc.items()), n_merges, min_count)
+        ]
+        assert got == reference_bpe(wc, n_merges, min_count)
+
+    check()

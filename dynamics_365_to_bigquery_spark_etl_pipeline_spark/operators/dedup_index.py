@@ -134,6 +134,12 @@ class LshDedupIndex(BatchDirStore):
         base = os.path.join(self.path, name)
         return os.path.join(base, f"batch={batch_id}") if batch_id else base
 
+    def _orphan_roots(self) -> list[str]:
+        """Both data roots — a crashed compact orphans the same batch
+        id under buckets/ AND shingles/ (the chassis sweep() then
+        reclaims and counts per batch id across them)."""
+        return [self._store(name) for name in self.STORE_SCHEMAS]
+
     # -- bucketed-table plumbing ------------------------------------------
     def _table_name(self, batch_id: str) -> str:
         """Session-catalog name for a postings dir's bucketed table:

@@ -43,6 +43,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 
 from . import ledger
+from .store_lock import store_write_lock
 
 
 class BatchDirStore:
@@ -229,6 +230,49 @@ class BatchDirStore:
             df = df.sortWithinPartitions(bucket_col, *sort_cols)
         df.write.partitionBy(bucket_col).parquet(out)
 
+    def _orphan_roots(self) -> list[str]:
+        """Data roots the orphan sweep walks — one for most stores;
+        the LSH index overrides with its two (buckets/, shingles/)."""
+        return [self._data_root()]
+
+    def _orphan_names(self, root: str, keep: list[str]) -> set[str]:
+        """``batch=*`` dir names under ``root`` the meta doesn't
+        reference."""
+        keep_names = {f"batch={b}" for b in keep}
+        try:
+            names = os.listdir(root)
+        except OSError:
+            return set()
+        return {
+            n for n in names if n.startswith("batch=") and n not in keep_names
+        }
+
+    def sweep(self) -> dict:
+        """Reclaim orphaned batch dirs NOW, under the write lock — the
+        ``store_admin --sweep`` verb (r13 verdict #7): the orphans the
+        r13 status line surfaces become reclaimable without writing
+        code. Everything unreferenced is a folded-away compaction
+        input or a crashed attempt (appends hold the same lock, so
+        nothing unreferenced is in flight). Returns ``{"removed": n,
+        "failed": m}`` with ``removed`` counted as DISTINCT batch ids
+        — the same unit the status line's ``orphan_dirs`` reports, so
+        a scheduler can reconcile the two (r13 advice); ``failed`` is
+        undeletable DIRS, which also warn (``_sweep_orphans``) and are
+        retried by any later sweep."""
+        with store_write_lock(self.path, timeout=self.lock_timeout):
+            meta = self._read_meta()
+            removed_ids: set[str] = set()
+            failed = 0
+            for root in self._orphan_roots():
+                names = self._orphan_names(root, meta["batches"])
+                failed += self._sweep_orphans(meta["batches"], root=root)
+                removed_ids |= {
+                    n[len("batch="):]
+                    for n in names
+                    if not os.path.isdir(os.path.join(root, n))
+                }
+        return {"removed": len(removed_ids), "failed": failed}
+
     def _sweep_orphans(self, keep: list[str], root: str | None = None) -> int:
         """Best-effort GC of every ``batch=*`` dir the meta doesn't
         reference — listdir, not a caller's remembered list, so dirs
@@ -244,20 +288,14 @@ class BatchDirStore:
         orphan would otherwise leak forever with no signal — so
         failures are counted, surfaced as ONE warning, and returned
         (r12 verdict: ``ignore_errors=True`` hid them)."""
-        keep_names = {f"batch={b}" for b in keep}
         data_root = self._data_root() if root is None else root
-        try:
-            names = os.listdir(data_root)
-        except OSError:
-            return 0
         failed: list[str] = []
-        for name in names:
-            if name.startswith("batch=") and name not in keep_names:
-                target = os.path.join(data_root, name)
-                try:
-                    shutil.rmtree(target)
-                except OSError:
-                    failed.append(target)
+        for name in sorted(self._orphan_names(data_root, keep)):
+            target = os.path.join(data_root, name)
+            try:
+                shutil.rmtree(target)
+            except OSError:
+                failed.append(target)
         if failed:
             warnings.warn(
                 f"{self.KIND} at {self.path}: could not GC "

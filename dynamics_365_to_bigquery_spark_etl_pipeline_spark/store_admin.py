@@ -2,8 +2,8 @@
 and drift-triggered retrain as one command::
 
     python -m dynamics_365_to_bigquery_spark_etl_pipeline_spark.store_admin \\
-        <store_dir> [--compact] [--rebuild-if-drift] [--kmeans-iters N] \\
-        [--lock-timeout S]
+        <store_dir> [--sweep] [--compact] [--rebuild-if-drift] \\
+        [--kmeans-iters N] [--lock-timeout S]
 
 The reference runs its maintenance inline with the nightly job (the
 argv surface at ``incremental_etl_v1.py:37-46`` is the whole ops story);
@@ -242,6 +242,14 @@ def build_parser() -> argparse.ArgumentParser:
         "probe fan-in and file counts otherwise grow O(#batches))",
     )
     p.add_argument(
+        "--sweep",
+        action="store_true",
+        help="reclaim orphaned batch=* dirs now, under the write lock "
+        "(the dirs the status line's orphan_dirs counts — crashed "
+        "appends/compacts); reports removed distinct batch ids and "
+        "undeletable-dir failures",
+    )
+    p.add_argument(
         "--rebuild-if-drift",
         action="store_true",
         help="(IVF) when the drift guard is tripped, retrain centroids "
@@ -292,11 +300,11 @@ def main(argv: list[str] | None = None) -> int:
         if kind == "mg":
             from .streaming import heavy_hitters
 
-            if args.compact or args.rebuild_if_drift:
+            if args.compact or args.rebuild_if_drift or args.sweep:
                 raise ValueError(
                     "the MG store is one atomically-replaced JSON of "
-                    "<= k counters — there is nothing to compact or "
-                    "rebuild"
+                    "<= k counters — there is nothing to compact, "
+                    "sweep, or rebuild"
                 )
             with open(
                 os.path.join(args.store_dir, heavy_hitters.META_NAME)
@@ -323,6 +331,8 @@ def main(argv: list[str] | None = None) -> int:
                 # I/O at exactly the moment the store is largest (r11
                 # review). A rebuild IS a fold; compact after it would
                 # be a no-op anyway.
+                if args.sweep:
+                    out["swept"] = store.sweep()
                 rebuilding = (
                     args.rebuild_if_drift
                     and store.drift()["needs_retrain"]
@@ -360,6 +370,8 @@ def main(argv: list[str] | None = None) -> int:
                 idx = cls.open(
                     spark, args.store_dir, lock_timeout=args.lock_timeout
                 )
+                if args.sweep:
+                    out["swept"] = idx.sweep()
                 if args.compact:
                     out["compacted"] = idx.compact()
                 out.update(
@@ -376,6 +388,8 @@ def main(argv: list[str] | None = None) -> int:
                 idx = LshDedupIndex(
                     spark, args.store_dir, lock_timeout=args.lock_timeout
                 )
+                if args.sweep:
+                    out["swept"] = idx.sweep()
                 if args.compact:
                     out["compacted"] = idx.compact()
                 out.update(_lsh_status(idx))

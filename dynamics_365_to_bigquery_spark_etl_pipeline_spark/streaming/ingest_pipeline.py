@@ -132,8 +132,16 @@ def stream_ingest_pipeline(
     span_min_occurrences: int = 2,
     span_max_dup_pct: Optional[float] = None,
     span_buckets: Optional[int] = None,
+    stage_timings: Optional[list] = None,
 ) -> StreamingQuery:
     """Run the full ingest pipeline over a document file-source stream.
+
+    ``stage_timings`` (optional, r14 — the per-epoch cost-breakdown
+    hook behind ``scripts/profile_ingest_epoch.py`` and SCALING.md's
+    fixed-cost table): when a list is passed, every epoch appends
+    ``(epoch_id, [(stage, seconds), ...])`` wall timings of its
+    internal steps. Pure observation — no timing is taken when the
+    hook is None, and the hook never changes what runs.
 
     Outputs under ``out_dir``: ``rejected/epoch=<key>`` (failed the
     quality gate, ``quality_score`` audit column), ``contaminated/
@@ -268,12 +276,25 @@ def stream_ingest_pipeline(
     _toggle_checked = [False]
 
     def run_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        marks: list[tuple[str, float]] = []
+        _last = [_time.perf_counter()]
+
+        def mark(stage: str) -> None:
+            if stage_timings is None:
+                return
+            now = _time.perf_counter()
+            marks.append((stage, now - _last[0]))
+            _last[0] = now
+
         key = f"{_query_id()}-epoch-{epoch_id}"
         # the guard store's commit is the LAST action of the epoch:
         # committed means every dir below was already written under
         # this key
         if batch_df.isEmpty() or epoch_guard.is_committed(key):
             return
+        mark("guard_probe")
         if ngrams is not None and not _toggle_checked[0]:
             # the stage set is fixed per checkpoint (docstring
             # precondition): the LSH ledger holding FULLY-COMMITTED
@@ -310,6 +331,7 @@ def stream_ingest_pipeline(
             scored.filter(~keep | F.col("quality_score").isNull()).write.mode(
                 "overwrite"
             ).parquet(os.path.join(out_dir, "rejected", f"epoch={key}"))
+            mark("quality_gate")
             survivors = scored.filter(keep).drop("quality_score")
             # routed contamination verdict (shared builder): small —
             # one row per contaminated distinct text — and consumed by
@@ -328,12 +350,14 @@ def stream_ingest_pipeline(
                 ).write.mode("overwrite").parquet(
                     os.path.join(out_dir, "contaminated", f"epoch={key}")
                 )
+                mark("decontaminate")
                 surv = tagged.filter(F.col("n_contaminated").isNull()).drop(
                     "n_doc_ngrams", "n_contaminated"
                 )
                 if ngrams is None:
                     c_new = None
                     surv.write.mode("overwrite").parquet(clean_dir)
+                    mark("clean_write")
                 else:
                     # span stage (r13): verdict against COMMITTED store
                     # state + in-batch counts — the standalone gate's
@@ -351,6 +375,7 @@ def stream_ingest_pipeline(
                     c_new = ngrams.batch_counts(
                         surv.select(text_col)
                     ).localCheckpoint()
+                    mark("span_batch_counts")
                     dup = dup_grams(ngrams, c_new, span_min_occurrences)
                     stats = span_stats(
                         surv, dup, text_col, span_w, id_col
@@ -359,8 +384,10 @@ def stream_ingest_pipeline(
                         stats.write.mode("overwrite").parquet(
                             os.path.join(out_dir, "spans", f"epoch={key}")
                         )
+                        mark("span_stats_write")
                         if span_max_dup_pct is None:
                             surv.write.mode("overwrite").parquet(clean_dir)
+                            mark("clean_write")
                         else:
                             kept, flagged = route_by_dup_pct(
                                 surv, stats, id_col, span_max_dup_pct
@@ -371,6 +398,7 @@ def stream_ingest_pipeline(
                                 )
                             )
                             kept.write.mode("overwrite").parquet(clean_dir)
+                            mark("clean_write")
                     finally:
                         stats.unpersist()
             finally:
@@ -387,12 +415,14 @@ def stream_ingest_pipeline(
             # each would re-read the parquet dir — the pin makes the
             # clean corpus hit disk once per epoch (r12 review)
             clean_on_disk = clean_on_disk.localCheckpoint()
+            mark("clean_reread_pin")
             if not bm25.is_committed(key) and not clean_on_disk.isEmpty():
                 # before the LSH commit: a crash between the two store
                 # commits replays the epoch with this half a no-op
                 # (each store's own ledger guards its half; append
                 # refuses empty batches, hence the probe)
                 bm25.append(clean_on_disk, key)
+                mark("bm25_append")
         if not idx.is_committed(key):
             # guarded like the BM25 half once the n-gram store is the
             # epoch guard: a crash between the LSH commit and the final
@@ -406,11 +436,13 @@ def stream_ingest_pipeline(
                 os.path.join(out_dir, "pairs", f"epoch={epoch_id}")
             )
             commit()
+            mark("lsh_index")
         if ngrams is not None:
             # the epoch's LAST action — this ledger entry is the
             # whole-epoch replay guard (see epoch_guard above); the
             # frame was already cut for the verdict
             ngrams.append_counts(c_new, key, cut=False)
+            mark("ngram_append")
         # cadence keys on APPENDED batches (the live gen dir is
         # excluded) — counting committed_batches() degenerates to a
         # full rewrite every epoch (r10 review, shared with the
@@ -429,6 +461,9 @@ def stream_ingest_pipeline(
             and len(ngrams.appended_batches()) >= compact_every
         ):
             ngrams.compact()
+        mark("compact_cadence")
+        if stage_timings is not None:
+            stage_timings.append((epoch_id, marks))
 
     return (
         stream.writeStream.foreachBatch(run_epoch)

@@ -330,3 +330,65 @@ def test_orphan_dirs_surface_in_status(spark, tmp_path, capsys):
     rc, out = _run(capsys, p, "--compact")
     assert rc == 0 and out["compacted"] is True
     assert out["orphan_dirs"] == 0
+
+
+def test_sweep_verb_reclaims_orphans_and_respects_lock(spark, tmp_path, capsys):
+    """r14 (r13 verdict #7): --sweep reclaims the orphans the status
+    line counts, under the write lock — removed is DISTINCT batch ids
+    (one crashed compact = one orphan even across the LSH index's two
+    roots), and a held lock makes the verb time out loudly instead of
+    sweeping beside a writer."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.catalog import (
+        load_table,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators import (
+        store_lock,
+    )
+    from dynamics_365_to_bigquery_spark_etl_pipeline_spark.operators.ngram_store import (
+        NgramCountStore,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # single-root store (ngram)
+    p = str(tmp_path / "ng")
+    store = NgramCountStore(spark, p, w=4, n_buckets=4)
+    store.append(docs, "b0")
+    _os.makedirs(_os.path.join(store._data_root(), "batch=crashed"))
+    rc, out = _run(capsys, p, "--sweep")
+    assert rc == 0 and out["swept"] == {"removed": 1, "failed": 0}
+    assert out["orphan_dirs"] == 0
+    # idempotent
+    rc, out = _run(capsys, p, "--sweep")
+    assert rc == 0 and out["swept"] == {"removed": 0, "failed": 0}
+
+    # two-root store (LSH): one orphan id under BOTH roots -> removed=1
+    corpus = _corpus(spark)
+    lp = str(tmp_path / "lsh")
+    idx = LshDedupIndex(spark, lp, jaccard_min=JMIN)
+    idx.add_batch(corpus, "b1")
+    for root in idx.STORE_SCHEMAS:
+        _os.makedirs(_os.path.join(idx._store(root, "crashed")))
+    rc, out = _run(capsys, lp, "--sweep")
+    assert rc == 0 and out["swept"] == {"removed": 1, "failed": 0}
+    assert out["orphan_dirs"] == 0
+    for root in idx.STORE_SCHEMAS:
+        assert not _os.path.isdir(_os.path.join(idx._store(root, "crashed")))
+
+    # a held write lock refuses the sweep (timeout -> exit 1)
+    _os.makedirs(_os.path.join(store._data_root(), "batch=crashed2"))
+    with store_lock.store_write_lock(p):
+        rc, out = _run(capsys, p, "--sweep", "--lock-timeout", "0.2")
+        assert rc == 1 and "lock" in out["error"].lower()
+    assert _os.path.isdir(_os.path.join(store._data_root(), "batch=crashed2"))
+
+    # the MG store has nothing to sweep — loud, not silent
+    mp = str(tmp_path / "mg")
+    MgSummaryStore(mp, k=4).merge_epoch([("a", 7)], 7, "q-epoch-0")
+    rc, out = _run(capsys, mp, "--sweep")
+    assert rc == 1 and "sweep" in out["error"]

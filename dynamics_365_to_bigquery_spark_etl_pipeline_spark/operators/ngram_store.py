@@ -286,6 +286,14 @@ class NgramCountStore(BatchDirStore):
     # survivor-sized either way).
     MAX_BLOOM_SURVIVORS = 2048
 
+    # largest IN list pushed to parquet as per-value predicates (an
+    # Eq-OR chain the reader evaluates against file dictionaries and
+    # row-group stats — this is what makes a Bloom false positive cost
+    # ZERO reads); the JVM evaluates the chain recursively, so the cap
+    # sits well under the measured executor stack limit (900 OK, 1024
+    # overflows)
+    PARQUET_IN_MAX = 512
+
     def probe_counts(
         self,
         grams: DataFrame,
@@ -362,6 +370,32 @@ class NgramCountStore(BatchDirStore):
                 # disables the tier: absence can't be proven there.
                 sample = self._bloom_survivor_sample(grams, dirs)
             if sample is not None:
+                if len(sample) <= self.PARQUET_IN_MAX:
+                    # let the IN list reach parquet as per-VALUE
+                    # predicates instead of one min/max range (the
+                    # default threshold is 10): with per-bucket files
+                    # whose dictionaries hold hash-random gram subsets,
+                    # dictionary + stats filtering then skips every
+                    # file/row group holding NONE of the probed grams —
+                    # in particular, a Bloom FALSE POSITIVE costs no
+                    # read at all (it is in no dictionary). Session
+                    # conf, read at the caller's ACTION time, so it is
+                    # set (never restored — restoring would race the
+                    # lazy frame) and only ever RAISED to the cap.
+                    # Capped well under the JVM's recursive Eq-OR
+                    # evaluation limit (measured: 900 values fine,
+                    # 1024 overflows the executor stack).
+                    cur = int(
+                        self.spark.conf.get(
+                            "spark.sql.parquet.pushdown.inFilterThreshold",
+                            "10",
+                        )
+                    )
+                    if cur <= self.PARQUET_IN_MAX:
+                        self.spark.conf.set(
+                            "spark.sql.parquet.pushdown.inFilterThreshold",
+                            str(self.PARQUET_IN_MAX + 1),
+                        )
                 scan = scan.filter(F.col("gram").isin(sample))
         if self.n_buckets > 1:
             # bucket ids from the complete inline sample when we have

@@ -108,37 +108,62 @@ def span_stats(
     detector's shape — positional windows, join to ``dup_grams``
     (column ``gram``), sorted interval-union fold, one IEEE division —
     shared here so the gate and any batch caller compute spans one
-    way."""
-    wins = docs.select(
-        id_col,
+    way.
+
+    ROUTED through distinct texts (r14, the r9 routing law the batch
+    detector already follows — the r13 verdict #6 breakdown showed
+    this stage carrying the pipeline's largest per-epoch cost on the
+    clone-heavy fixture): every stat is a pure function of the TEXT,
+    so the positional explode, the dup-gram join, and the interval
+    fold run once per distinct text and the per-doc frame joins the
+    results back by text hash. Exactness unchanged (same expressions,
+    same one IEEE division per text; clones get bit-identical stats
+    by construction) — pinned by the gate==batch-detector and
+    pipeline==chained-legs equivalence tests. A doc with NULL text
+    never equi-joins (the md5 key is NULL) and keeps today's
+    NULL-stats row through the left join."""
+    reps = (
+        docs.select(
+            F.md5(F.col(text_col)).alias("_th"),
+            F.col(text_col).alias(text_col),
+        )
+        .dropDuplicates(["_th"])
+    )
+    wins = reps.select(
+        "_th",
         F.posexplode(C.word_ngrams(F.col(text_col), w)).alias("pos", "gram"),
     )
-    perdoc = (
+    pertext = (
         wins.join(dup_grams.select("gram"), "gram")
-        .groupBy(id_col)
+        .groupBy("_th")
         .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
         .select(
-            id_col,
+            "_th",
             # shared fold (operators/curation.py — one rule with the
             # batch detector and cutter)
-            C.interval_union_len(F.col("ps"), w).alias("n_dup_tokens"),
+            C.interval_union_len(F.col("ps"), w).alias("_dup"),
         )
     )
-    base = docs.select(
-        id_col, X.token_count(F.col(text_col)).cast("long").alias("n_tokens")
-    )
-    return base.join(perdoc, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
-            "n_dup_tokens"
-        ),
-        F.when(F.col("n_tokens") == 0, F.lit(0.0))
-        .otherwise(
-            (100 * F.coalesce(F.col("n_dup_tokens"), F.lit(0))).cast("double")
-            / F.col("n_tokens").cast("double")
+    text_stats = reps.select(
+        "_th",
+        X.token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).join(pertext, "_th", "left")
+    return (
+        docs.select(id_col, F.md5(F.col(text_col)).alias("_th"))
+        .join(text_stats, "_th", "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias(
+                "n_dup_tokens"
+            ),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                (100 * F.coalesce(F.col("_dup"), F.lit(0))).cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            .alias("dup_pct"),
         )
-        .alias("dup_pct"),
     )
 
 

@@ -80,11 +80,9 @@ def report(cfg: str, timings: list) -> None:
             if stage not in stages:
                 stages[stage] = []
                 order.append(stage)
-            stages[stage].append(sec if epoch_id > 0 else float("nan"))
+            stages[stage].append(sec)
     first = {s: v[0] for s, v in stages.items()}
-    rest = {
-        s: [x for x in v[1:] if x == x] for s, v in stages.items()
-    }
+    rest = {s: v[1:] for s, v in stages.items()}
     print(f"\n[{cfg}] per-epoch stage walls (s): epoch0 | median(e1..)")
     total0 = totalm = 0.0
     for s in order:

@@ -382,6 +382,12 @@ def segment_words(
             return out
 
         def segment(word):
+            # mirror the fold impl on degenerate rows (review pin:
+            # impl parity includes them): NULL -> NULL, '' -> ['']
+            if word is None:
+                return None
+            if not word:
+                return [""]
             syms = [*word[:-1], word[-1] + end]
             done = -1
             while True:

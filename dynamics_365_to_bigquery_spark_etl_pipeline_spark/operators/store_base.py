@@ -269,7 +269,11 @@ class BatchDirStore:
                 removed_ids |= {
                     n[len("batch="):]
                     for n in names
-                    if not os.path.isdir(os.path.join(root, n))
+                    # lexists, not isdir: a stray FILE named batch=*
+                    # fails rmtree (counted in failed) and must not
+                    # ALSO count as removed — removed means gone
+                    # (review pin: removed/orphan_dirs reconciliation)
+                    if not os.path.lexists(os.path.join(root, n))
                 }
         return {"removed": len(removed_ids), "failed": failed}
 

@@ -1246,7 +1246,11 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wc = bpe.word_counts(docs.select("text")).localCheckpoint()
     merges = bpe.train_bpe(wc, BPE_MERGES)
-    seg = bpe.segment_words(wc.select("word"), merges)
+    # pinned: seg feeds BOTH the piece-vocab ranking and the corpus
+    # re-encode join — without the cut the vocabulary-wide Python
+    # segmentation pass would re-execute per plan branch (review pin;
+    # vocabulary-sized, bounded, same rationale as wc above)
+    seg = bpe.segment_words(wc.select("word"), merges).localCheckpoint()
     word_pieces = seg.join(wc, "word")  # (word, pieces, n)
     piece_vocab = (
         word_pieces.select(F.explode("pieces").alias("piece"), "n")

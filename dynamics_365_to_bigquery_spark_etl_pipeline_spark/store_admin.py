@@ -86,29 +86,23 @@ def _lock_status(store_dir: str) -> dict:
     }
 
 
-def _orphan_names(data_root: str, live: list[str]) -> set[str]:
-    """Batch ids of ``batch=*`` dirs under ``data_root`` the meta
-    doesn't reference."""
-    keep = {f"batch={b}" for b in live}
-    try:
-        names = os.listdir(data_root)
-    except OSError:
-        return set()
-    return {
-        n[len("batch="):]
-        for n in names
-        if n.startswith("batch=") and n not in keep
-    }
-
-
-def _orphan_dirs(data_root: str, live: list[str]) -> int:
-    """``batch=*`` dirs under ``data_root`` the meta doesn't reference
-    — normally zero transiently (a sweep reclaims them), so a PERSISTENT
-    nonzero here is the disk-leak signal the sweep's one-shot warning
-    (r12 verdict #7) can miss when nobody reads the log; surfacing it
-    in the status line lets a scheduler alert on it (same best-effort
-    discipline as ``_dir_bytes``)."""
-    return len(_orphan_names(data_root, live))
+def _orphan_dirs(store, live: list[str]) -> int:
+    """DISTINCT batch ids of ``batch=*`` dirs the meta doesn't
+    reference, across every data root the store declares — ONE
+    definition of "orphan", the chassis's own
+    (``BatchDirStore._orphan_roots``/``_orphan_names`` — the same
+    enumeration ``sweep()`` acts on, so status and action can never
+    disagree about the unit; r14 review). Normally zero transiently
+    (a sweep reclaims them); a PERSISTENT nonzero is the disk-leak
+    signal the sweep's one-shot warning (r12 verdict #7) can miss
+    when nobody reads the log, surfaced here so a scheduler can alert
+    on it (same best-effort discipline as ``_dir_bytes``)."""
+    ids: set[str] = set()
+    for root in store._orphan_roots():
+        ids |= {
+            n[len("batch="):] for n in store._orphan_names(root, live)
+        }
+    return len(ids)
 
 
 def _dir_bytes(store_dir: str) -> int:
@@ -146,7 +140,7 @@ def _ivf_status(store) -> dict:
         "drift_threshold": store.drift_threshold,
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
-        "orphan_dirs": _orphan_dirs(store._data_root(), meta["batches"]),
+        "orphan_dirs": _orphan_dirs(store, meta["batches"]),
     }
 
 
@@ -159,19 +153,11 @@ def _lsh_status(idx) -> dict:
         "bucketed_dirs": len(meta.get("buckets_n", {})),
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
-        # DISTINCT orphaned batch ids, not a sum over the two roots —
-        # one crashed compact orphans the same id under buckets/ AND
-        # shingles/, and a scheduler alerting on the count needs the
-        # same unit every store kind reports: one per orphaned batch
-        # (r13 advice)
-        "orphan_dirs": len(
-            set().union(
-                *(
-                    _orphan_names(idx._store(name), meta["batches"])
-                    for name in idx.STORE_SCHEMAS
-                )
-            )
-        ),
+        # DISTINCT orphaned batch ids across buckets/ AND shingles/ —
+        # one crashed compact = one orphan, the unit every store kind
+        # reports (r13 advice); enumeration shared with sweep() via
+        # the chassis _orphan_roots override
+        "orphan_dirs": _orphan_dirs(idx, meta["batches"]),
     }
 
 
@@ -186,7 +172,7 @@ def _ngram_status(store) -> dict:
         "n_windows": meta["n_windows"],
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
-        "orphan_dirs": _orphan_dirs(store._data_root(), meta["batches"]),
+        "orphan_dirs": _orphan_dirs(store, meta["batches"]),
     }
 
 
@@ -203,7 +189,7 @@ def _bm25_status(idx) -> dict:
         "score_mode": meta.get("score_mode", "int64"),
         "epoch_hwm": dict(meta[ledger.HWM_KEY]),
         "committed_ids": len(meta[ledger.IDS_KEY]),
-        "orphan_dirs": _orphan_dirs(idx._data_root(), meta["batches"]),
+        "orphan_dirs": _orphan_dirs(idx, meta["batches"]),
     }
 
 

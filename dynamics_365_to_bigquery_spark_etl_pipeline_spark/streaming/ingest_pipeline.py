@@ -207,10 +207,6 @@ def stream_ingest_pipeline(
     first non-blank epoch. Start a fresh checkpoint + out_dir (and
     fresh stores — the id precondition forbids re-ingesting the old
     corpus into the same stores) to change the stage set."""
-    _check_stage_set_marker(
-        out_dir,
-        {"span": span_store_path is not None, "bm25": bm25_path is not None},
-    )
     score_fn = score if score is not None else X.quality_score
     reserved = {"quality_score", "_th", "n_doc_ngrams", "n_contaminated", "epoch"}
     if span_store_path is not None:
@@ -259,6 +255,15 @@ def stream_ingest_pipeline(
             ),
             lock_timeout=lock_timeout,
         )
+
+    # recorded AFTER every construction-time validation above (reserved
+    # columns, store identity checks): a first start that fails setup
+    # must not pin the stage set for an out_dir that never ran (review
+    # pin, r14)
+    _check_stage_set_marker(
+        out_dir,
+        {"span": span_store_path is not None, "bm25": bm25_path is not None},
+    )
 
     stream = (
         spark.readStream.schema(schema)

@@ -72,24 +72,30 @@ def drain(spark, docs, heldout, work: str, cfg: str) -> list:
 
 
 def report(cfg: str, timings: list) -> None:
-    # first epoch is JVM/stream warmup — report it separately
-    stages: dict[str, list[float]] = {}
+    # first epoch is JVM/stream warmup — report it separately. Marks
+    # are keyed by EPOCH ID, not list position: a stage can skip
+    # epochs (bm25_append on an empty clean output, clean_write's
+    # per-branch placement), and positional alignment would
+    # misattribute the epoch0 column and poison medians (review pin).
+    stages: dict[str, dict[int, float]] = {}
     order: list[str] = []
     for epoch_id, marks in timings:
         for stage, sec in marks:
             if stage not in stages:
-                stages[stage] = []
+                stages[stage] = {}
                 order.append(stage)
-            stages[stage].append(sec)
-    first = {s: v[0] for s, v in stages.items()}
-    rest = {s: v[1:] for s, v in stages.items()}
+            stages[stage][epoch_id] = sec
     print(f"\n[{cfg}] per-epoch stage walls (s): epoch0 | median(e1..)")
     total0 = totalm = 0.0
     for s in order:
-        med = statistics.median(rest[s]) if rest[s] else float("nan")
-        print(f"  {s:20s} {first[s]:7.3f} | {med:7.3f}")
-        total0 += first[s]
-        totalm += med
+        first = stages[s].get(0)
+        rest = [sec for e, sec in stages[s].items() if e > 0]
+        med = statistics.median(rest) if rest else None
+        f_str = f"{first:7.3f}" if first is not None else "     --"
+        m_str = f"{med:7.3f}" if med is not None else "     --"
+        print(f"  {s:20s} {f_str} | {m_str}")
+        total0 += first or 0.0
+        totalm += med or 0.0
     print(f"  {'TOTAL':20s} {total0:7.3f} | {totalm:7.3f}")
 
 

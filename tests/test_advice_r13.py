@@ -146,3 +146,54 @@ def test_bounded_append_shuffles_to_n_buckets_partitions(spark, tmp_path):
         .toString()
     )
     assert "hashpartitioning(gram_bucket" in plan and ", 4)" in plan
+
+
+def test_sweep_stray_file_counts_failed_not_removed(spark, tmp_path):
+    """r14 review pin: a stray FILE named batch=* fails the rmtree
+    (failed=1) and must NOT also count as removed — removed means
+    gone, the unit a scheduler reconciles against orphan_dirs."""
+    store = NgramCountStore(spark, str(tmp_path / "ng"), w=3, n_buckets=2)
+    store.append(_docs(spark), "b0")
+    stray = os.path.join(store._data_root(), "batch=junkfile")
+    with open(stray, "w") as fh:
+        fh.write("not a dir")
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        out = store.sweep()
+    assert out == {"removed": 0, "failed": 1}
+    assert os.path.isfile(stray)
+
+
+def test_failed_setup_does_not_pin_stage_set(spark, tmp_path):
+    """r14 review pin: a first start that fails construction-time
+    validation (reserved column) must not write the stage-set marker —
+    the user can fix the config and start the SAME out_dir with a
+    different stage set."""
+    import pyspark.sql.functions as _F
+
+    docs = _docs(spark).withColumn("dup_pct", _F.lit(1.0))  # reserved
+    heldout = docs.limit(2)
+    src = tmp_path / "src"
+    docs.coalesce(1).write.parquet(str(src))
+    out = tmp_path / "out"
+    with pytest.raises(ValueError, match="reserved"):
+        stream_ingest_pipeline(
+            spark, str(src), docs.schema, heldout, str(out),
+            str(tmp_path / "idx"), str(tmp_path / "ck"),
+            span_store_path=str(tmp_path / "ng"),
+        )
+    assert not os.path.exists(os.path.join(str(out), STAGE_SET_MARKER))
+    # the same out_dir now starts WITHOUT the span stage
+    clean_docs = _docs(spark)
+    src2 = tmp_path / "src2"
+    clean_docs.coalesce(1).write.parquet(str(src2))
+    q = stream_ingest_pipeline(
+        spark, str(src2), clean_docs.schema,
+        clean_docs.limit(2).localCheckpoint(), str(out),
+        str(tmp_path / "idx2"), str(tmp_path / "ck2"),
+    )
+    assert q.awaitTermination(240)
+    with open(os.path.join(str(out), STAGE_SET_MARKER)) as fh:
+        assert json.load(fh) == {"span": False, "bm25": False}

@@ -181,3 +181,21 @@ def test_local_trainer_property_random_corpora():
         assert got == reference_bpe(wc, n_merges, min_count)
 
     check()
+
+
+def test_single_pass_degenerate_words_match_fold(spark):
+    """r14 review pin: the default single_pass segmenter must mirror
+    the fold impl on degenerate rows — NULL word -> NULL pieces,
+    '' -> [''] — instead of crashing the Python worker."""
+    df = spark.createDataFrame([("",), (None,), ("ab",)], "word string")
+    merges = [bpe.Merge(0, "a", "b", "ab", 1)]
+    got = {
+        r.word: r.pieces
+        for r in bpe.segment_words(df, merges).collect()
+    }
+    want = {
+        r.word: r.pieces
+        for r in bpe.segment_words(df, merges, impl="fold").collect()
+    }
+    assert got == want
+    assert got[None] is None and got[""] == [""]

@@ -96,14 +96,15 @@ def make_bloom_tools():
             )
         return words
 
-    def contains(words, values):
+    def contains_hashed(words, h1, h2):
+        """Membership test from PRE-COMPUTED hashes — a caller testing
+        the same values against SEVERAL blooms (one per live dir)
+        hashes once and reuses (r14 review: re-hashing per dir
+        multiplied the vectorized-probe CPU by the dir count)."""
         import numpy as _np
 
-        if len(values) == 0:
-            return _np.zeros(0, dtype=bool)
         m = _np.uint64(len(words) * 64)
-        h1, h2 = _hashes(values)
-        hit = _np.ones(len(values), dtype=bool)
+        hit = _np.ones(len(h1), dtype=bool)
         for i in range(k_hashes):
             pos = (h1 + _np.uint64(i) * h2) % m
             bit = (
@@ -113,7 +114,20 @@ def make_bloom_tools():
             hit &= bit.astype(bool)
         return hit
 
-    return {"bits_for": bits_for, "build": build, "contains": contains}
+    def contains(words, values):
+        import numpy as _np
+
+        if len(values) == 0:
+            return _np.zeros(0, dtype=bool)
+        return contains_hashed(words, *_hashes(values))
+
+    return {
+        "bits_for": bits_for,
+        "build": build,
+        "contains": contains,
+        "hashes": _hashes,
+        "contains_hashed": contains_hashed,
+    }
 
 
 def save_sidecar(batch_dir: str, blooms: dict[int, np.ndarray]) -> None:

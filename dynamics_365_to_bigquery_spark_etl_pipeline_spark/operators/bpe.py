@@ -273,11 +273,21 @@ def train_bpe(
         raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1 (got {min_count})")
-    if local_threshold and words.limit(local_threshold + 1).count() <= (
-        local_threshold
-    ):
-        wc = [(r["word"], int(r["n"])) for r in words.collect()]
-        return _train_bpe_local(wc, n_merges, min_count)
+    if local_threshold:
+        # ONE evaluation decides AND supplies the local path (review
+        # pin: a count-then-collect pair ran the corpus-sized
+        # word_counts aggregation twice for un-pinned callers, and a
+        # nondeterministic frame could pass the size check on one
+        # evaluation and collect different rows on the next); an
+        # over-threshold vocabulary costs one bounded driver transfer
+        # before falling through to the distributed loop
+        rows = words.limit(local_threshold + 1).collect()
+        if len(rows) <= local_threshold:
+            return _train_bpe_local(
+                [(r["word"], int(r["n"])) for r in rows],
+                n_merges,
+                min_count,
+            )
     symbols = (
         _with_symbols(words).select("symbols", "n").localCheckpoint()
     )

@@ -391,7 +391,12 @@ class NgramCountStore(BatchDirStore):
                             "10",
                         )
                     )
-                    if cur <= self.PARQUET_IN_MAX:
+                    # only the UNTOUCHED default is raised: a session
+                    # where someone explicitly configured the
+                    # threshold keeps their setting (r14 review — a
+                    # store method must not override a deliberate
+                    # session choice; it may upgrade the default)
+                    if cur == 10:
                         self.spark.conf.set(
                             "spark.sql.parquet.pushdown.inFilterThreshold",
                             str(self.PARQUET_IN_MAX + 1),
@@ -444,17 +449,23 @@ class NgramCountStore(BatchDirStore):
             import numpy as _np
             import pandas as _pd
 
-            contains = tools["contains"]
+            hashes = tools["hashes"]
+            contains_hashed = tools["contains_hashed"]
             blooms = bc.value
             for pdf in batches:
                 out = []
                 for b, grp in pdf.groupby("b"):
                     vals = grp["gram"].to_numpy()
+                    # hash ONCE per bucket group, test against every
+                    # dir's bloom from the same pair (r14 review:
+                    # re-hashing inside the dir loop multiplied CPU
+                    # by the live-dir count)
+                    h1, h2 = hashes(vals)
                     hit = _np.zeros(len(vals), dtype=bool)
                     for dd in blooms:
                         bits = dd.get(int(b))
                         if bits is not None:
-                            hit |= contains(bits, vals)
+                            hit |= contains_hashed(bits, h1, h2)
                     if hit.any():
                         out.append(grp.loc[hit, ["gram"]])
                 if out:
@@ -464,12 +475,19 @@ class NgramCountStore(BatchDirStore):
             "b",
             F.pmod(F.xxhash64("gram"), F.lit(self.n_buckets)).cast("int"),
         )
-        rows = (
-            bucketed.mapInPandas(keep_hits, "gram string")
-            .distinct()
-            .limit(self.MAX_BLOOM_SURVIVORS + 1)
-            .collect()
-        )
+        try:
+            rows = (
+                bucketed.mapInPandas(keep_hits, "gram string")
+                .distinct()
+                .limit(self.MAX_BLOOM_SURVIVORS + 1)
+                .collect()
+            )
+        finally:
+            # the survivors are collected above, so the broadcast is
+            # consumed — release it instead of accreting multi-MiB
+            # broadcast blocks across a long-lived stream's epochs
+            # (r14 review)
+            bc.unpersist()
         if len(rows) > self.MAX_BLOOM_SURVIVORS:
             return None
         return sorted(r.gram for r in rows)

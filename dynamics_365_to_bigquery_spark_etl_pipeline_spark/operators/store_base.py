@@ -261,21 +261,28 @@ class BatchDirStore:
         retried by any later sweep."""
         with store_write_lock(self.path, timeout=self.lock_timeout):
             meta = self._read_meta()
-            removed_ids: set[str] = set()
+            # candidate paths per batch id FIRST, across all roots: an
+            # id counts as removed only when EVERY path it had is gone
+            # (review pins: a stray FILE that fails rmtree, or an LSH
+            # orphan reclaimed under buckets/ but stuck under
+            # shingles/, must stay failed-only — removed means GONE,
+            # the unit a scheduler reconciles against orphan_dirs)
+            candidates: dict[str, list[str]] = {}
+            roots = self._orphan_roots()
+            for root in roots:
+                for n in self._orphan_names(root, meta["batches"]):
+                    candidates.setdefault(n[len("batch="):], []).append(
+                        os.path.join(root, n)
+                    )
             failed = 0
-            for root in self._orphan_roots():
-                names = self._orphan_names(root, meta["batches"])
+            for root in roots:
                 failed += self._sweep_orphans(meta["batches"], root=root)
-                removed_ids |= {
-                    n[len("batch="):]
-                    for n in names
-                    # lexists, not isdir: a stray FILE named batch=*
-                    # fails rmtree (counted in failed) and must not
-                    # ALSO count as removed — removed means gone
-                    # (review pin: removed/orphan_dirs reconciliation)
-                    if not os.path.lexists(os.path.join(root, n))
-                }
-        return {"removed": len(removed_ids), "failed": failed}
+            removed = sum(
+                1
+                for paths in candidates.values()
+                if not any(os.path.lexists(p) for p in paths)
+            )
+        return {"removed": removed, "failed": failed}
 
     def _sweep_orphans(self, keep: list[str], root: str | None = None) -> int:
         """Best-effort GC of every ``batch=*`` dir the meta doesn't

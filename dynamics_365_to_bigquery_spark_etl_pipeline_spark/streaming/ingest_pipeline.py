@@ -74,37 +74,48 @@ from .util import (
 STAGE_SET_MARKER = "_stage_set.json"
 
 
-def _check_stage_set_marker(out_dir: str, stages: dict[str, bool]) -> None:
+def _check_stage_set_marker(dirs: list[str], stages: dict[str, bool]) -> None:
     """The stage set is fixed for a pipeline's lifetime (docstring
-    precondition (2)) — persist it under ``out_dir`` on first start
-    and refuse a restart whose OPTIONAL stages differ in EITHER
-    direction (r13 advice: the ledger high-water check only caught
-    toggling the span stage ON; toggling it OFF after a crash in the
-    LSH-commit-to-ngram-append window silently lost the epoch's n-gram
-    counts). The marker write is atomic (tmp + replace) so a crash
-    mid-setup can't leave a half-written marker a restart would choke
-    on."""
-    path = os.path.join(out_dir, STAGE_SET_MARKER)
-    try:
-        with open(path) as fh:
-            recorded = json.load(fh)
-    except FileNotFoundError:
-        recorded = None
-    if recorded is not None and recorded != stages:
-        raise RuntimeError(
-            f"pipeline output dir {out_dir!r} was previously run with "
-            f"stage set {recorded}, now started with {stages} — the "
-            "stage set is fixed for a checkpoint's lifetime (toggling a "
-            "stage whose store ledger guards replay loses or duplicates "
-            "epoch state); start a fresh checkpoint + out_dir and fresh "
-            "stores to change it"
-        )
-    if recorded is None:
-        os.makedirs(out_dir, exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(stages, fh)
-        os.replace(tmp, path)
+    precondition (2)) — persist it and refuse a restart whose OPTIONAL
+    stages differ in EITHER direction (r13 advice: the ledger
+    high-water check only caught toggling the span stage ON; toggling
+    it OFF after a crash in the LSH-commit-to-ngram-append window
+    silently lost the epoch's n-gram counts).
+
+    The marker lives under BOTH ``out_dir`` AND ``checkpoint_dir``
+    (r14 review): the replay identity the hazard rides is the
+    CHECKPOINT — an operator restarting with the same checkpoint but a
+    fresh out_dir would bypass an out_dir-only marker and silently
+    skip the replayed epoch. Any surviving copy refuses the mismatch;
+    missing copies are (re)written. Writes are atomic (tmp + replace)
+    so a crash mid-setup can't leave a half marker a restart would
+    choke on."""
+    recorded = None
+    recorded_at = None
+    for d in dirs:
+        try:
+            with open(os.path.join(d, STAGE_SET_MARKER)) as fh:
+                recorded = json.load(fh)
+                recorded_at = d
+        except FileNotFoundError:
+            continue
+        if recorded != stages:
+            raise RuntimeError(
+                f"pipeline dir {recorded_at!r} was previously run with "
+                f"stage set {recorded}, now started with {stages} — the "
+                "stage set is fixed for a checkpoint's lifetime "
+                "(toggling a stage whose store ledger guards replay "
+                "loses or duplicates epoch state); start a fresh "
+                "checkpoint + out_dir and fresh stores to change it"
+            )
+    for d in dirs:
+        path = os.path.join(d, STAGE_SET_MARKER)
+        if not os.path.isfile(path):
+            os.makedirs(d, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(stages, fh)
+            os.replace(tmp, path)
 
 
 def stream_ingest_pipeline(
@@ -261,7 +272,7 @@ def stream_ingest_pipeline(
     # must not pin the stage set for an out_dir that never ran (review
     # pin, r14)
     _check_stage_set_marker(
-        out_dir,
+        [out_dir, checkpoint_dir],
         {"span": span_store_path is not None, "bm25": bm25_path is not None},
     )
 

@@ -51,23 +51,33 @@ def _docs(spark):
 
 
 def test_stage_set_marker_unit_both_directions(tmp_path):
-    out = str(tmp_path / "out")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     on = {"span": True, "bm25": False}
     off = {"span": False, "bm25": False}
-    _check_stage_set_marker(out, on)  # first start records it
-    with open(os.path.join(out, STAGE_SET_MARKER)) as fh:
-        assert json.load(fh) == on
-    _check_stage_set_marker(out, on)  # same set restarts fine
+    _check_stage_set_marker([out, ck], on)  # first start records it
+    for d in (out, ck):
+        with open(os.path.join(d, STAGE_SET_MARKER)) as fh:
+            assert json.load(fh) == on
+    _check_stage_set_marker([out, ck], on)  # same set restarts fine
     with pytest.raises(RuntimeError, match="stage set is fixed"):
-        _check_stage_set_marker(out, off)  # toggle OFF: loud
+        _check_stage_set_marker([out, ck], off)  # toggle OFF: loud
     with pytest.raises(RuntimeError, match="stage set is fixed"):
-        _check_stage_set_marker(out, {"span": True, "bm25": True})
-    # a pre-marker out_dir adopts the current set (legacy upgrade path)
+        _check_stage_set_marker([out, ck], {"span": True, "bm25": True})
+    # the r14-review case: fresh out_dir, SAME checkpoint — the
+    # checkpoint's surviving copy still refuses (the replay identity
+    # is the checkpoint, not the artifact dir)
+    with pytest.raises(RuntimeError, match="stage set is fixed"):
+        _check_stage_set_marker([str(tmp_path / "out2"), ck], off)
+    # and the refused start must not have adopted the new set anywhere
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "out2"), STAGE_SET_MARKER)
+    )
+    # a pre-marker dir pair adopts the current set (legacy upgrade)
     legacy = str(tmp_path / "legacy")
     os.makedirs(legacy)
-    _check_stage_set_marker(legacy, off)
+    _check_stage_set_marker([legacy, str(tmp_path / "lck")], off)
     with pytest.raises(RuntimeError, match="stage set is fixed"):
-        _check_stage_set_marker(legacy, on)
+        _check_stage_set_marker([legacy, str(tmp_path / "lck")], on)
 
 
 def test_span_stage_toggle_off_fails_before_stream_start(spark, tmp_path):

@@ -63,7 +63,7 @@ from pyspark.sql import functions as F
 from . import ledger
 from . import text as X
 from .dedup import normalized_tokens
-from .store_base import BatchDirStore
+from .store_base import BatchDirStore, raise_parquet_in_threshold
 from .store_lock import store_write_lock
 
 META_NAME = "_bm25_meta.json"
@@ -375,6 +375,12 @@ class Bm25Index(BatchDirStore):
         vocab = sorted({r.tok for r in term_rows})
         buckets = sorted({int(r.tok_bucket) for r in term_rows})
 
+        # per-VALUE parquet predicates for the query vocabulary (r14,
+        # the chassis rule shared with the n-gram probe): the default
+        # threshold (10) degrades a >10-term vocabulary to one min/max
+        # range over the tok-sorted files — per-value Eq predicates
+        # keep dictionary/stats row-group skipping for real queries
+        raise_parquet_in_threshold(self.spark, len(vocab))
         pruned = self._read_data(dirs).filter(
             F.col("tok_bucket").isin(buckets) & F.col("tok").isin(vocab)
         )

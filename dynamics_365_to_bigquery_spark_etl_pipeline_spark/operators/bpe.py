@@ -325,6 +325,56 @@ def train_bpe(
     return merges
 
 
+MERGES_VERSION = 1
+
+
+def save_merges(path: str, merges: list[Merge]) -> None:
+    """Persist a trained merge table as the tokenizer ARTIFACT (r14 —
+    train once, segment any later corpus): versioned JSON, atomic
+    rename (a crash mid-write must never leave a half tokenizer a
+    later pipeline would load)."""
+    import json
+    import os
+
+    payload = {
+        "version": MERGES_VERSION,
+        "end": END,
+        "merges": [list(m) for m in merges],
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> list[Merge]:
+    """Load a ``save_merges`` artifact, validating the version, the
+    end-of-word marker, and rank contiguity — a table with holes or a
+    foreign marker would segment silently differently, not fail."""
+    import json
+
+    with open(path) as fh:
+        payload = json.load(fh)
+    if payload.get("version") != MERGES_VERSION:
+        raise ValueError(
+            f"merge table at {path} has version {payload.get('version')!r}"
+            f" (this build reads {MERGES_VERSION})"
+        )
+    if payload.get("end") != END:
+        raise ValueError(
+            f"merge table at {path} was trained with end-of-word marker "
+            f"{payload.get('end')!r}, this build uses {END!r} — "
+            "segmentations would silently differ"
+        )
+    merges = [Merge(*m) for m in payload["merges"]]
+    for i, m in enumerate(merges):
+        if m.rank != i or m.merged != m.left + m.right:
+            raise ValueError(
+                f"merge table at {path} is corrupt at rank {i}: {m}"
+            )
+    return merges
+
+
 def segment_words(
     words: DataFrame,
     merges: list[Merge],

@@ -53,7 +53,11 @@ from pyspark.sql import functions as F
 from . import bloom_sidecar as B
 from . import curation as C
 from . import ledger
-from .store_base import BatchDirStore
+from .store_base import (
+    PARQUET_IN_MAX,
+    BatchDirStore,
+    raise_parquet_in_threshold,
+)
 from .store_lock import store_write_lock
 
 META_NAME = "_ngram_meta.json"
@@ -286,13 +290,10 @@ class NgramCountStore(BatchDirStore):
     # survivor-sized either way).
     MAX_BLOOM_SURVIVORS = 2048
 
-    # largest IN list pushed to parquet as per-value predicates (an
-    # Eq-OR chain the reader evaluates against file dictionaries and
-    # row-group stats — this is what makes a Bloom false positive cost
-    # ZERO reads); the JVM evaluates the chain recursively, so the cap
-    # sits well under the measured executor stack limit (900 OK, 1024
-    # overflows)
-    PARQUET_IN_MAX = 512
+    # chassis-shared cap (store_base.PARQUET_IN_MAX): the per-value
+    # parquet pushdown is what makes a Bloom false positive cost ZERO
+    # reads (it is in no file dictionary)
+    PARQUET_IN_MAX = PARQUET_IN_MAX
 
     def probe_counts(
         self,
@@ -370,37 +371,15 @@ class NgramCountStore(BatchDirStore):
                 # disables the tier: absence can't be proven there.
                 sample = self._bloom_survivor_sample(grams, dirs)
             if sample is not None:
-                if len(sample) <= self.PARQUET_IN_MAX:
-                    # let the IN list reach parquet as per-VALUE
-                    # predicates instead of one min/max range (the
-                    # default threshold is 10): with per-bucket files
-                    # whose dictionaries hold hash-random gram subsets,
-                    # dictionary + stats filtering then skips every
-                    # file/row group holding NONE of the probed grams —
-                    # in particular, a Bloom FALSE POSITIVE costs no
-                    # read at all (it is in no dictionary). Session
-                    # conf, read at the caller's ACTION time, so it is
-                    # set (never restored — restoring would race the
-                    # lazy frame) and only ever RAISED to the cap.
-                    # Capped well under the JVM's recursive Eq-OR
-                    # evaluation limit (measured: 900 values fine,
-                    # 1024 overflows the executor stack).
-                    cur = int(
-                        self.spark.conf.get(
-                            "spark.sql.parquet.pushdown.inFilterThreshold",
-                            "10",
-                        )
-                    )
-                    # only the UNTOUCHED default is raised: a session
-                    # where someone explicitly configured the
-                    # threshold keeps their setting (r14 review — a
-                    # store method must not override a deliberate
-                    # session choice; it may upgrade the default)
-                    if cur == 10:
-                        self.spark.conf.set(
-                            "spark.sql.parquet.pushdown.inFilterThreshold",
-                            str(self.PARQUET_IN_MAX + 1),
-                        )
+                # per-VALUE parquet predicates instead of one min/max
+                # range: with per-bucket files whose dictionaries hold
+                # hash-random gram subsets, dictionary + stats
+                # filtering skips every file/row group holding NONE of
+                # the probed grams — in particular, a Bloom FALSE
+                # POSITIVE costs no read at all (it is in no
+                # dictionary). Chassis-shared rule (store_base):
+                # upgrades the untouched session default only.
+                raise_parquet_in_threshold(self.spark, len(sample))
                 scan = scan.filter(F.col("gram").isin(sample))
         if self.n_buckets > 1:
             # bucket ids from the complete inline sample when we have

@@ -46,6 +46,37 @@ from . import ledger
 from .store_lock import store_write_lock
 
 
+# largest IN list worth pushing to parquet as per-VALUE predicates (an
+# Eq-OR chain the reader tests against file dictionaries and row-group
+# stats); the JVM evaluates the chain recursively — measured: 900
+# values fine, 1024 overflows the executor stack — so the cap keeps a
+# wide margin. Shared by every store probe that pushes a bounded
+# vocabulary (n-gram probe_counts, BM25 topk).
+PARQUET_IN_MAX = 512
+
+
+def raise_parquet_in_threshold(spark, n_values: int) -> None:
+    """Let a bounded IN list reach parquet as per-value predicates:
+    raise ``spark.sql.parquet.pushdown.inFilterThreshold`` past the
+    cap — but ONLY when the session still holds the untouched default
+    (10): a store probe may upgrade the default, never override a
+    deliberate session choice (r14 review). Session-global and sticky
+    by design — the probe frames are lazy, so a restore would race the
+    caller's action. No-op for lists over the cap (those fall back to
+    the reader's min/max range predicate; the Spark-side InSet still
+    prunes the join)."""
+    if n_values > PARQUET_IN_MAX:
+        return
+    cur = int(
+        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
+    )
+    if cur == 10:
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(PARQUET_IN_MAX + 1),
+        )
+
+
 class BatchDirStore:
     KIND = "batch-dir"        # human name for error messages
     META_NAME = "_meta.json"  # subclass overrides

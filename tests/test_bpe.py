@@ -199,3 +199,35 @@ def test_single_pass_degenerate_words_match_fold(spark):
     }
     assert got == want
     assert got[None] is None and got[""] == [""]
+
+
+def test_merge_table_artifact_roundtrip(spark, tmp_path):
+    """r14: the trained tokenizer persists as a versioned artifact —
+    reloaded merges segment bit-identically; version / marker / rank
+    holes refuse to load instead of silently segmenting differently."""
+    import json
+    import os
+
+    wc = _corpus_words(spark).localCheckpoint()
+    merges = bpe.train_bpe(wc, 12)
+    p = str(tmp_path / "tokenizer.json")
+    bpe.save_merges(p, merges)
+    back = bpe.load_merges(p)
+    assert back == merges
+    seg_a = {r.word: tuple(r.pieces) for r in bpe.segment_words(wc.select("word"), merges).collect()}
+    seg_b = {r.word: tuple(r.pieces) for r in bpe.segment_words(wc.select("word"), back).collect()}
+    assert seg_a == seg_b
+    # corruption modes are loud
+    raw = json.load(open(p))
+    for doctor, match in (
+        (lambda d: d.update(version=99), "version"),
+        (lambda d: d.update(end="<eow>"), "marker"),
+        (lambda d: d["merges"].pop(0), "corrupt"),
+    ):
+        d = json.loads(json.dumps(raw))
+        doctor(d)
+        bad = str(tmp_path / "bad.json")
+        json.dump(d, open(bad, "w"))
+        with pytest.raises(ValueError, match=match):
+            bpe.load_merges(bad)
+    assert not os.path.exists(p + ".tmp")

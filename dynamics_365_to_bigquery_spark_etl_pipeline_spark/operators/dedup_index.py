@@ -277,27 +277,33 @@ class LshDedupIndex(BatchDirStore):
         # escapes the batch= namespace; an ingest named like the live
         # generation would rmtree and replace the compacted corpus)
         self._check_batch_id(batch_id)
-        sh = (
+        # ONE materialization for the whole batch (r14 — the per-epoch
+        # breakdown showed this stage dominated by its checkpoint jobs):
+        # shingles AND the banded signature keys land in one pinned
+        # frame, so the minhash kernel runs exactly once per doc; the
+        # exploded posting view derives lazily from the materialized
+        # arrays (re-exploding pinned arrays is cheap, re-running
+        # sig_fn was not — the pre-r14 shape paid a second full pass
+        # to checkpoint the exploded form)
+        staged = (
             docs.select(
                 F.col(id_col).alias("doc_id"),
                 D.shingles(F.col(text_col)).alias("sh"),
             )
             .filter(F.size("sh") > 0)
-            # two consumers (banding + verify join) and a write below:
-            # cut the plan once instead of recomputing shingles 3x
+            .withColumn("_bks", D.band_keys(self.sig_fn(F.col("sh"))))
             .localCheckpoint()
         )
+        sh = staged.select("doc_id", "sh")
         # ONE probe-key column: band id folded into the hash (a bucketed
         # table can then hash-partition on exactly the join key)
-        banded = sh.select(
+        banded = staged.select(
             "doc_id",
-            F.posexplode(D.band_keys(self.sig_fn(F.col("sh")))).alias(
-                "band_id", "_bh"
-            ),
+            F.posexplode("_bks").alias("band_id", "_bh"),
         ).select(
             "doc_id",
             F.concat_ws(":", F.col("band_id"), F.col("_bh")).alias("band_hash"),
-        ).localCheckpoint()
+        )
 
         old_sh = self._read_committed_shingles()
 

@@ -27,9 +27,14 @@ documented pandas escape hatch; the input is delta-sized).
 Hashing is ``pandas.util.hash_array`` (SipHash-based, keyed,
 version-stable) with two fixed 16-byte keys and double hashing
 h1 + i*h2 — the SAME closures build and probe, so a false negative is
-impossible by construction. Build and probe must run under the same
-pandas major version (true for a pinned cluster env; the round-trip
-property is test-pinned).
+impossible within one environment by construction. Across
+environments the coupling is GUARDED, not assumed (r14 verdict #1):
+``save_sidecar`` records the h1/h2 of a fixed sentinel vocabulary
+computed by the build-side hasher, and ``load_sidecar`` recomputes
+them with the probe-side hasher — any divergence (e.g. a pandas
+upgrade that changes object-array hashing) fails the canary and the
+load returns None, so the probe degrades to the EXACT scan floor
+instead of silently reading present grams as absent.
 
 Everything an executor runs ships as CLOSURES from
 ``make_bloom_tools()`` — the repo's worker-shipping rule (see
@@ -53,6 +58,19 @@ K_HASHES = 9
 MAX_BLOOM_BITS = 1 << 23
 SIDECAR_NAME = "_gram_blooms.npz"
 SIDECAR_VERSION = 1
+
+# Canary vocabulary for the build/probe hash self-check: fixed values
+# chosen to exercise the hash paths a pandas upgrade could plausibly
+# change independently (ascii, empty string, non-ascii unicode, a
+# long string, an embedded NUL). The sidecar stores these values'
+# h1/h2 as computed AT BUILD TIME; load recomputes and compares.
+CANARY_VALUES = (
+    "sparkgraft-bloom-canary",
+    "",
+    "κανάρι-金丝雀-канарейка",
+    "x" * 257,
+    "nul\x00byte",
+)
 
 
 def make_bloom_tools():
@@ -137,10 +155,13 @@ def save_sidecar(batch_dir: str, blooms: dict[int, np.ndarray]) -> None:
     anyway, but the probe must never load garbage)."""
     path = os.path.join(batch_dir, SIDECAR_NAME)
     tmp = path + ".tmp.npz"
+    h1, h2 = make_bloom_tools()["hashes"](np.array(CANARY_VALUES, dtype=object))
     np.savez(
         tmp,
         __version__=np.int64(SIDECAR_VERSION),
         __k__=np.int64(K_HASHES),
+        __canary_h1__=h1,
+        __canary_h2__=h2,
         **{f"b{b}": bits for b, bits in blooms.items()},
     )
     os.replace(tmp, path)
@@ -149,7 +170,14 @@ def save_sidecar(batch_dir: str, blooms: dict[int, np.ndarray]) -> None:
 def load_sidecar(batch_dir: str) -> dict[int, np.ndarray] | None:
     """Per-bucket blooms for one batch dir, or None when the dir
     predates sidecars (legacy store — the probe then keeps its exact
-    floor) or was written under different bloom parameters."""
+    floor), was written under different bloom parameters, or FAILS THE
+    HASH CANARY: the sidecar's recorded h1/h2 of ``CANARY_VALUES``
+    must bit-match what this process's hasher computes now. A mismatch
+    means the build-time and probe-time ``pandas.util.hash_array``
+    disagree (environment drift), under which the bloom's no-false-
+    negative guarantee is void — returning None keeps ``probe_counts``
+    exact (fallback scan) instead of silently wrong (r14 verdict #1 /
+    ADVICE)."""
     path = os.path.join(batch_dir, SIDECAR_NAME)
     if not os.path.isfile(path):
         return None
@@ -157,6 +185,19 @@ def load_sidecar(batch_dir: str) -> dict[int, np.ndarray] | None:
         if (
             int(z["__version__"]) != SIDECAR_VERSION
             or int(z["__k__"]) != K_HASHES
+        ):
+            return None
+        if "__canary_h1__" not in z.files or "__canary_h2__" not in z.files:
+            # pre-canary sidecar: its hash provenance is unknowable,
+            # so treat it like a legacy dir (exact floor) rather than
+            # trusting it
+            return None
+        h1, h2 = make_bloom_tools()["hashes"](
+            np.array(CANARY_VALUES, dtype=object)
+        )
+        if not (
+            np.array_equal(z["__canary_h1__"], h1)
+            and np.array_equal(z["__canary_h2__"], h2)
         ):
             return None
         return {

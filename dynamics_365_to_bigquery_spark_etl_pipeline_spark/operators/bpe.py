@@ -350,7 +350,16 @@ def save_merges(path: str, merges: list[Merge]) -> None:
 def load_merges(path: str) -> list[Merge]:
     """Load a ``save_merges`` artifact, validating the version, the
     end-of-word marker, and rank contiguity — a table with holes or a
-    foreign marker would segment silently differently, not fail."""
+    foreign marker would segment silently differently, not fail.
+
+    A repeated ``(left, right)`` pair at two ranks is ACCEPTED, not
+    rejected: it is replay-meaningful (an intermediate merge can
+    re-create a pair via a merged-string collision, and the fold
+    replay applies both occurrences), and since r15 both
+    ``segment_words`` impls handle it identically (rank-list lookup in
+    ``single_pass``; parity test-pinned in tests/test_advice_r14.py),
+    so there is no per-impl divergence left for a duplicate to
+    trigger (r14 ADVICE)."""
     import json
 
     with open(path) as fh:
@@ -422,9 +431,20 @@ def segment_words(
 
     # closures, not module functions — the worker-shipping rule
     def run(batches):
+        import bisect as _bisect
+
         import pandas as _pd
 
-        ranks = {(l, r): i for i, (l, r, _m) in enumerate(table)}
+        # pair -> SORTED rank list, not a last-wins dict (r14 ADVICE):
+        # a table may legitimately carry the same (left, right) at two
+        # ranks — the fold replay applies BOTH (an intermediate merge
+        # can re-create a pair via a merged-string collision), so the
+        # single-pass must consider every rank of a pair, taking the
+        # lowest one past the replay cursor. A last-wins dict kept
+        # only the final rank and silently diverged from the replay.
+        ranks = {}
+        for i, (l, r, _m) in enumerate(table):
+            ranks.setdefault((l, r), []).append(i)
 
         def sweep(syms, left, right, merged):
             out, pend = [], None
@@ -453,11 +473,14 @@ def segment_words(
             while True:
                 best = None
                 for p in zip(syms, syms[1:]):
-                    rk = ranks.get(p)
-                    if rk is not None and rk > done and (
-                        best is None or rk < best
-                    ):
-                        best = rk
+                    rks = ranks.get(p)
+                    if rks is not None:
+                        # lowest rank of this pair past the cursor
+                        j = _bisect.bisect_right(rks, done)
+                        if j < len(rks) and (
+                            best is None or rks[j] < best
+                        ):
+                            best = rks[j]
                 if best is None:
                     return syms
                 left, right, merged = table[best]

@@ -192,6 +192,10 @@ class IvfLayoutStore(BatchDirStore):
                     "epoch_hwm": {},
                     "generation": 0,
                     "centroids_dir": "centroids",
+                    # persisted so appends can bound their delta
+                    # shuffle without re-counting the centroid frame
+                    # (r14 verdict #4); known here for free
+                    "n_centroids": cents.count(),
                     "stats": {"base": stats},
                     "build_mean_sim": stats["mean_sim"],
                     "needs_retrain": False,
@@ -206,6 +210,7 @@ class IvfLayoutStore(BatchDirStore):
         batch_id: str,
         centroids: DataFrame | None = None,
         bound_files: bool = False,
+        n_partitions: int | None = None,
     ) -> dict:
         """Assign + write one batch dir; returns its stats. The
         assignment is cut once (two consumers: the layout write and the
@@ -213,11 +218,14 @@ class IvfLayoutStore(BatchDirStore):
         ``bound_files=True`` (the APPEND path, r13) repartitions on the
         bucket before the write — one file per touched bucket instead
         of up to parallelism x buckets tiny files per delta, the
-        file-explosion driver on a streaming ingest. Builds/rebuilds
-        keep task-parallel writes: a corpus-sized repartition to
-        #centroids partitions would serialize the big write (parquet
-        stays splittable either way, so probe parallelism is
-        unaffected)."""
+        file-explosion driver on a streaming ingest; ``n_partitions``
+        (r15, r14 verdict #4) bounds that shuffle to
+        min(n_centroids, parallelism) from the meta's persisted
+        centroid count instead of the session default (200 mostly-empty
+        shuffle partitions per streaming epoch). Builds/rebuilds keep
+        task-parallel writes: a corpus-sized repartition to #centroids
+        partitions would serialize the big write (parquet stays
+        splittable either way, so probe parallelism is unaffected)."""
         assigned = _assign_with_sim(
             vectors,
             self.centroids() if centroids is None else centroids,
@@ -231,7 +239,11 @@ class IvfLayoutStore(BatchDirStore):
         # pruned buckets (matmul over every vector), so there is no
         # row-level pushdown for sorted stats to feed
         self._write_bucket_sorted(
-            assigned.drop("sim"), out, "bucket_id", bound_files=bound_files
+            assigned.drop("sim"),
+            out,
+            "bucket_id",
+            bound_files=bound_files,
+            n_partitions=n_partitions,
         )
         row = assigned.agg(
             F.count("*").alias("n"),
@@ -278,7 +290,21 @@ class IvfLayoutStore(BatchDirStore):
                 )
             if ledger.is_committed(meta, batch_id):
                 return self.drift()  # replay: state already reflects it
-            stats = self._write_batch(vectors, batch_id, bound_files=True)
+            if "n_centroids" not in meta:
+                # legacy store predating the persisted count: count the
+                # (small) centroid frame ONCE under the lock — the
+                # commit below persists it, so every later append reads
+                # it for free
+                meta["n_centroids"] = self.centroids().count()
+            stats = self._write_batch(
+                vectors,
+                batch_id,
+                bound_files=True,
+                n_partitions=min(
+                    int(meta["n_centroids"]),
+                    self.spark.sparkContext.defaultParallelism,
+                ),
+            )
             # the lock freezes the meta — no re-read needed between the
             # batch write and the commit (pre-r11 this was an unlocked
             # RMW that could lose a concurrent writer's entry)
@@ -430,6 +456,7 @@ class IvfLayoutStore(BatchDirStore):
                     "epoch_hwm": meta["epoch_hwm"],
                     "generation": gen,
                     "centroids_dir": cdir_name,
+                    "n_centroids": cents.count(),
                     "stats": {gen_id: stats},
                     "build_mean_sim": stats["mean_sim"],
                     "needs_retrain": False,

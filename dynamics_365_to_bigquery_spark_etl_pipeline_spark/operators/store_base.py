@@ -54,27 +54,36 @@ from .store_lock import store_write_lock
 # vocabulary (n-gram probe_counts, BM25 topk).
 PARQUET_IN_MAX = 512
 
+# set alongside the threshold upgrade so the provenance is auditable
+# in the session conf (r14 ADVICE): "513 because a store probe raised
+# it", distinguishable from "513 because the user chose 513"
+PARQUET_IN_UPGRADE_MARKER = "spark.sparkgraft.parquetInThresholdUpgraded"
+
 
 def raise_parquet_in_threshold(spark, n_values: int) -> None:
     """Let a bounded IN list reach parquet as per-value predicates:
     raise ``spark.sql.parquet.pushdown.inFilterThreshold`` past the
-    cap — but ONLY when the session still holds the untouched default
-    (10): a store probe may upgrade the default, never override a
-    deliberate session choice (r14 review). Session-global and sticky
-    by design — the probe frames are lazy, so a restore would race the
-    caller's action. No-op for lists over the cap (those fall back to
-    the reader's min/max range predicate; the Spark-side InSet still
-    prunes the join)."""
+    cap — but ONLY when the session has never SET the key: presence in
+    the session conf (read with no fallback default) is the test, so a
+    user who deliberately set the threshold — even to its default
+    value of 10 — is respected (r14 ADVICE; the old ``== 10`` compare
+    could not tell "untouched" from "explicitly 10"). The upgrade
+    records ``PARQUET_IN_UPGRADE_MARKER`` so its provenance is
+    visible. Session-global and sticky by design — the probe frames
+    are lazy, so a restore would race the caller's action. No-op for
+    lists over the cap (those fall back to the reader's min/max range
+    predicate; the Spark-side InSet still prunes the join)."""
     if n_values > PARQUET_IN_MAX:
         return
-    cur = int(
-        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
+    cur = spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold", None
     )
-    if cur == 10:
+    if cur is None:
         spark.conf.set(
             "spark.sql.parquet.pushdown.inFilterThreshold",
             str(PARQUET_IN_MAX + 1),
         )
+        spark.conf.set(PARQUET_IN_UPGRADE_MARKER, "true")
 
 
 class BatchDirStore:

@@ -398,3 +398,53 @@ def test_rebuild_and_topk_refuse_partial_store(spark, tmp_path):
         store.rebuild(_centroids(spark))
     with pytest.raises(RuntimeError, match="missing on disk.*compacting"):
         store.compact()
+
+
+def test_append_bounds_repartition_to_n_centroids(spark, tmp_path, monkeypatch):
+    """r15 (r14 verdict #4): the centroid count is persisted in the
+    meta at build/rebuild, and an append's bound-files repartition
+    lands in min(n_centroids, parallelism) partitions instead of the
+    session default — the last store whose delta shuffle was unbounded.
+    Legacy metas (no field) self-upgrade on their first append."""
+    import json
+
+    rng = np.random.default_rng(11)
+    store = IvfLayoutStore(spark, str(tmp_path / "s"))
+    store.build(_frame(spark, _blob_vectors(rng, 0, 20, 0)), _centroids(spark))
+    assert store._read_meta()["n_centroids"] == N_BLOBS
+
+    seen = []
+    orig = IvfLayoutStore._write_bucket_sorted
+
+    def spy(self, df, out, bucket_col, sort_cols=(), bound_files=False,
+            n_partitions=None):
+        seen.append((bound_files, n_partitions))
+        return orig(self, df, out, bucket_col, sort_cols, bound_files,
+                    n_partitions)
+
+    monkeypatch.setattr(IvfLayoutStore, "_write_bucket_sorted", spy)
+    store.append(_frame(spark, _blob_vectors(rng, 1, 10, 100)), "d1")
+    want_n = min(N_BLOBS, spark.sparkContext.defaultParallelism)
+    assert seen == [(True, want_n)]
+
+    # legacy meta: drop the field on disk; the next append counts the
+    # centroid frame once and re-persists it
+    meta_path = store._meta_path()
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    del meta["n_centroids"]
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    seen.clear()
+    store.append(_frame(spark, _blob_vectors(rng, 2, 10, 200)), "d2")
+    assert seen == [(True, want_n)]
+    assert store._read_meta()["n_centroids"] == N_BLOBS
+
+    # rebuild re-persists the (new) centroid count
+    store.rebuild(_centroids(spark))
+    assert store._read_meta()["n_centroids"] == N_BLOBS
+
+    # one file per touched bucket in the appended dirs (the bound-files
+    # contract the n_partitions bound must not break)
+    root = store._batch_dir(store.committed_batches()[0])
+    assert os.path.isdir(root)

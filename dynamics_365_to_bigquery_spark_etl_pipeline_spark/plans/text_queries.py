@@ -1251,6 +1251,15 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segmentation pass would re-execute per plan branch (review pin;
     # vocabulary-sized, bounded, same rationale as wc above)
     seg = bpe.segment_words(wc.select("word"), merges).localCheckpoint()
+    # the broadcasts below ship VOCABULARY-sized frames (seg, the
+    # piece vocab) — safe only under the stated coupling to the
+    # driver-local training threshold (r14 verdict #6): a vocabulary
+    # past it falls back to shuffle joins, identical results
+    hint = (
+        F.broadcast
+        if bpe.broadcast_vocab_ok(seg.count())
+        else (lambda df: df)
+    )
     word_pieces = seg.join(wc, "word")  # (word, pieces, n)
     piece_vocab = (
         word_pieces.select(F.explode("pieces").alias("piece"), "n")
@@ -1271,14 +1280,14 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(normalized_tokens(F.col("text"))).alias("pos", "word"),
     )
     encoded = (
-        toks.join(F.broadcast(seg), "word")
+        toks.join(hint(seg), "word")
         .select(
             "doc_id",
             "source",
             "pos",
             F.posexplode("pieces").alias("ppos", "piece"),
         )
-        .join(F.broadcast(piece_vocab), "piece")
+        .join(hint(piece_vocab), "piece")
     )
     per_doc = encoded.groupBy("doc_id", "source").agg(
         F.transform(
@@ -1323,3 +1332,79 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_bpe_token_ids"] = q_bpe_token_ids
+
+
+# constant encode-side probes over characters the synthetic fixtures
+# never emit (Greek/Cyrillic) — guaranteed char-level OOV at any SF
+OOV_PROBE_WORDS = ("δelta-φ", "мирный", "zzζζzz")
+
+
+def q_bpe_encode_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-artifact REUSE path (r15, r14 verdict #3): train
+    on HALF the corpus (even doc_ids), persist merges + piece vocab as
+    the artifact would, then ENCODE the words of the OTHER half — a
+    partially disjoint vocabulary — through ``bpe.encode_words``'
+    vocab -> char-fallback -> UNK chain. Returns per encode-side word:
+    (word, n_pieces, n_unk, first_id). ZERO dropped words by
+    construction (asserted by the exact pure-Python oracle in
+    tests/test_bpe_pack.py — the trainer is not SQL-expressible, so
+    like the other bpe rows this has no DuckDB oracle).
+
+    The corpus halves can fully share a vocabulary at small SFs (the
+    fixtures clone texts), so ``OOV_PROBE_WORDS`` — constant words
+    over characters outside the fixture alphabet — ride along on the
+    encode side to keep the fallback chain exercised at every scale.
+
+    Scale shapes: train-side is q_bpe_token_ids' shape; encode-side is
+    one corpus scan -> distinct words -> one vocabulary-sized Python
+    segmentation pass + two bounded broadcast joins."""
+    from pyspark.sql import Window
+
+    from ..operators import bpe
+    from ..operators.dedup import normalized_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    wc = bpe.word_counts(train).localCheckpoint()
+    merges = bpe.train_bpe(wc, BPE_MERGES)
+    seg = bpe.segment_words(wc.select("word"), merges).localCheckpoint()
+    vocab_rows = (
+        seg.join(wc, "word")
+        .select(F.explode("pieces").alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .withColumn(
+            "piece_id",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            )
+            - 1,
+        )
+        .select("piece", "piece_id")
+        .collect()
+    )
+    vocab = [(r["piece"], int(r["piece_id"])) for r in vocab_rows]
+    unk_id = len(vocab)
+    other_words = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select(F.explode(normalized_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .unionByName(
+            spark.createDataFrame(
+                [(w,) for w in OOV_PROBE_WORDS], "word string"
+            )
+        )
+        .distinct()
+    )
+    enc = bpe.encode_words(other_words, merges, vocab, unk_id=unk_id)
+    return enc.select(
+        "word",
+        F.size("piece_ids").alias("n_pieces"),
+        F.size(
+            F.filter("piece_ids", lambda x: x == F.lit(unk_id))
+        ).alias("n_unk"),
+        F.element_at("piece_ids", 1).alias("first_id"),
+    )
+
+
+EXTRA_QUERIES["q_bpe_encode_oov"] = q_bpe_encode_oov

@@ -231,3 +231,124 @@ def test_merge_table_artifact_roundtrip(spark, tmp_path):
         with pytest.raises(ValueError, match=match):
             bpe.load_merges(bad)
     assert not os.path.exists(p + ".tmp")
+
+
+def test_select_batch_stop_rules():
+    """r15 batched rounds: each _select_batch stop rule pinned as a
+    pure function — prefix stop on component reuse, the created-pair
+    trigram-bound guard (c must STRICTLY exceed the running max),
+    stop-after-collision (alphabet or in-batch duplicate merged
+    string); the first candidate always selected."""
+    sb = bpe._select_batch
+    chars = set("abcdefgh")
+    # disjoint candidates under zero bounds: all taken
+    cands = [("a", "b", 10), ("c", "d", 8), ("e", "f", 6)]
+    assert sb(cands, {}, chars) == cands
+    # sharing a LEFT with a left (or a right with a right) is
+    # harmless — sites can never overlap, counts are independent
+    cands = [("a", "b", 10), ("a", "c", 8), ("d", "c", 6)]
+    assert sb(cands, {}, chars) == cands
+    # CROSS-conflict STOPS the batch (no skipping past it): a merge
+    # site "a b" destroys (x,a) and (b,y) adjacencies
+    cands = [("a", "b", 10), ("b", "c", 8), ("e", "f", 6)]
+    assert sb(cands, {}, chars) == [("a", "b", 10)]
+    cands = [("a", "b", 10), ("c", "a", 8), ("e", "f", 6)]
+    assert sb(cands, {}, chars) == [("a", "b", 10)]
+    # a self-pair poisons both sides
+    cands = [("a", "a", 10), ("a", "c", 8)]
+    assert sb(cands, {}, chars) == [("a", "a", 10)]
+    # created-pair guard: the next count must STRICTLY exceed the
+    # running max of selected members' trigram bounds
+    cands = [("a", "b", 10), ("c", "d", 9)]
+    assert sb(cands, {("a", "b"): 9}, chars) == [("a", "b", 10)]
+    assert sb(cands, {("a", "b"): 8}, chars) == cands  # 9 > 8 passes
+    # the guard is a MAX across members, not a sum
+    cands = [("a", "b", 10), ("c", "d", 9), ("e", "f", 7)]
+    assert sb(cands, {("a", "b"): 4, ("c", "d"): 4}, chars) == cands
+    assert sb(cands, {("a", "b"): 4, ("c", "d"): 8}, chars) == [
+        ("a", "b", 10),
+        ("c", "d", 9),
+    ]  # third: 7 <= max(4, 8)
+    # merged-string collision with an existing symbol stops AFTER the
+    # colliding member (later members could see boosted counts)
+    cands = [("a", "b", 10), ("c", "d", 9)]
+    assert sb(cands, {}, chars | {"ab"}) == [("a", "b", 10)]
+    # two members producing the SAME merged string: second one stops
+    # the batch (their creations would stack on the same pair strings)
+    cands = [("a", "bc", 10), ("ab", "c", 9), ("e", "f", 7)]
+    assert sb(cands, {}, {"a", "bc", "ab", "c", "e", "f"}) == [
+        ("a", "bc", 10),
+        ("ab", "c", 9),
+    ]
+    # the first candidate is always taken, even colliding
+    assert sb([("a", "b", 1)], {("a", "b"): 99}, chars | {"ab"}) == [
+        ("a", "b", 1)
+    ]
+
+
+def test_batched_distributed_matches_reference_random(spark):
+    """The r15 batched distributed loop must stay bit-identical to the
+    sequential reference on small-alphabet random corpora — the worst
+    case for batching (every stop rule fires constantly), so this
+    exercises the equivalence argument, not just the happy path."""
+    import random
+
+    for seed, n_merges, min_count, max_batch in (
+        (0, 10, 1, 512),
+        (1, 10, 2, 512),
+        (2, 12, 1, 3),
+    ):
+        rnd = random.Random(seed)
+        words = {
+            "".join(
+                rnd.choice("abcdef") for _ in range(rnd.randint(1, 8))
+            ): rnd.randint(1, 9)
+            for _ in range(40)
+        }
+        wc_df = spark.createDataFrame(
+            list(words.items()), "word string, n long"
+        )
+        want = reference_bpe(words, n_merges, min_count)
+        got = [
+            tuple(m)
+            for m in bpe.train_bpe(
+                wc_df,
+                n_merges,
+                min_count=min_count,
+                local_threshold=0,
+                max_batch=max_batch,
+            )
+        ]
+        assert got == want, (seed, n_merges, min_count, max_batch)
+
+
+def test_batched_rounds_amortize_on_wide_alphabet(spark, monkeypatch):
+    """On a wide symbol alphabet (the multilingual-corpus shape) the
+    top pairs are mostly disjoint, so one round emits MANY merges —
+    the mechanism that turns 32k driver-coordinated rounds into
+    hundreds. Pinned: far fewer fold rounds than merges, and the
+    result still bit-matches the sequential reference."""
+    import random
+
+    rnd = random.Random(7)
+    alpha = [chr(0x3B1 + i) for i in range(48)]  # Greek block: 48 chars
+    words = {
+        "".join(rnd.choice(alpha) for _ in range(rnd.randint(2, 6))): rnd.randint(1, 9)
+        for _ in range(300)
+    }
+    calls = []
+    orig = bpe._apply_merge_batch
+
+    def spy(df, batch):
+        calls.append(len(batch))
+        return orig(df, batch)
+
+    monkeypatch.setattr(bpe, "_apply_merge_batch", spy)
+    wc_df = spark.createDataFrame(list(words.items()), "word string, n long")
+    got = [
+        tuple(m) for m in bpe.train_bpe(wc_df, 40, local_threshold=0)
+    ]
+    assert got == reference_bpe(words, 40)
+    assert len(got) == 40
+    # the final batch is never folded, so rounds = len(calls) + 1
+    assert len(calls) + 1 <= 12, calls

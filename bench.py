@@ -501,9 +501,10 @@ def main() -> None:
         round(min(s_samples), 3), round(max(s_samples), 3)
     ]
 
-    # the unified-pipeline row (r12 verdict #6): 1 rep — each rep
-    # drains a fresh store and the row is fixed-choreography-bound
-    i_samples = bench_stream_ingest(spark, sf_dir, 1)
+    # the unified-pipeline row (r12 verdict #6; r15: 2 reps so the
+    # committed spread is a real interval the robust-flag overlap
+    # check can adjudicate, not a point — r14 verdict #7)
+    i_samples = bench_stream_ingest(spark, sf_dir, min(reps, 2))
     timings[INGEST_ROW] = round(statistics.median(i_samples), 3)
     spread[INGEST_ROW] = [
         round(min(i_samples), 3), round(max(i_samples), 3)
@@ -519,6 +520,12 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
         "calib": calib,
+        # structural tag consumed by calib_compare (r14 verdict #7):
+        # these two clocks are choreography-bound and CPU-insensitive
+        # (SCALING.md shows q_stream_ingest_4ep flat across a 3.8x
+        # calib swing), so the adjudication blocks compare them at
+        # their RAW ratio instead of dividing by a host CPU factor
+        "choreography": [STREAM_ROW, INGEST_ROW],
     }
     result["normalized_vs_prev"] = self_normalize(result, REPO_ROOT)
     result["normalized_vs_nearest_host"] = nearest_host_normalize(result, REPO_ROOT)

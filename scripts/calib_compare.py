@@ -199,13 +199,28 @@ def compare(ref: dict, new: dict) -> dict:
     h_jvm = cal_new["jvm_range_sum_20m"] / cal_ref["jvm_range_sum_20m"]
     h_py = cal_new["python_loop_2m"] / cal_ref["python_loop_2m"]
     sp_ref, sp_new = ref.get("spread", {}), new.get("spread", {})
+    # choreography rows (r15, r14 verdict #7): stream-drain clocks
+    # dominated by fixed trigger/lock/two-phase-commit choreography —
+    # SCALING.md documents them holding flat across a 3.8x CPU-calib
+    # swing, so dividing by a host CPU factor over- or under-corrects
+    # them structurally. They compare at their RAW ratio (host factor
+    # 1.0 — the honest normalization for a CPU-insensitive clock) and
+    # carry a "choreography": true marker in their row.
+    choreo = set(ref.get("choreography", []) or []) | set(
+        new.get("choreography", []) or []
+    )
     rows = []
     total_norm_new = 0.0
     for name, t_ref in ref["queries"].items():
         t_new = new["queries"].get(name)
         if t_new is None:
             continue
-        h = h_py if name in PYTHON_BOUND else h_jvm
+        if name in choreo:
+            h = 1.0
+        elif name in PYTHON_BOUND:
+            h = h_py
+        else:
+            h = h_jvm
         raw = t_new / t_ref
         norm = (t_new / h) / t_ref
         total_norm_new += t_new / h
@@ -220,17 +235,18 @@ def compare(ref: dict, new: dict) -> dict:
         robust = flag
         if name in sp_ref and name in sp_new:
             robust = flag and (min(sp_new[name]) / h) > max(sp_ref[name])
-        rows.append(
-            {
-                "query": name,
-                "t_ref": t_ref,
-                "t_new": t_new,
-                "raw_ratio": round(raw, 2),
-                "norm_ratio": round(norm, 2),
-                "flag": flag,
-                "robust": robust,
-            }
-        )
+        row = {
+            "query": name,
+            "t_ref": t_ref,
+            "t_new": t_new,
+            "raw_ratio": round(raw, 2),
+            "norm_ratio": round(norm, 2),
+            "flag": flag,
+            "robust": robust,
+        }
+        if name in choreo:
+            row["choreography"] = True
+        rows.append(row)
     total_ref = sum(r["t_ref"] for r in rows)
     total_new = sum(r["t_new"] for r in rows)
     return {

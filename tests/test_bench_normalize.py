@@ -441,3 +441,51 @@ def test_detail_sidecar_diverts_off_sf_runs(tmp_path):
         bench.detail_sidecar_name(str(tmp_path), 0.01)
         == "BENCH_detail_r1_sf0.01.json"
     )
+
+
+def test_choreography_rows_compare_raw(tmp_path):
+    """r15 (r14 verdict #7): a row tagged "choreography" in either
+    artifact compares at its RAW ratio (host factor 1.0) — these
+    stream-drain clocks are CPU-insensitive, so dividing by a JVM
+    calib factor over- or under-corrects them structurally — and the
+    row carries the tag so a reader knows which normalization it got.
+    Untagged rows keep their CPU normalization."""
+    ref = dict(
+        _artifact(
+            {"q_stream_x": 10.0, "q_jvm_steady": 1.0}, jvm=0.10, py=0.10
+        ),
+        choreography=["q_stream_x"],
+    )
+    # 2x-slower JVM host: the jvm row doubles raw (pure host), the
+    # stream row is flat raw (choreography does not scale with CPU)
+    new = dict(
+        _artifact(
+            {"q_stream_x": 10.5, "q_jvm_steady": 2.0}, jvm=0.20, py=0.10
+        ),
+        choreography=["q_stream_x"],
+    )
+    out = calib.compare(ref, new)
+    rows = {r["query"]: r for r in out["rows"]}
+    # raw 1.05 stays 1.05 — NOT divided by the 2x host factor (which
+    # would have under-read it as 0.53) — and is not flagged
+    assert rows["q_stream_x"]["norm_ratio"] == 1.05
+    assert rows["q_stream_x"]["choreography"] is True
+    assert not rows["q_stream_x"]["flag"]
+    assert rows["q_jvm_steady"]["norm_ratio"] == 1.0
+    assert "choreography" not in rows["q_jvm_steady"]
+    # a genuine choreography regression still flags, at raw ratio
+    new2 = dict(
+        _artifact({"q_stream_x": 15.0}, jvm=0.20, py=0.10),
+        choreography=["q_stream_x"],
+    )
+    out2 = calib.compare(ref, new2)
+    assert out2["rows"][0]["norm_ratio"] == 1.5
+    assert out2["flagged"] == ["q_stream_x"]
+    # the tag is honored when only ONE side carries it (older ref)
+    out3 = calib.compare(_artifact({"q_stream_x": 10.0}, jvm=0.10, py=0.10), new2)
+    assert out3["rows"][0]["norm_ratio"] == 1.5
+
+
+def test_bench_artifact_declares_choreography_rows():
+    assert bench.STREAM_ROW in ("q_stream_ivf_append_4ep",)
+    assert bench.INGEST_ROW in ("q_stream_ingest_4ep",)

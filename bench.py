@@ -104,10 +104,12 @@ STREAM_ROW = "q_stream_ivf_append_4ep"
 # two-phase-commit choreography — exactly what regresses; measured
 # flat between quarter- and full-corpus inputs at sf0.1 (~30 s), so
 # the row is a choreography clock, not a throughput row. Source writes
-# and heldout derivation are untimed setup; 1 rep (its committed
-# cross-round spread is the variance signal). Totals grow by its ~30 s
-# at sf0.1 — SCALING.md notes the set grew; cross-round totals compare
-# via calib_compare's per-query rows.
+# and heldout derivation are untimed setup; 2 reps since r15 (r14
+# verdict #7: a 1-rep spread is a point the robust-flag overlap check
+# cannot adjudicate), and the row rides the "choreography" tag so the
+# adjudication blocks compare it at its RAW ratio. Totals grew by its
+# ~30 s at sf0.1 when it landed — SCALING.md notes the set grew;
+# cross-round totals compare via calib_compare's per-query rows.
 INGEST_ROW = "q_stream_ingest_4ep"
 
 

@@ -634,10 +634,17 @@ def load_merges(path: str) -> list[Merge]:
     ``single_pass``; parity test-pinned in tests/test_advice_r14.py),
     so there is no per-impl divergence left for a duplicate to
     trigger (r14 ADVICE)."""
+    return _validate_payload(path, _read_payload(path))
+
+
+def _read_payload(path: str) -> dict:
     import json
 
     with open(path) as fh:
-        payload = json.load(fh)
+        return json.load(fh)
+
+
+def _validate_payload(path: str, payload: dict) -> list[Merge]:
     if payload.get("version") != MERGES_VERSION:
         raise ValueError(
             f"merge table at {path} has version {payload.get('version')!r}"
@@ -667,11 +674,8 @@ def load_vocab(path: str) -> list[tuple[str, int]]:
     differently, not fail. Raises on a merges-only artifact: encoding
     without the trained id assignment is a different operation
     (``segment_words``), not a degraded mode."""
-    import json
-
-    load_merges(path)  # envelope validation (version, marker, ranks)
-    with open(path) as fh:
-        payload = json.load(fh)
+    payload = _read_payload(path)  # ONE read + parse (r15 review)
+    _validate_payload(path, payload)  # shared envelope validation
     if "vocab" not in payload:
         raise ValueError(
             f"artifact at {path} carries no piece vocab — it was saved "
@@ -720,7 +724,11 @@ def encode_words(
     ex = segment_words(words, merges).select(
         "word", F.posexplode("pieces").alias("ppos", "piece")
     )
-    j1 = ex.join(F.broadcast(vdf), "piece", "left")
+    # pinned: the known and fallback branches below both read this
+    # frame — without the cut the vocabulary-sized Python segmentation
+    # pass (and the vocab join) would re-execute per union branch
+    # (the q_bpe_token_ids review pin; r15 review)
+    j1 = ex.join(F.broadcast(vdf), "piece", "left").localCheckpoint()
     known = j1.filter(F.col("piece_id").isNotNull()).select(
         "word", "ppos", F.lit(0).alias("cpos"), "piece_id"
     )

@@ -215,6 +215,7 @@ class NgramCountStore(BatchDirStore):
                     B.build_dir_blooms(
                         self.spark, out, "gram_bucket", "gram"
                     ),
+                    canary=B.executor_canary(self.spark),
                 )
                 meta["batches"] = meta["batches"] + [batch_id]
                 # stats entries exist for LIVE dirs only (bounded meta
@@ -418,7 +419,10 @@ class NgramCountStore(BatchDirStore):
         Arrow pass over the delta-sized probe frame; the sidecars ride
         a broadcast so they serialize once per executor, not per
         task."""
-        dir_blooms = [B.load_sidecar(d) for d in dirs]
+        probe_canary = B.executor_canary(self.spark)
+        dir_blooms = [
+            B.load_sidecar(d, expected_canary=probe_canary) for d in dirs
+        ]
         if any(b is None for b in dir_blooms):
             return None
         tools = B.make_bloom_tools()
@@ -507,6 +511,7 @@ class NgramCountStore(BatchDirStore):
             B.save_sidecar(
                 out,
                 B.build_dir_blooms(self.spark, out, "gram_bucket", "gram"),
+                canary=B.executor_canary(self.spark),
             )
             ledger.record(meta, gen_id)
             self._write_meta(

@@ -1214,6 +1214,30 @@ EXTRA_QUERIES["q_bpe_merge_table"] = q_bpe_merge_table
 BPE_PACK_SEQ_LEN = 128
 
 
+def _piece_vocab_ranked(seg, wc):
+    """The trained piece->id table, ONE definition for both bpe plans
+    (r15 review — two hand-synced copies of a correctness-bearing
+    ranking can drift): pieces ranked by (corpus piece count DESC,
+    piece ASC), ids 0..V-1. The window is a SinglePartition over
+    PIECE-VOCAB rows — bounded by construction (chars + n_merges)."""
+    from pyspark.sql import Window
+
+    return (
+        seg.join(wc, "word")
+        .select(F.explode("pieces").alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .withColumn(
+            "piece_id",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            )
+            - 1,
+        )
+        .select("piece", "piece_id")
+    )
+
+
 def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained-tokenizer pipeline END TO END (r14, r13 verdict #4):
     corpus -> ``train_bpe`` -> ``segment_words`` -> piece-id assignment
@@ -1260,20 +1284,7 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         if bpe.broadcast_vocab_ok(seg.count())
         else (lambda df: df)
     )
-    word_pieces = seg.join(wc, "word")  # (word, pieces, n)
-    piece_vocab = (
-        word_pieces.select(F.explode("pieces").alias("piece"), "n")
-        .groupBy("piece")
-        .agg(F.sum("n").alias("cnt"))
-        .withColumn(
-            "piece_id",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-            )
-            - 1,
-        )
-        .select("piece", "piece_id")
-    )
+    piece_vocab = _piece_vocab_ranked(seg, wc)
     toks = docs.select(
         "doc_id",
         "source",
@@ -1368,21 +1379,7 @@ def q_bpe_encode_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = bpe.word_counts(train).localCheckpoint()
     merges = bpe.train_bpe(wc, BPE_MERGES)
     seg = bpe.segment_words(wc.select("word"), merges).localCheckpoint()
-    vocab_rows = (
-        seg.join(wc, "word")
-        .select(F.explode("pieces").alias("piece"), "n")
-        .groupBy("piece")
-        .agg(F.sum("n").alias("cnt"))
-        .withColumn(
-            "piece_id",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-            )
-            - 1,
-        )
-        .select("piece", "piece_id")
-        .collect()
-    )
+    vocab_rows = _piece_vocab_ranked(seg, wc).collect()
     vocab = [(r["piece"], int(r["piece_id"])) for r in vocab_rows]
     unk_id = len(vocab)
     other_words = (

@@ -225,3 +225,59 @@ def test_threshold_upgrade_only_when_unset(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_canary_is_executor_side_and_probe_checks_it(spark, tmp_path, monkeypatch):
+    """r15 review of the canary fix: the blooms are built and probed
+    by EXECUTOR Python workers, so the canary must be computed through
+    an executor job (executor_canary), recorded at build, and checked
+    against the PROBE-side executor canary at load. Pinned by (a) the
+    store passing executor canaries on both sides, and (b) a simulated
+    executor-drift (probe-side canary differs) leaving probe_counts
+    answers unchanged — exact fallback, bloom tier disabled."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    real = B.executor_canary(spark)
+    # memoized: second call returns the identical arrays, no new job
+    assert B.executor_canary(spark) is real
+    # in local mode driver and executor workers share one env: the
+    # executor canary must equal the driver's (sanity of the jobless
+    # default paths used by unit tests)
+    h1, h2 = B._driver_canary()
+    assert (real[0] == h1).all() and (real[1] == h2).all()
+
+    store = NgramCountStore(
+        spark, str(tmp_path / "s"), w=DUP_SPAN_W, n_buckets=4
+    )
+    store.append(docs, "b0")
+    probe = (
+        store.batch_counts(docs.limit(4).select("text"))
+        .unionByName(
+            store.batch_counts(
+                spark.createDataFrame(
+                    [
+                        (" ".join(f"rr{i}_{j}" for j in range(12)),)
+                        for i in range(30)
+                    ],
+                    "text string",
+                )
+            )
+        )
+        .localCheckpoint()
+    )
+
+    def lookup(counts_df):
+        return {
+            r.gram: r.c_past
+            for r in probe.join(counts_df, "gram", "left").collect()
+        }
+
+    want = lookup(store.past_counts())
+    assert lookup(store.probe_counts(probe, max_inline_vocab=1)) == want
+    # simulate probe-side executor drift: the probe's expected canary
+    # no longer matches what the build recorded -> sidecars refuse to
+    # load -> the bulk tier disables and the exact floor answers
+    import numpy as np
+
+    drifted = (real[0] ^ np.uint64(1), real[1])
+    monkeypatch.setattr(B, "executor_canary", lambda _s: drifted)
+    assert lookup(store.probe_counts(probe, max_inline_vocab=1)) == want

@@ -7,13 +7,20 @@ arXiv:1508.07909).
 Scale shape (the 100 TB question): the corpus is scanned ONCE into a
 ``(word, n)`` frequency frame — the only corpus-sized job, one
 explode + groupBy through the family's shared tokenizer. Every merge
-iteration after that works on the VOCABULARY-sized frame: weighted
-adjacent-pair counts (groupBy sum), a deterministic argmax (exactly
-one row collected per iteration — the driver never sees data), and a
-JVM-side higher-order fold (``F.aggregate``) that rewrites each
-word's symbol array with the merge applied leftmost-nonoverlapping.
-No Python UDF anywhere; the per-iteration frame is localCheckpointed
-so 50 merges cost 50 small jobs, not one 50-transform-deep plan.
+round after that works on the VOCABULARY-sized frame. Since r15 the
+default distributed path is BATCHED (r14 verdict #2): each round runs
+one fused stats job (adjacent-pair counts + trigram created-pair
+bounds), collects up to ``max_batch`` candidate rows, keeps the
+longest prefix provably equal to the sequential merge sequence
+(``_select_batch``), and applies the whole batch in ONE vectorized
+Arrow ``mapInPandas`` pass (``_apply_merge_batch``) — so Python
+workers ARE on the default distributed path. ``max_batch=1`` restores
+the r13 shape: zero Python on executors, one row collected per round,
+a JVM-side higher-order fold (``F.aggregate``) rewriting each word's
+symbol array leftmost-nonoverlapping. Either way the per-round frame
+is localCheckpointed so n rounds cost n small jobs, not one
+n-transform-deep plan; under ``local_threshold`` (default 500k
+distinct words) the whole vocabulary trains driver-local instead.
 
 Determinism (what makes the pure-Python oracle in
 tests/test_bpe.py possible): counts are exact longs and the winning
@@ -712,15 +719,20 @@ def encode_words(
        characters the training corpus never saw.
 
     Every input word therefore yields >= 1 id (segmentation never
-    drops a word; the fallback chain never drops a piece). Rows with
-    NULL words are the caller's bug and are dropped by the explode —
-    feed ``normalized_tokens`` output. The vocab ships driver->
-    executors once (bounded: it is the trained piece table, at most
-    chars + n_merges rows)."""
+    drops a word; the fallback chain never drops a piece). Output is
+    ONE ROW PER DISTINCT WORD — the input is deduplicated on ``word``
+    internally (the final groupBy would otherwise concatenate the id
+    arrays of duplicate rows; r15 review pass 2), so callers encoding
+    an exploded token frame join the result back on ``word``. Rows
+    with NULL words are the caller's bug and are dropped by the
+    explode — feed ``normalized_tokens`` output. The vocab ships
+    driver->executors once (bounded: it is the trained piece table, at
+    most chars + n_merges rows)."""
     if unk_id is None:
         unk_id = max(i for _p, i in vocab) + 1
     spark = words.sparkSession
     vdf = spark.createDataFrame(vocab, "piece string, piece_id int")
+    words = words.select("word").dropDuplicates(["word"])
     ex = segment_words(words, merges).select(
         "word", F.posexplode("pieces").alias("ppos", "piece")
     )
@@ -739,10 +751,16 @@ def encode_words(
             F.lit(1), F.length("piece") - F.lit(len(END))
         ),
     ).otherwise(F.col("piece"))
+    # the last-core-char index is computed off the BASE column, not
+    # ``core`` — HOF lambdas run interpreted without subexpression
+    # elimination, so length(core) would re-evaluate the when/substr
+    # per element (the _with_symbols rule; r15 review pass 2). When
+    # has_end: len(core) - 1 == length(piece) - len(END) - 1.
     chars = F.transform(
         F.split(core, ""),
         lambda ch, i: F.when(
-            has_end & (i == F.length(core) - 1), F.concat(ch, F.lit(END))
+            has_end & (i == F.length("piece") - F.lit(len(END) + 1)),
+            F.concat(ch, F.lit(END)),
         ).otherwise(ch),
     )
     fallback = (

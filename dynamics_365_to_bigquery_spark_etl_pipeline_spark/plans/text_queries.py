@@ -1259,7 +1259,8 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds above); segmentation + piece ranking are vocabulary-sized
     (the ranking window is a SinglePartition over VOCAB rows — bounded
     by construction); the corpus re-encode is one posexplode + two
-    BROADCAST joins (word->pieces, piece->id, both vocabulary-sized)
+    BROADCAST joins (word->pieces, vocabulary-sized and gated;
+    piece->id, bounded by chars + BPE_MERGES, always broadcast)
     + one doc-keyed re-assembly; packing windows per source, never
     globally."""
     from pyspark.sql import Window
@@ -1275,10 +1276,12 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segmentation pass would re-execute per plan branch (review pin;
     # vocabulary-sized, bounded, same rationale as wc above)
     seg = bpe.segment_words(wc.select("word"), merges).localCheckpoint()
-    # the broadcasts below ship VOCABULARY-sized frames (seg, the
-    # piece vocab) — safe only under the stated coupling to the
-    # driver-local training threshold (r14 verdict #6): a vocabulary
-    # past it falls back to shuffle joins, identical results
+    # the seg broadcast ships a VOCABULARY-sized frame — safe only
+    # under the stated coupling to the driver-local training threshold
+    # (r14 verdict #6): a vocabulary past it falls back to a shuffle
+    # join, identical results. piece_vocab is NOT vocabulary-sized (at
+    # most chars + BPE_MERGES rows by construction) so it broadcasts
+    # unconditionally below (r15 review pass 2).
     hint = (
         F.broadcast
         if bpe.broadcast_vocab_ok(seg.count())
@@ -1298,7 +1301,7 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
             F.posexplode("pieces").alias("ppos", "piece"),
         )
-        .join(hint(piece_vocab), "piece")
+        .join(F.broadcast(piece_vocab), "piece")
     )
     per_doc = encoded.groupBy("doc_id", "source").agg(
         F.transform(
@@ -1369,8 +1372,6 @@ def q_bpe_encode_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shapes: train-side is q_bpe_token_ids' shape; encode-side is
     one corpus scan -> distinct words -> one vocabulary-sized Python
     segmentation pass + two bounded broadcast joins."""
-    from pyspark.sql import Window
-
     from ..operators import bpe
     from ..operators.dedup import normalized_tokens
 

@@ -72,19 +72,34 @@ def main() -> None:
         assert a.stats()["score_mode"] == "int64"
         assert b.stats()["score_mode"] == "decimal38"
 
+        # every cycle's rows (warm-up included) are kept and compared
+        # pairwise after the run — the identity holds for EVERY cycle,
+        # not just the last, without the comparison cost landing inside
+        # either arm's timed wall (r15 review pass 2)
+        seen: dict[str, list] = {"topk_int64": [], "topk_decimal38": []}
+
         def topk_int64(_ctx):
-            return _rows(a.topk(QUERIES, k=BM25_TOP))
+            out = _rows(a.topk(QUERIES, k=BM25_TOP))
+            seen["topk_int64"].append(out)
+            return out
 
         def topk_decimal38(_ctx):
-            return _rows(b.topk(QUERIES, k=BM25_TOP))
+            out = _rows(b.topk(QUERIES, k=BM25_TOP))
+            seen["topk_decimal38"].append(out)
+            return out
 
-        timings, last = ab_lib.warmup_interleaved(
+        timings, _last = ab_lib.warmup_interleaved(
             {"topk_int64": topk_int64, "topk_decimal38": topk_decimal38},
             reps,
         )
-        assert last["topk_int64"] == last["topk_decimal38"], (
-            "in-range topk must be bit-identical across modes"
-        )
+        assert len(seen["topk_int64"]) == len(seen["topk_decimal38"]) > 0
+        for cyc, (ra, rb) in enumerate(
+            zip(seen["topk_int64"], seen["topk_decimal38"])
+        ):
+            assert ra == rb, (
+                f"in-range topk must be bit-identical across modes "
+                f"(cycle {cyc})"
+            )
         print(
             f"\nsf_dir={sf_dir} docs={n_docs} queries={len(QUERIES)} "
             f"k={BM25_TOP} reps={reps}"

@@ -279,3 +279,49 @@ def test_encode_words_disjoint_alphabet_and_artifact_vocab(spark, tmp_path):
     json.dump(raw, open(bad, "w"))
     with pytest.raises(ValueError, match="corrupt vocab"):
         bpe.load_vocab(bad)
+
+
+def test_encode_words_duplicate_rows_and_extra_columns(spark):
+    """encode_words dedupes its input on word (r15 review pass 2): an
+    exploded token frame — duplicate word occurrences, extra columns —
+    is the natural 'encode any corpus' input, and before the fix the
+    final groupBy concatenated each duplicate's ids ([5,5,7,7] instead
+    of [5,7]) with no error. One row per DISTINCT word, ids identical
+    to the distinct-input encode."""
+    wc = spark.createDataFrame(
+        [("abab", 5), ("ab", 3)], "word string, n long"
+    )
+    merges = bpe.train_bpe(wc, 2)
+    seg = {
+        r.word: list(r.pieces)
+        for r in bpe.segment_words(wc.select("word"), merges).collect()
+    }
+    pc: dict[str, int] = {}
+    counts = {"abab": 5, "ab": 3}
+    for w, ps in seg.items():
+        for p in ps:
+            pc[p] = pc.get(p, 0) + counts[w]
+    vocab = [
+        (p, i)
+        for i, (p, _c) in enumerate(
+            sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    ]
+
+    distinct_in = spark.createDataFrame(
+        [("ab",), ("abz",)], "word string"
+    )
+    want = {
+        r.word: list(r.piece_ids)
+        for r in bpe.encode_words(distinct_in, merges, vocab).collect()
+    }
+
+    # same words as an exploded token frame: duplicates + extra cols
+    dup_in = spark.createDataFrame(
+        [(0, "ab"), (1, "abz"), (2, "ab"), (3, "ab"), (4, "abz")],
+        "pos long, word string",
+    )
+    got_rows = bpe.encode_words(dup_in, merges, vocab).collect()
+    got = {r.word: list(r.piece_ids) for r in got_rows}
+    assert len(got_rows) == 2, "one row per DISTINCT word"
+    assert got == want

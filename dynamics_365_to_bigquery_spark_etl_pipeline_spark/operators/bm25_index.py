@@ -128,7 +128,13 @@ class Bm25Index(BatchDirStore):
         """(doc_id, tok) — the full-corpus query's exact tokenizer."""
         return docs.select(
             F.col(self.id_col).alias("doc_id"),
-            F.explode(normalized_tokens(F.col(self.text_col))).alias("tok"),
+            # explode_OUTER (r15): a plain explode makes Catalyst infer
+            # a size>0 filter that re-evaluates the tokenizer regexp
+            # twice more per row via pushdown; the outer null row dies
+            # at the length filter (length(NULL) is NULL)
+            F.explode_outer(normalized_tokens(F.col(self.text_col))).alias(
+                "tok"
+            ),
         ).filter(F.length("tok") > 0)
 
     def _postings(self, docs: DataFrame) -> DataFrame:

@@ -62,7 +62,9 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exactly what the other text operators count."""
     return (
         docs.select(
-            F.explode(normalized_tokens(F.col(text_col))).alias("word")
+            # explode_OUTER (r15): one tokenizer evaluation per row
+            # (no inferred size>0 filter); nulls die at the length gate
+            F.explode_outer(normalized_tokens(F.col(text_col))).alias("word")
         )
         .filter(F.length("word") > 0)
         .groupBy("word")

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .expr_util import bind_once
+
 
 def heldout_gram_set(
     heldout: DataFrame, text_col: str = "text", n: int = 4
@@ -30,10 +32,18 @@ def heldout_gram_set(
         heldout.select(text_col)
         .distinct()
         .select(
-            F.explode(
+            # explode_OUTER (r15): a plain explode makes Catalyst infer
+            # a size>0 filter whose pushdown through the projection
+            # re-evaluates the whole n-gram expression (2 extra evals
+            # per row, and BELOW the distinct when it pushes that far);
+            # outer generates no inferred filter, and the one null row
+            # an empty-gram text emits is dropped right after — same
+            # rows, one n-gram evaluation per distinct text.
+            F.explode_outer(
                 F.array_distinct(word_ngrams(F.col(text_col), n))
             ).alias("ngram")
         )
+        .filter(F.col("ngram").isNotNull())
         .select(hash60(F.col("ngram")).alias("gh"))
         .distinct()
     )
@@ -47,15 +57,18 @@ def word_ngrams(text: Column, n: int) -> Column:
     ``transform(sequence(...), i -> slice(toks, i, n))``: a lambda that
     references ``toks`` re-evaluates the whole regexp+split subtree PER
     ELEMENT (higher-order functions run interpreted, no subexpression
-    elimination) — measured 39 s vs 4 s for bigrams over 50k docs. Here
-    ``toks`` only appears as HOF *arguments*, evaluated once per row;
-    the per-element lambda touches just its element vars. The ``when``
-    guard keeps the under-n-tokens case an EMPTY array. Trimming is
-    regexp-based: ``F.trim`` strips SPACES only, so a trailing tab
-    would otherwise split into a phantom empty token (caught by the
-    seeded-random property test)."""
+    elimination) — measured 39 s vs 4 s for bigrams over 50k docs. The
+    token subtree is additionally ``bind_once``-bound (r15): HOF
+    *argument* positions each embed their own COPY of the tree, so the
+    n+1 slice/size references re-ran the regexp+split per reference —
+    binding it as a lambda variable evaluates it once per row (the
+    contamination-hits pipeline measured 3.9 -> 1.8 s at sf0.1, rows
+    identical). The ``when`` guard keeps the under-n-tokens case an
+    EMPTY array. Trimming is regexp-based: ``F.trim`` strips SPACES
+    only, so a trailing tab would otherwise split into a phantom empty
+    token (caught by the seeded-random property test)."""
     toks = F.split(F.regexp_replace(text, r"^\s+|\s+$", ""), r"\s+")
-    return ngrams_from_tokens(toks, n)
+    return bind_once(toks, lambda t: ngrams_from_tokens(t, n))
 
 
 def ngrams_from_tokens(toks: Column, n: int) -> Column:
@@ -181,8 +194,14 @@ def routed_dup_windows(
     mult = members.groupBy("_th").agg(F.count("*").alias("mult"))
     wins = reps.select(
         "_th",
-        F.posexplode(word_ngrams(F.col(text_col), w)).alias("pos", "gram"),
-    )
+        # posexplode_OUTER + isnotnull (r15): the inferred size>0
+        # filter of a plain posexplode re-evaluates the window
+        # expression twice more per distinct text via pushdown; the
+        # outer null row is dropped explicitly — rows identical.
+        F.posexplode_outer(word_ngrams(F.col(text_col), w)).alias(
+            "pos", "gram"
+        ),
+    ).filter(F.col("gram").isNotNull())
     dup = (
         wins.groupBy("_th", "gram")
         .agg(F.count("*").alias("c"))

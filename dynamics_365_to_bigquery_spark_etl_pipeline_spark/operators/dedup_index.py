@@ -290,10 +290,22 @@ class LshDedupIndex(BatchDirStore):
                 F.col(id_col).alias("doc_id"),
                 D.shingles(F.col(text_col)).alias("sh"),
             )
-            .filter(F.size("sh") > 0)
-            .withColumn("_bks", D.band_keys(self.sig_fn(F.col("sh"))))
+            # signature as its OWN projection (r15): band_keys
+            # references its argument 16 times, and an inlined
+            # signature expression is re-embedded per reference (the
+            # 16x blowup the batch query's staging note warns about —
+            # CollapseProject keeps the column because it is multiply
+            # referenced and non-cheap)
+            .select("doc_id", "sh", self.sig_fn(F.col("sh")).alias("_sig"))
+            .select("doc_id", "sh", D.band_keys(F.col("_sig")).alias("_bks"))
             .localCheckpoint()
         )
+        # the size>0 filter sits ABOVE the checkpoint cut (r15): below
+        # it, pushdown substitutes the whole shingle expression into
+        # the condition and the staged job shingles 2-3x per doc; on
+        # the materialized column it costs nothing. Empty-sh rows are
+        # checkpointed (negligible) and excluded from BOTH stores here.
+        staged = staged.filter(F.size("sh") > 0)
         sh = staged.select("doc_id", "sh")
         # ONE probe-key column: band id folded into the hash (a bucketed
         # table can then hash-partition on exactly the join key)

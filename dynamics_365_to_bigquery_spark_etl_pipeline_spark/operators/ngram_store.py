@@ -146,10 +146,15 @@ class NgramCountStore(BatchDirStore):
         can reuse the exact expression for its in-batch counts."""
         return (
             docs.select(
-                F.explode(
+                # explode_OUTER + isnotnull (r15): one window-expression
+                # evaluation per row (no inferred size>0 filter); the
+                # null row of an under-w-tokens doc is dropped before
+                # the count so the stored (gram, c) rows are identical
+                F.explode_outer(
                     C.word_ngrams(F.col(self.text_col), self.w)
                 ).alias("gram")
             )
+            .filter(F.col("gram").isNotNull())
             .groupBy("gram")
             .agg(F.count("*").alias("c"))
         )

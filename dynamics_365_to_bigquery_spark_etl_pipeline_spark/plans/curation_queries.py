@@ -75,8 +75,14 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_grams.select(
             "_rid",
             F.size("grams").cast("long").alias("n_doc_ngrams"),
-            F.explode("grams").alias("ngram"),
+            # explode_OUTER + isnotnull (r15): plain explode's inferred
+            # size>0 filter re-evaluated the n-gram chain twice more
+            # per representative via pushdown; the outer null row dies
+            # at the inner gh join (isnotnull keeps it explicit). Rows
+            # identical — the unrouted DuckDB oracle verifies.
+            F.explode_outer("grams").alias("ngram"),
         )
+        .filter(F.col("ngram").isNotNull())
         .withColumn("gh", C.hash60(F.col("ngram")))
         .join(F.broadcast(test_set), "gh")
         .groupBy("_rid", "n_doc_ngrams")

@@ -128,9 +128,13 @@ def _minhash_parts(
     corpus = _corpus(spark, sf_dir)
     reps, mem = D.exact_text_dedup(corpus)
 
+    # the size>0 filter sits ABOVE the stage (r15): below it, predicate
+    # pushdown substitutes the whole shingle expression into the filter
+    # condition and the staged job evaluates shingling 2-3x per rep;
+    # above the cut it reads the materialized column for pennies
     sh = reps.select(
         "doc_id", D.shingles(F.col("text")).alias("sh")
-    ).filter(F.size("sh") > 0).transform(stage)
+    ).transform(stage).filter(F.size("sh") > 0)
     sig_fn = D.minhash_signature_fast if fast else D.minhash_signature
     sig = sh.select("doc_id", sig_fn(F.col("sh")).alias("sig"))
     if minband:
@@ -307,11 +311,18 @@ def q_dedup_simhash(
         # bit-term filters (a 64x recompute of shingling + hashing per
         # row — measured ~16x wall clock). One narrow shuffle of
         # (doc_id, h0, h1) keeps the hash arrays computed exactly once.
-        hashed = sh.select(
-            "doc_id",
-            D.feature_hashes(F.col("sh"), 0).alias("h0"),
-            D.feature_hashes(F.col("sh"), 1).alias("h1"),
-        ).repartition("doc_id")
+        hashed = (
+            sh.select(
+                "doc_id",
+                D.feature_hashes(F.col("sh"), 0).alias("h0"),
+                D.feature_hashes(F.col("sh"), 1).alias("h1"),
+            )
+            .repartition("doc_id")
+            # empty-shingle exclusion on the SHUFFLED column (r15):
+            # exact (feature_hashes preserves length), and the barrier
+            # keeps the filter from re-evaluating the shingle subtree
+            .filter(F.size("h0") > 0)
+        )
         fold = (
             D.simhash64_blocks(F.col("h0"), F.col("h1"))
             if jvm_fold
@@ -339,9 +350,15 @@ def q_dedup_simhash_fast(
     exact verify step in SimHash), the injected dups sit far from it."""
 
     def sig_of_sh(sh: DataFrame) -> DataFrame:
-        hashed = sh.select(
-            "doc_id", D.feature_hashes_fast(F.col("sh")).alias("h")
-        ).repartition("doc_id")
+        hashed = (
+            sh.select(
+                "doc_id", D.feature_hashes_fast(F.col("sh")).alias("h")
+            )
+            .repartition("doc_id")
+            # empty-shingle exclusion on the SHUFFLED column (r15, see
+            # the md5 family's note)
+            .filter(F.size("h") > 0)
+        )
         return hashed.select(
             "doc_id", D.make_simhash_blocks64_arrow()(F.col("h")).alias("blocks")
         )
@@ -362,9 +379,12 @@ def _simhash_query(
         src = reps
     else:  # pre-r8 reference twin for the A/B + equivalence tests
         src = corpus
-    sh = src.select("doc_id", D.shingles(F.col("text")).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    # the empty-shingle exclusion lives INSIDE sig_of_sh since r15, on
+    # the hashed column after its repartition barrier: a filter here
+    # would be pushdown-substituted into the shingle expression and
+    # re-evaluate it per row (transform preserves length, so
+    # size(h)>0 <=> size(sh)>0 — exact)
+    sh = src.select("doc_id", D.shingles(F.col("text")).alias("sh"))
     sigs = sig_of_sh(sh).transform(stage)
     pairs = _simhash_pairs_from_sigs(sigs, minblock)
     return _simhash_route_fanout(pairs, mem, sigs) if routed else pairs

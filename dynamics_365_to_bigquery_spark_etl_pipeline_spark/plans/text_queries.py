@@ -147,7 +147,12 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(
-            "doc_id", "source", F.explode(normalized_tokens(F.col("text"))).alias("tok")
+            "doc_id",
+            "source",
+            # explode_OUTER (r15): no inferred size>0 filter, so the
+            # tokenizer regexp runs once per row; the outer null row
+            # dies at the length filter (length(NULL) is NULL)
+            F.explode_outer(normalized_tokens(F.col("text"))).alias("tok"),
         )
         .filter(F.length("tok") > 0)
     )
@@ -664,8 +669,14 @@ def q_text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.posexplode(normalized_tokens(F.col("text"))).alias("pos", "tok"),
-    )
+        # posexplode_OUTER + isnotnull (r15): evaluates the tokenizer
+        # once per row instead of three times (inferred filter); the
+        # null row of an empty doc is dropped explicitly — identical
+        # rows (plain posexplode also emits nothing for empty docs)
+        F.posexplode_outer(normalized_tokens(F.col("text"))).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok").isNotNull())
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("cnt"))
@@ -821,7 +832,10 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(normalized_tokens(F.col("text"))).alias("tok")
+        "doc_id",
+        # explode_OUTER (r15): one tokenizer evaluation per row (no
+        # inferred size>0 filter); nulls die at the length filter
+        F.explode_outer(normalized_tokens(F.col("text"))).alias("tok"),
     ).filter(F.length("tok") > 0)
     # ONE full-corpus aggregate (tf), everything corpus-wide derived
     # from it: dl = SUM(tf) per doc (exact-integer-equal to counting
@@ -1291,8 +1305,13 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "source",
-        F.posexplode(normalized_tokens(F.col("text"))).alias("pos", "word"),
-    )
+        # posexplode_OUTER + isnotnull (r15): one tokenizer evaluation
+        # per row; the blank-doc null row is dropped explicitly (the
+        # blank-doc left join below keeps those docs, same as before)
+        F.posexplode_outer(normalized_tokens(F.col("text"))).alias(
+            "pos", "word"
+        ),
+    ).filter(F.col("word").isNotNull())
     encoded = (
         toks.join(hint(seg), "word")
         .select(
@@ -1385,7 +1404,10 @@ def q_bpe_encode_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     unk_id = len(vocab)
     other_words = (
         docs.filter(F.col("doc_id") % 2 == 1)
-        .select(F.explode(normalized_tokens(F.col("text"))).alias("word"))
+        .select(
+            # explode_OUTER (r15): one tokenizer evaluation per row
+            F.explode_outer(normalized_tokens(F.col("text"))).alias("word")
+        )
         .filter(F.length("word") > 0)
         .unionByName(
             spark.createDataFrame(

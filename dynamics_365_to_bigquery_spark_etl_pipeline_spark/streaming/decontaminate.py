@@ -81,8 +81,15 @@ def contamination_hits(
         reps.select(
             "_th",
             F.size("_grams").cast("long").alias("n_doc_ngrams"),
-            F.explode("_grams").alias("_ngram"),
+            # explode_OUTER (r15): plain explode's inferred size>0
+            # filter pushes below the distinct with the n-gram
+            # expression substituted in — 2 extra evaluations per RAW
+            # batch row, defeating the routing. The null row an
+            # empty-gram text emits dies at the inner gh join below;
+            # the explicit isnotnull keeps the shape obvious.
+            F.explode_outer("_grams").alias("_ngram"),
         )
+        .filter(F.col("_ngram").isNotNull())
         .withColumn("gh", C.hash60(F.col("_ngram")))
         .join(F.broadcast(grams), "gh")
         .groupBy("_th", "n_doc_ngrams")

@@ -96,7 +96,9 @@ def stream_encode_docs(
         batch_df = project_to_schema(batch_df, schema)
         toks = batch_df.select(
             doc_id_col,
-            F.posexplode(normalized_tokens(F.col(text_col))).alias(
+            # posexplode_OUTER (r15): one tokenizer evaluation per row
+            # (no inferred size>0 filter); nulls die at the length gate
+            F.posexplode_outer(normalized_tokens(F.col(text_col))).alias(
                 "pos", "word"
             ),
         ).filter(F.length("word") > 0)

@@ -131,8 +131,13 @@ def span_stats(
     )
     wins = reps.select(
         "_th",
-        F.posexplode(C.word_ngrams(F.col(text_col), w)).alias("pos", "gram"),
-    )
+        # posexplode_OUTER + isnotnull (r15, same rationale as
+        # curation.routed_dup_windows): no inferred size>0 filter, so
+        # the window expression is evaluated once per distinct text.
+        F.posexplode_outer(C.word_ngrams(F.col(text_col), w)).alias(
+            "pos", "gram"
+        ),
+    ).filter(F.col("gram").isNotNull())
     pertext = (
         wins.join(dup_grams.select("gram"), "gram")
         .groupBy("_th")

@@ -67,16 +67,20 @@ IDENTITY_KEYS = ("drift_threshold", "id_col", "vec_col")
 
 def _assign_with_sim(
     corpus: DataFrame,
-    centroids: DataFrame,
+    cent_rows: list,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
     """The layout build's OWN assignment kernel with the winning cosine
     kept (the store's drift stat needs it) — shared, not forked, so the
     append==rebuild probe equivalence can never drift from
-    ``similarity.assign_ivf_buckets_matmul``'s tie-break."""
-    return S.assign_ivf_buckets_matmul(
-        corpus, centroids, id_col, vec_col, with_sim=True
+    ``similarity.assign_ivf_buckets_matmul``'s tie-break. Takes the
+    PRE-COLLECTED id-sorted centroid rows (r15): the store memoizes
+    them per generation, so a streaming ingest stops paying one
+    read-parquet + collect job per micro-batch for a matrix that is
+    pinned by contract."""
+    return S.assign_ivf_buckets_matmul_rows(
+        corpus, cent_rows, id_col, vec_col, with_sim=True
     )
 
 
@@ -144,6 +148,30 @@ class IvfLayoutStore(BatchDirStore):
         generation was assigned against."""
         return self.spark.read.parquet(self._centroids_dir())
 
+    def _centroid_rows(self, meta: dict) -> list:
+        """Id-sorted collected centroid rows, memoized per instance
+        (r15): centroids are FROZEN for a generation by the store's
+        own contract, yet every append re-read and re-collected the
+        parquet — one whole Spark job per streaming micro-batch. The
+        cache key is (dir name, generation, dir mtime): ``rebuild``
+        stages a NEW ``centroids_gen<N>`` name, and a repeated
+        ``build()`` over the same path rewrites the dir (fresh mtime),
+        so staleness across either is impossible; cross-process
+        mutators hold the write lock the reading append also holds."""
+        name = meta.get("centroids_dir", "centroids")
+        path = os.path.join(self.path, name)
+        key = (name, meta.get("generation"), os.path.getmtime(path))
+        cached = getattr(self, "_cent_cache", None)
+        if cached is None or cached[0] != key:
+            rows = sorted(
+                self.spark.read.parquet(path)
+                .select(self.id_col, self.vec_col)
+                .collect(),
+                key=lambda r: r[0],
+            )
+            self._cent_cache = (key, rows)
+        return self._cent_cache[1]
+
     def vectors(self) -> DataFrame:
         """Every live vector — ``(id_col, vec_col)`` unioned across the
         store's committed dirs. The corpus reader maintenance flows
@@ -183,8 +211,18 @@ class IvfLayoutStore(BatchDirStore):
                     shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
             cdir = os.path.join(self.path, "centroids")
             centroids.select(self.id_col, self.vec_col).write.parquet(cdir)
-            cents = self.spark.read.parquet(cdir)
-            stats = self._write_batch(corpus, "base", cents)
+            # collect the written-back frame ONCE (r15): the assignment
+            # kernel needs the sorted rows anyway, and len() replaces
+            # the separate count job; the instance cache is reset so a
+            # build-over-build cannot serve the old matrix
+            self._cent_cache = None
+            cent_rows = sorted(
+                self.spark.read.parquet(cdir)
+                .select(self.id_col, self.vec_col)
+                .collect(),
+                key=lambda r: r[0],
+            )
+            stats = self._write_batch(corpus, "base", cent_rows)
             self._write_meta(
                 {
                     "batches": ["base"],
@@ -195,7 +233,7 @@ class IvfLayoutStore(BatchDirStore):
                     # persisted so appends can bound their delta
                     # shuffle without re-counting the centroid frame
                     # (r14 verdict #4); known here for free
-                    "n_centroids": cents.count(),
+                    "n_centroids": len(cent_rows),
                     "stats": {"base": stats},
                     "build_mean_sim": stats["mean_sim"],
                     "needs_retrain": False,
@@ -208,7 +246,7 @@ class IvfLayoutStore(BatchDirStore):
         self,
         vectors: DataFrame,
         batch_id: str,
-        centroids: DataFrame | None = None,
+        cent_rows: list,
         bound_files: bool = False,
         n_partitions: int | None = None,
     ) -> dict:
@@ -228,7 +266,7 @@ class IvfLayoutStore(BatchDirStore):
         splittable either way, so probe parallelism is unaffected)."""
         assigned = _assign_with_sim(
             vectors,
-            self.centroids() if centroids is None else centroids,
+            cent_rows,
             self.id_col,
             self.vec_col,
         ).localCheckpoint()
@@ -290,15 +328,16 @@ class IvfLayoutStore(BatchDirStore):
                 )
             if ledger.is_committed(meta, batch_id):
                 return self.drift()  # replay: state already reflects it
+            cent_rows = self._centroid_rows(meta)
             if "n_centroids" not in meta:
-                # legacy store predating the persisted count: count the
-                # (small) centroid frame ONCE under the lock — the
-                # commit below persists it, so every later append reads
-                # it for free
-                meta["n_centroids"] = self.centroids().count()
+                # legacy store predating the persisted count: the
+                # collected rows give it for free — the commit below
+                # persists it
+                meta["n_centroids"] = len(cent_rows)
             stats = self._write_batch(
                 vectors,
                 batch_id,
+                cent_rows,
                 bound_files=True,
                 n_partitions=min(
                     int(meta["n_centroids"]),
@@ -446,8 +485,16 @@ class IvfLayoutStore(BatchDirStore):
             if os.path.isdir(cdir):
                 shutil.rmtree(cdir)  # crashed earlier attempt
             centroids.select(self.id_col, self.vec_col).write.parquet(cdir)
-            cents = self.spark.read.parquet(cdir)
-            stats = self._write_batch(self._read_vectors(dirs), gen_id, cents)
+            self._cent_cache = None
+            cent_rows = sorted(
+                self.spark.read.parquet(cdir)
+                .select(self.id_col, self.vec_col)
+                .collect(),
+                key=lambda r: r[0],
+            )
+            stats = self._write_batch(
+                self._read_vectors(dirs), gen_id, cent_rows
+            )
             ledger.record(meta, gen_id)
             self._write_meta(
                 {
@@ -456,7 +503,7 @@ class IvfLayoutStore(BatchDirStore):
                     "epoch_hwm": meta["epoch_hwm"],
                     "generation": gen,
                     "centroids_dir": cdir_name,
-                    "n_centroids": cents.count(),
+                    "n_centroids": len(cent_rows),
                     "stats": {gen_id: stats},
                     "build_mean_sim": stats["mean_sim"],
                     "needs_retrain": False,

@@ -539,11 +539,30 @@ def assign_ivf_buckets_matmul(
     append==rebuild equivalence can never drift from the layout build's
     tie-break (review finding: a forked copy of this kernel would
     silently break that contract on any future edit here)."""
-    import numpy as np
-
     cent_rows = sorted(
         centroids.select(id_col, vec_col).collect(), key=lambda r: r[0]
     )
+    return assign_ivf_buckets_matmul_rows(
+        corpus, cent_rows, id_col, vec_col, with_sim=with_sim
+    )
+
+
+def assign_ivf_buckets_matmul_rows(
+    corpus: DataFrame,
+    cent_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_sim: bool = False,
+) -> DataFrame:
+    """``assign_ivf_buckets_matmul`` over PRE-COLLECTED centroid rows
+    (id-sorted ``(id, vec)``), split out (r15) so a caller that holds
+    the pinned centroid matrix — the IVF store's streaming append runs
+    one assignment per micro-batch against centroids frozen at build —
+    skips the per-batch read-parquet + collect job the DataFrame entry
+    pays. Same kernel, same tie-break; the DataFrame overload above
+    delegates here."""
+    import numpy as np
+
     ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     M = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)

@@ -301,13 +301,18 @@ def exact_text_dedup(
         F.xxhash64(text_col).alias("_h1"),
         F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
     )
-    # F.first("text") is deterministic HERE ONLY because the group key
-    # is the text's own 128-bit hash pair — every member of a group
-    # carries the identical text, so any first() is THE text. If the
-    # group key ever changes to something weaker (normalized text, a
-    # single hash), this must become min/max or an explicit tie-break.
+    # min_by(text, doc_id), not first(text) (r15): first() over a
+    # string forces a SortAggregate — a var-length aggregation buffer
+    # disqualifies HashAggregate, so the FULL corpus was sorted by the
+    # hash pair before deduping (at 100 TB, a corpus-wide sort for an
+    # operation that is a hash lookup). min_by is an
+    # ObjectHashAggregate: hash-based, no sort, measured wall-neutral
+    # at sf0.1 and strictly better shaped at scale. It is also
+    # deterministic unconditionally (the member with the minimum id),
+    # where first() was deterministic only because every group member
+    # carries the identical text.
     groups = hashed.groupBy("_h1", "_h2").agg(
-        F.min("doc_id").alias("_rid"), F.first("text").alias("text")
+        F.min("doc_id").alias("_rid"), F.min_by("text", "doc_id").alias("text")
     )
     mem = (
         hashed.drop("text")

@@ -57,6 +57,45 @@ def table_num_rows(sf_dir: str, name: str) -> int:
     return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
 
 
+def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Driver-side estimate of the scan task count for one fixture
+    table: ceil(file_bytes / maxPartitionBytes). File metadata only —
+    no Spark job, same discipline as ``table_num_rows``."""
+    size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    try:
+        max_pb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:  # pragma: no cover - conf accessor rename safety
+        max_pb = 128 * 1024 * 1024
+    return max(1, -(-size // max_pb))
+
+
+def kernel_spread(
+    spark: SparkSession, sf_dir: str, name: str, factor: int = 4
+) -> int | None:
+    """Partition count for a scan-split-count-CONDITIONED repartition of
+    a kernel-heavy stage derived from table ``name`` (r16, the
+    r15-"not yet" #5 rule) — or None when no repartition should happen.
+
+    The fixtures are single-row-group parquet, so every scan is one
+    task and AQE's coalesce floor collapses the tiny post-shuffle
+    stages back to ~1 task — interpreted-HOF kernels (n-gram chains,
+    deletion neighborhoods, Levenshtein verification) then run
+    single-core regardless of cluster size. When the table's scan
+    yields decisively fewer splits than the session's parallelism
+    (``splits * factor <= defaultParallelism``), the kernel input is
+    worth one tiny extra exchange to use every core; at real scale the
+    split count exceeds any core count by orders of magnitude and this
+    returns None — the condition is derived from the INPUT layout,
+    never a local-mode constant (the unconditional variant was measured
+    and rejected in r15)."""
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits(spark, sf_dir, name) * factor <= par:
+        return par
+    return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 

@@ -301,16 +301,23 @@ def exact_text_dedup(
         F.xxhash64(text_col).alias("_h1"),
         F.xxhash64(F.lit(1), F.col(text_col)).alias("_h2"),
     )
-    # min_by(text, doc_id), not first(text) (r15): first() over a
-    # string forces a SortAggregate — a var-length aggregation buffer
-    # disqualifies HashAggregate, so the FULL corpus was sorted by the
-    # hash pair before deduping (at 100 TB, a corpus-wide sort for an
-    # operation that is a hash lookup). min_by is an
-    # ObjectHashAggregate: hash-based, no sort, measured wall-neutral
-    # at sf0.1 and strictly better shaped at scale. It is also
-    # deterministic unconditionally (the member with the minimum id),
-    # where first() was deterministic only because every group member
-    # carries the identical text.
+    # min_by(text, doc_id), not first(text) (r15; claim corrected r16,
+    # ADVICE r15 #2): the r15 comment said min_by plans as
+    # ObjectHashAggregate — that is FALSE. MinBy is a
+    # DeclarativeAggregate with a string buffer, so this groupBy plans
+    # as SortAggregate either way (pinned in
+    # plans/r16/exact_text_dedup_reps_plan.txt); the corpus-wide sort
+    # by the hash pair is still paid. The change's real value is
+    # unconditional determinism: min_by returns the minimum-id member's
+    # text, where first() was deterministic only because every group
+    # member carries the identical text. The sort-free alternative
+    # (groupBy.agg(min(doc_id)) = HashAggregate, then a left-semi join
+    # on doc_id to recover rep text) was A/B'd in r16 and REJECTED:
+    # rows identical but 3.04 -> 3.38 s median through the
+    # q_dedup_minhash_fast pipeline at sf0.1 — the extra join adds
+    # jobs/stages in the staged AQE-off subtrees (and its SMJ re-sorts
+    # the corpus by doc_id, so even at scale it trades one sort for
+    # another plus an extra corpus scan). OPTIMIZATION_r16.md §minby.
     groups = hashed.groupBy("_h1", "_h2").agg(
         F.min("doc_id").alias("_rid"), F.min_by("text", "doc_id").alias("text")
     )
@@ -653,11 +660,27 @@ def _cc_star(
             rewired.unionByName(self_edges).filter(u != v).distinct(), durable
         )
         rounds += 1
-        n = edges.count()
-        # exact set-equality probe: counts match AND nothing in the new
-        # set lies outside the previous one (both frames are distinct +
-        # checkpointed, so exceptAll is an anti-join over stored blocks)
-        if n == prev_n and edges.exceptAll(prev_edges).isEmpty():
+        # exact set-equality probe in ONE job (r16; was count +
+        # exceptAll.isEmpty = 2 jobs on the converged round): both edge
+        # sets are distinct + checkpointed, so a left join on (u, v)
+        # matches each new edge at most once — count(*) is |edges| and
+        # count(_p) counts the edges also present in the previous set.
+        # n == prev_n AND inside == n  <=>  equal sets (same exactness
+        # as the old probe; a lossy fingerprint stays off the table,
+        # see the function docstring).
+        probe = (
+            edges.join(
+                prev_edges.select("u", "v", F.lit(True).alias("_p")),
+                ["u", "v"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.count("_p").alias("inside")
+            )
+            .first()
+        )
+        n = probe["n"]
+        if n == prev_n and probe["inside"] == n:
             break
         prev_edges, prev_n = edges, n
         if max_iters is not None and rounds >= max_iters:

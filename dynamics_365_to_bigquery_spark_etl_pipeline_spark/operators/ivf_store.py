@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -153,14 +154,24 @@ class IvfLayoutStore(BatchDirStore):
         (r15): centroids are FROZEN for a generation by the store's
         own contract, yet every append re-read and re-collected the
         parquet — one whole Spark job per streaming micro-batch. The
-        cache key is (dir name, generation, dir mtime): ``rebuild``
-        stages a NEW ``centroids_gen<N>`` name, and a repeated
-        ``build()`` over the same path rewrites the dir (fresh mtime),
-        so staleness across either is impossible; cross-process
-        mutators hold the write lock the reading append also holds."""
+        cache key is (dir name, generation, centroids_token): the token
+        is a fresh uuid written into the meta by every centroid
+        (re)write (``build``/``rebuild``), so ANY cross-process rewrite
+        invalidates this instance's cache the moment it re-reads the
+        meta — including a build-over-build that keeps name and
+        generation unchanged (r15 keyed that case on the dir MTIME,
+        whose coarse granularity on some filesystems could serve a
+        stale matrix if the rewrite landed within the same tick —
+        ADVICE r15 #3). Pre-token stores (older meta) fall back to the
+        mtime key; in-process builds also reset the cache explicitly,
+        and cross-process mutators hold the write lock the reading
+        append also holds."""
         name = meta.get("centroids_dir", "centroids")
         path = os.path.join(self.path, name)
-        key = (name, meta.get("generation"), os.path.getmtime(path))
+        token = meta.get("centroids_token")
+        if token is None:  # store written by a pre-token build
+            token = os.path.getmtime(path)
+        key = (name, meta.get("generation"), token)
         cached = getattr(self, "_cent_cache", None)
         if cached is None or cached[0] != key:
             rows = sorted(
@@ -230,6 +241,10 @@ class IvfLayoutStore(BatchDirStore):
                     "epoch_hwm": {},
                     "generation": 0,
                     "centroids_dir": "centroids",
+                    # fresh per centroid write: the _centroid_rows cache
+                    # key — monotonic-by-uniqueness where the old dir
+                    # mtime had filesystem-tick granularity (r16)
+                    "centroids_token": uuid.uuid4().hex,
                     # persisted so appends can bound their delta
                     # shuffle without re-counting the centroid frame
                     # (r14 verdict #4); known here for free
@@ -503,6 +518,7 @@ class IvfLayoutStore(BatchDirStore):
                     "epoch_hwm": meta["epoch_hwm"],
                     "generation": gen,
                     "centroids_dir": cdir_name,
+                    "centroids_token": uuid.uuid4().hex,
                     "n_centroids": len(cent_rows),
                     "stats": {gen_id: stats},
                     "build_mean_sim": stats["mean_sim"],

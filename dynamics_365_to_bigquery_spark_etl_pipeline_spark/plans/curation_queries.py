@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import kernel_spread, load_table
 from ..operators import curation as C
 from ..operators import text as X
 
@@ -67,6 +67,17 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gate from this oracle-checked expression)
     test_set = C.heldout_gram_set(docs.filter(is_test), "text", NGRAM_N)
     reps, mem = exact_text_dedup(docs.filter(~is_test))
+    # scan-split-conditioned spread (r16, guide §2/§6): the reps frame
+    # inherits the fixture's 1-split scan + AQE's coalesce-to-1, so the
+    # 4-gram zip_with chain (interpreted HOF — the query's dominant
+    # CPU, ~0.9 s of 1.05 s total at sf0.1) ran on ONE core. One tiny
+    # (doc_id, text) exchange spreads it across the session when — and
+    # only when — the input layout is split-starved: measured 1.66 ->
+    # 1.43 s median (rows identical); at real scale kernel_spread
+    # returns None and the plan is unchanged.
+    n_spread = kernel_spread(spark, sf_dir, "documents")
+    if n_spread:
+        reps = reps.repartition(n_spread)
     rep_grams = reps.select(
         F.col("doc_id").alias("_rid"),
         F.array_distinct(C.word_ngrams(F.col("text"), NGRAM_N)).alias("grams"),

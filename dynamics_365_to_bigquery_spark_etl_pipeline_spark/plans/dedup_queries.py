@@ -15,6 +15,9 @@ exact-Jaccard verify.
 from __future__ import annotations
 
 import functools
+import os
+import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,7 +85,50 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir, fast=False)
 
 
+# Session-scoped share of the md5-family staged pipeline (r16, verdict
+# item #1): q_dedup_minhash_lsh, q_dedup_groups and q_dedup_canonical
+# each call `_minhash_parts(fast=False)`, and a session that runs more
+# than one of them (the oracle harness, the full-registry sweep) used to
+# rebuild the identical shingle -> sign -> band -> verify staged
+# pipeline per query — the slowest registry family paid its md5 minhash
+# pipeline up to 3x per session. The staged frames are localCheckpoint-
+# backed, so handing the SAME (rep_pairs, live) pair to every md5-family
+# caller in a session reuses the stored blocks instead.
+#
+# Scope rules (the no-result-caching line):
+# - keyed on the LIVE SparkSession (weak — a new session after stop()
+#   rebuilds from parquet; nothing survives the process or is keyed on a
+#   data directory alone);
+# - md5 family ONLY (fast=False): the bench-timed row
+#   q_dedup_minhash_fast runs fast=True and must re-execute its full
+#   pipeline on every timed rep — memoizing it would time warm
+#   checkpoint re-reads instead of the pipeline.
+_MD5_PARTS_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_MD5_PARTS_LOCK = threading.Lock()
+
+
 def _minhash_parts(
+    spark: SparkSession, sf_dir: str, fast: bool, minband: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    if fast:  # bench-timed family: never shared (see memo note above)
+        return _minhash_parts_build(spark, sf_dir, fast, minband)
+    key = (os.path.abspath(sf_dir), minband)
+    with _MD5_PARTS_LOCK:
+        hit = _MD5_PARTS_MEMO.setdefault(spark, {}).get(key)
+    if hit is None:
+        hit = _minhash_parts_build(spark, sf_dir, fast, minband)
+        with _MD5_PARTS_LOCK:
+            _MD5_PARTS_MEMO.setdefault(spark, {})[key] = hit
+    return hit
+
+
+_minhash_parts.__doc__ = (
+    "Dispatch wrapper: see `_minhash_parts_build` for the pipeline "
+    "docstring and the memo note above for the md5-family session share."
+)
+
+
+def _minhash_parts_build(
     spark: SparkSession, sf_dir: str, fast: bool, minband: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """The rep-level HALF of `_minhash_pairs`: verified rep pairs
@@ -311,24 +357,27 @@ def q_dedup_simhash(
         # bit-term filters (a 64x recompute of shingling + hashing per
         # row — measured ~16x wall clock). One narrow shuffle of
         # (doc_id, h0, h1) keeps the hash arrays computed exactly once.
-        hashed = (
-            sh.select(
-                "doc_id",
-                D.feature_hashes(F.col("sh"), 0).alias("h0"),
-                D.feature_hashes(F.col("sh"), 1).alias("h1"),
-            )
-            .repartition("doc_id")
-            # empty-shingle exclusion on the SHUFFLED column (r15):
-            # exact (feature_hashes preserves length), and the barrier
-            # keeps the filter from re-evaluating the shingle subtree
-            .filter(F.size("h0") > 0)
-        )
+        # NO filter here (r16, ADVICE r15 #1): the barrier does NOT
+        # block predicate pushdown — PushPredicateThroughNonJoin pushes
+        # a size(h0)>0 filter through RepartitionByExpression and the
+        # projection with the whole shingle+hash chain substituted in,
+        # re-evaluating it per raw row at the scan. The empty-shingle
+        # exclusion instead rides the staged frame as the materialized
+        # `_nsh` column and is applied ABOVE the checkpoint cut in
+        # `_simhash_query` (a leaf pushdown cannot penetrate).
+        hashed = sh.select(
+            "doc_id",
+            D.feature_hashes(F.col("sh"), 0).alias("h0"),
+            D.feature_hashes(F.col("sh"), 1).alias("h1"),
+        ).repartition("doc_id")
         fold = (
             D.simhash64_blocks(F.col("h0"), F.col("h1"))
             if jvm_fold
             else D.make_simhash_blocks_arrow()(F.col("h0"), F.col("h1"))
         )
-        return hashed.select("doc_id", fold.alias("blocks"))
+        return hashed.select(
+            "doc_id", fold.alias("blocks"), F.size("h0").alias("_nsh")
+        )
 
     return _simhash_query(spark, sf_dir, sig_of_sh, minblock, routed)
 
@@ -350,17 +399,15 @@ def q_dedup_simhash_fast(
     exact verify step in SimHash), the injected dups sit far from it."""
 
     def sig_of_sh(sh: DataFrame) -> DataFrame:
-        hashed = (
-            sh.select(
-                "doc_id", D.feature_hashes_fast(F.col("sh")).alias("h")
-            )
-            .repartition("doc_id")
-            # empty-shingle exclusion on the SHUFFLED column (r15, see
-            # the md5 family's note)
-            .filter(F.size("h") > 0)
-        )
+        # no filter below the stage (r16) — see the md5 family's note:
+        # the exclusion rides the staged `_nsh` column instead
+        hashed = sh.select(
+            "doc_id", D.feature_hashes_fast(F.col("sh")).alias("h")
+        ).repartition("doc_id")
         return hashed.select(
-            "doc_id", D.make_simhash_blocks64_arrow()(F.col("h")).alias("blocks")
+            "doc_id",
+            D.make_simhash_blocks64_arrow()(F.col("h")).alias("blocks"),
+            F.size("h").alias("_nsh"),
         )
 
     return _simhash_query(spark, sf_dir, sig_of_sh, minblock, routed)
@@ -379,13 +426,21 @@ def _simhash_query(
         src = reps
     else:  # pre-r8 reference twin for the A/B + equivalence tests
         src = corpus
-    # the empty-shingle exclusion lives INSIDE sig_of_sh since r15, on
-    # the hashed column after its repartition barrier: a filter here
-    # would be pushdown-substituted into the shingle expression and
-    # re-evaluate it per row (transform preserves length, so
-    # size(h)>0 <=> size(sh)>0 — exact)
+    # empty-shingle exclusion ABOVE the stage's checkpoint cut (r16):
+    # sig_of_sh carries size(h) through as the materialized `_nsh`
+    # column (transform preserves length, so size(h)>0 <=> size(sh)>0 —
+    # exact), and the filter reads it for pennies. Any placement BELOW
+    # the cut — including after the repartition barrier, where r15 put
+    # it — is pushdown-substituted into the shingle+hash chain and
+    # re-evaluates it per raw row at the scan (ADVICE r15 #1, verified
+    # in plans/r16/simhash_staged_subtree_before.txt).
     sh = src.select("doc_id", D.shingles(F.col("text")).alias("sh"))
-    sigs = sig_of_sh(sh).transform(stage)
+    sigs = (
+        sig_of_sh(sh)
+        .transform(stage)
+        .filter(F.col("_nsh") > 0)
+        .select("doc_id", "blocks")
+    )
     pairs = _simhash_pairs_from_sigs(sigs, minblock)
     return _simhash_route_fanout(pairs, mem, sigs) if routed else pairs
 
@@ -1062,11 +1117,26 @@ def q_fuzzy_join_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_fuzzy_join_deduped_pair_set_equals_raw) and the sf-scale A/B
     (scripts/ab_routing_scale.py). The all-pairs DuckDB oracle below is
     UNROUTED, so the hash check independently verifies the routing.
-    ``dist`` cast to int to match the oracle's type exactly."""
+    ``dist`` cast to int to match the oracle's type exactly.
+
+    r16: passes the scan-split-conditioned ``spread``
+    (catalog.kernel_spread) so the deletion-neighborhood self-join +
+    Levenshtein verify — 3.2 s of CPU that AQE packed into 2 tasks at
+    sf0.1 — runs at session parallelism on split-starved fixtures:
+    measured 3.98 -> 2.09 s median, pair set identical. d1 stays
+    unspread (measured WORSE: 0.76 -> 1.05 s; its kernel is too cheap
+    for the extra exchange). At real scale spread is None."""
+    from ..catalog import kernel_spread
     from ..operators.fuzzy import fuzzy_join_deduped
 
     sup = load_table(spark, sf_dir, "supplier")
-    out = fuzzy_join_deduped(sup, "s_suppkey", "s_name", max_dist=2)
+    out = fuzzy_join_deduped(
+        sup,
+        "s_suppkey",
+        "s_name",
+        max_dist=2,
+        spread=kernel_spread(spark, sf_dir, "supplier"),
+    )
     return out.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
 
 

@@ -375,11 +375,25 @@ class LshDedupIndex(BatchDirStore):
                 # review; IvfLayoutStore.append has the same ordering)
                 if ledger.is_committed(self._read_meta(), batch_id):
                     return
-                self._write_bucketed(banded, batch_id, self.batch_buckets)
+                # the two store writes are independent jobs over the
+                # SAME pinned checkpoint (guide §2.6, r16): overlap them
+                # on a second driver thread; both must have SUCCEEDED —
+                # result() re-raises — before the meta commit makes
+                # either visible, so the two-phase discipline holds
+                from concurrent.futures import ThreadPoolExecutor
+
                 out = self._store("shingles", batch_id)
                 if os.path.isdir(out):
                     shutil.rmtree(out)  # crashed earlier attempt
-                sh.write.parquet(out)
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    fut = pool.submit(
+                        self._write_bucketed,
+                        banded,
+                        batch_id,
+                        self.batch_buckets,
+                    )
+                    sh.write.parquet(out)
+                    fut.result()
                 self._commit(batch_id, self.batch_buckets)
 
         return pairs, commit

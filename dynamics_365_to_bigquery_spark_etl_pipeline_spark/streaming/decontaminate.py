@@ -122,7 +122,9 @@ def stream_decontaminate(
     check_reserved_columns(
         schema, {"_th", "n_doc_ngrams", "n_contaminated", "epoch"}
     )
-    grams = stage(heldout_gram_set(heldout, text_col, n))
+    # coalesce(4) inside the staged subtree — the broadcast-contract
+    # sizing rule; see stream_ingest_pipeline (r16, shared rationale)
+    grams = stage(heldout_gram_set(heldout, text_col, n).coalesce(4))
 
     stream = (
         spark.readStream.schema(schema)

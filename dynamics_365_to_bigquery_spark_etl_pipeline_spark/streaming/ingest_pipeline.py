@@ -223,7 +223,16 @@ def stream_ingest_pipeline(
     if span_store_path is not None:
         reserved |= {"n_tokens", "n_dup_tokens", "dup_pct"}
     check_reserved_columns(schema, reserved)
-    grams = stage(heldout_gram_set(heldout, text_col, n))
+    # coalesce INSIDE the staged subtree (r16, verdict item #4): the
+    # stage compiles AQE-off, so the gram set's distinct lands in
+    # shuffle.partitions (32) checkpoint blocks that every epoch's
+    # broadcast rebuild re-reads as 32 tiny tasks (~0.1 s/epoch of pure
+    # scheduling). The sizing rule is the BROADCAST CONTRACT, not local
+    # cores: this frame is F.broadcast()-joined every epoch, so it is
+    # ≤ the broadcast cap by construction — 4 blocks bounds each at
+    # ~16 MB of 8-byte hashes, plenty for any gram set that can be
+    # broadcast at all, and the rule never changes with cluster size.
+    grams = stage(heldout_gram_set(heldout, text_col, n).coalesce(4))
     ngrams = None
     if span_store_path is not None:
         from ..operators.ngram_store import NgramCountStore
@@ -340,13 +349,33 @@ def stream_ingest_pipeline(
             "quality_score", score_fn(F.col(text_col))
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            from concurrent.futures import ThreadPoolExecutor
+
             keep = F.col("quality_score") >= min_score
-            # NULL scores are rows the gate cannot vouch for: rejected,
-            # never silently lost (r11 review, shared with the
-            # standalone gate)
-            scored.filter(~keep | F.col("quality_score").isNull()).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out_dir, "rejected", f"epoch={key}"))
+            # The epoch's routing writes are INDEPENDENT jobs until the
+            # store phase (guide §2.6, r16 verdict item #3): the
+            # rejected write needs only `scored`, and once `hits`
+            # exists the contaminated and clean writes both derive from
+            # the same two pinned frames. Spark happily runs them
+            # concurrently — actions were only sequential because this
+            # function called them sequentially. Two driver threads
+            # overlap the write tails (measured: the rejected write's
+            # ~0.35 s and the contaminated write's ~0.25 s hide under
+            # the neighbouring stages); every future is result()-ed —
+            # which also re-raises its exception — BEFORE any store
+            # commit below, so the exactly-once ordering (all artifact
+            # dirs written, then commits) is unchanged.
+            pool = ThreadPoolExecutor(max_workers=2)
+            rej_fut = pool.submit(
+                lambda: scored.filter(
+                    # NULL scores are rows the gate cannot vouch for:
+                    # rejected, never silently lost (r11 review, shared
+                    # with the standalone gate)
+                    ~keep | F.col("quality_score").isNull()
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "rejected", f"epoch={key}"))
+            )
             mark("quality_gate")
             survivors = scored.filter(keep).drop("quality_score")
             # routed contamination verdict (shared builder): small —
@@ -361,10 +390,12 @@ def stream_ingest_pipeline(
                     .join(hits, "_th", "left")
                     .drop("_th")
                 )
-                tagged.filter(
-                    F.col("n_contaminated").isNotNull()
-                ).write.mode("overwrite").parquet(
-                    os.path.join(out_dir, "contaminated", f"epoch={key}")
+                cont_fut = pool.submit(
+                    lambda: tagged.filter(F.col("n_contaminated").isNotNull())
+                    .write.mode("overwrite")
+                    .parquet(
+                        os.path.join(out_dir, "contaminated", f"epoch={key}")
+                    )
                 )
                 mark("decontaminate")
                 surv = tagged.filter(F.col("n_contaminated").isNull()).drop(
@@ -373,8 +404,17 @@ def stream_ingest_pipeline(
                 if ngrams is None:
                     c_new = None
                     surv.write.mode("overwrite").parquet(clean_dir)
+                    cont_fut.result()
+                    rej_fut.result()
                     mark("clean_write")
                 else:
+                    # span path: join the routing writes first — the
+                    # span verdict's store reads must never overlap
+                    # epoch writes that could still fail (keeps the
+                    # replay reasoning exactly as documented); the
+                    # rejected/contaminated overlap above still applies
+                    cont_fut.result()
+                    rej_fut.result()
                     # span stage (r13): verdict against COMMITTED store
                     # state + in-batch counts — the standalone gate's
                     # rule through the SHARED dup_grams/span_stats/
@@ -420,6 +460,11 @@ def stream_ingest_pipeline(
             finally:
                 hits.unpersist()
         finally:
+            # wait for any in-flight routing write before releasing the
+            # pinned frames: an epoch failing between submit and
+            # result() must not leave a background write racing the
+            # replay's overwrite of the same dirs
+            pool.shutdown(wait=True)
             scored.unpersist()
         # index exactly what landed: the epoch's own clean dir read
         # back — a free plan cut (prepare_batch would localCheckpoint

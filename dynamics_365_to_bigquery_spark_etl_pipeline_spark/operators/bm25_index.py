@@ -63,6 +63,7 @@ from pyspark.sql import functions as F
 from . import ledger
 from . import text as X
 from .dedup import normalized_tokens
+from .expr_util import explode_nonempty
 from .store_base import BatchDirStore, raise_parquet_in_threshold
 from .store_lock import store_write_lock
 
@@ -126,16 +127,16 @@ class Bm25Index(BatchDirStore):
     # -- ingest -----------------------------------------------------------
     def _tokenize(self, docs: DataFrame) -> DataFrame:
         """(doc_id, tok) — the full-corpus query's exact tokenizer."""
-        return docs.select(
-            F.col(self.id_col).alias("doc_id"),
-            # explode_OUTER (r15): a plain explode makes Catalyst infer
-            # a size>0 filter that re-evaluates the tokenizer regexp
-            # twice more per row via pushdown; the outer null row dies
-            # at the length filter (length(NULL) is NULL)
-            F.explode_outer(normalized_tokens(F.col(self.text_col))).alias(
-                "tok"
-            ),
-        ).filter(F.length("tok") > 0)
+        # explode_nonempty (r16, the shared owner): no inferred size>0
+        # filter, one tokenizer evaluation per row; the site's length
+        # gate subsumes the null kill (length(NULL) is NULL)
+        return explode_nonempty(
+            docs,
+            [F.col(self.id_col).alias("doc_id")],
+            normalized_tokens(F.col(self.text_col)),
+            "tok",
+            keep=F.length("tok") > 0,
+        )
 
     def _postings(self, docs: DataFrame) -> DataFrame:
         """Per-batch posting rows ``(doc_id, tok, tf, dl, tok_bucket)``

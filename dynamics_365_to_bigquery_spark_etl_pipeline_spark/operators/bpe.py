@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import normalized_tokens
+from .expr_util import explode_nonempty
 
 END = "</w>"
 
@@ -61,12 +62,15 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (``dedup.normalized_tokens``) so the trained vocabulary segments
     exactly what the other text operators count."""
     return (
-        docs.select(
-            # explode_OUTER (r15): one tokenizer evaluation per row
-            # (no inferred size>0 filter); nulls die at the length gate
-            F.explode_outer(normalized_tokens(F.col(text_col))).alias("word")
+        # explode_nonempty (r16, the shared owner): one tokenizer
+        # evaluation per row; the length gate subsumes the null kill
+        explode_nonempty(
+            docs,
+            [],
+            normalized_tokens(F.col(text_col)),
+            "word",
+            keep=F.length("word") > 0,
         )
-        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("n"))
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .expr_util import bind_once
+from .expr_util import bind_once, explode_nonempty
 
 
 def heldout_gram_set(
@@ -29,21 +29,17 @@ def heldout_gram_set(
     copies would let the gate silently diverge from the batch oracle
     that verifies it (r11 review)."""
     return (
-        heldout.select(text_col)
-        .distinct()
-        .select(
-            # explode_OUTER (r15): a plain explode makes Catalyst infer
-            # a size>0 filter whose pushdown through the projection
-            # re-evaluates the whole n-gram expression (2 extra evals
-            # per row, and BELOW the distinct when it pushes that far);
-            # outer generates no inferred filter, and the one null row
-            # an empty-gram text emits is dropped right after — same
-            # rows, one n-gram evaluation per distinct text.
-            F.explode_outer(
-                F.array_distinct(word_ngrams(F.col(text_col), n))
-            ).alias("ngram")
+        explode_nonempty(
+            # one explode_nonempty owner for every tokenizer/gram
+            # explode (r16): outer generate + null kill at the
+            # generate, so Catalyst never infers the size>0 filter
+            # whose pushdown re-evaluates the n-gram chain per row
+            # (below the distinct, when it pushes that far — r15)
+            heldout.select(text_col).distinct(),
+            [],
+            F.array_distinct(word_ngrams(F.col(text_col), n)),
+            "ngram",
         )
-        .filter(F.col("ngram").isNotNull())
         .select(hash60(F.col("ngram")).alias("gh"))
         .distinct()
     )
@@ -192,16 +188,12 @@ def routed_dup_windows(
         .select(F.md5(F.col(text_col)).alias("_th"), text_col)
     )
     mult = members.groupBy("_th").agg(F.count("*").alias("mult"))
-    wins = reps.select(
-        "_th",
-        # posexplode_OUTER + isnotnull (r15): the inferred size>0
-        # filter of a plain posexplode re-evaluates the window
-        # expression twice more per distinct text via pushdown; the
-        # outer null row is dropped explicitly — rows identical.
-        F.posexplode_outer(word_ngrams(F.col(text_col), w)).alias(
-            "pos", "gram"
-        ),
-    ).filter(F.col("gram").isNotNull())
+    # one explode_nonempty owner (r16): no inferred size>0 filter, so
+    # the window expression is evaluated once per distinct text (r15)
+    wins = explode_nonempty(
+        reps, ["_th"], word_ngrams(F.col(text_col), w), "gram",
+        pos_alias="pos",
+    )
     dup = (
         wins.groupBy("_th", "gram")
         .agg(F.count("*").alias("c"))

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from . import bloom_sidecar as B
 from . import curation as C
+from .expr_util import explode_nonempty
 from . import ledger
 from .store_base import (
     PARQUET_IN_MAX,
@@ -145,16 +146,13 @@ class NgramCountStore(BatchDirStore):
         ``word_ngrams`` reshape, counted. Public so the streaming gate
         can reuse the exact expression for its in-batch counts."""
         return (
-            docs.select(
-                # explode_OUTER + isnotnull (r15): one window-expression
-                # evaluation per row (no inferred size>0 filter); the
-                # null row of an under-w-tokens doc is dropped before
-                # the count so the stored (gram, c) rows are identical
-                F.explode_outer(
-                    C.word_ngrams(F.col(self.text_col), self.w)
-                ).alias("gram")
+            # explode_nonempty (r16, the shared owner): one
+            # window-expression evaluation per row (no inferred size>0
+            # filter); the null row of an under-w-tokens doc is dropped
+            # at the generate so the stored (gram, c) rows are identical
+            explode_nonempty(
+                docs, [], C.word_ngrams(F.col(self.text_col), self.w), "gram"
             )
-            .filter(F.col("gram").isNotNull())
             .groupBy("gram")
             .agg(F.count("*").alias("c"))
         )

@@ -83,17 +83,15 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(C.word_ngrams(F.col("text"), NGRAM_N)).alias("grams"),
     )
     rep_hits = (
-        rep_grams.select(
-            "_rid",
-            F.size("grams").cast("long").alias("n_doc_ngrams"),
-            # explode_OUTER + isnotnull (r15): plain explode's inferred
-            # size>0 filter re-evaluated the n-gram chain twice more
-            # per representative via pushdown; the outer null row dies
-            # at the inner gh join (isnotnull keeps it explicit). Rows
-            # identical — the unrouted DuckDB oracle verifies.
-            F.explode_outer("grams").alias("ngram"),
+        # explode_nonempty (r16, the shared owner): no inferred size>0
+        # filter re-evaluating the n-gram chain via pushdown (r15).
+        # Rows identical — the unrouted DuckDB oracle verifies.
+        C.explode_nonempty(
+            rep_grams,
+            ["_rid", F.size("grams").cast("long").alias("n_doc_ngrams")],
+            "grams",
+            "ngram",
         )
-        .filter(F.col("ngram").isNotNull())
         .withColumn("gh", C.hash60(F.col("ngram")))
         .join(F.broadcast(test_set), "gh")
         .groupBy("_rid", "n_doc_ngrams")

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import curation as C
+from ..operators.expr_util import explode_nonempty
 from ..operators import frequent as FR
 from ..operators import text as X
 
@@ -145,16 +146,12 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import normalized_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            "source",
-            # explode_OUTER (r15): no inferred size>0 filter, so the
-            # tokenizer regexp runs once per row; the outer null row
-            # dies at the length filter (length(NULL) is NULL)
-            F.explode_outer(normalized_tokens(F.col("text"))).alias("tok"),
-        )
-        .filter(F.length("tok") > 0)
+    # explode_nonempty (r16, the shared owner): no inferred size>0
+    # filter, so the tokenizer regexp runs once per row; the length
+    # gate subsumes the null kill (length(NULL) is NULL)
+    toks = explode_nonempty(
+        docs, ["doc_id", "source"], normalized_tokens(F.col("text")),
+        "tok", keep=F.length("tok") > 0,
     )
     tf = toks.groupBy("source", "tok").agg(F.count("*").alias("tf"))
     df_ = (
@@ -667,16 +664,12 @@ def q_text_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import normalized_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        # posexplode_OUTER + isnotnull (r15): evaluates the tokenizer
-        # once per row instead of three times (inferred filter); the
-        # null row of an empty doc is dropped explicitly — identical
-        # rows (plain posexplode also emits nothing for empty docs)
-        F.posexplode_outer(normalized_tokens(F.col("text"))).alias(
-            "pos", "tok"
-        ),
-    ).filter(F.col("tok").isNotNull())
+    # explode_nonempty (r16, the shared owner): evaluates the tokenizer
+    # once per row instead of three times (no inferred filter)
+    toks = explode_nonempty(
+        docs, ["doc_id"], normalized_tokens(F.col("text")), "tok",
+        pos_alias="pos",
+    )
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("cnt"))
@@ -831,12 +824,12 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import normalized_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        # explode_OUTER (r15): one tokenizer evaluation per row (no
-        # inferred size>0 filter); nulls die at the length filter
-        F.explode_outer(normalized_tokens(F.col("text"))).alias("tok"),
-    ).filter(F.length("tok") > 0)
+    # explode_nonempty (r16, the shared owner): one tokenizer
+    # evaluation per row; the length gate subsumes the null kill
+    toks = explode_nonempty(
+        docs, ["doc_id"], normalized_tokens(F.col("text")), "tok",
+        keep=F.length("tok") > 0,
+    )
     # ONE full-corpus aggregate (tf), everything corpus-wide derived
     # from it: dl = SUM(tf) per doc (exact-integer-equal to counting
     # raw tokens), s_tokens = SUM(dl). The raw token stream is never
@@ -1302,16 +1295,13 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         else (lambda df: df)
     )
     piece_vocab = _piece_vocab_ranked(seg, wc)
-    toks = docs.select(
-        "doc_id",
-        "source",
-        # posexplode_OUTER + isnotnull (r15): one tokenizer evaluation
-        # per row; the blank-doc null row is dropped explicitly (the
-        # blank-doc left join below keeps those docs, same as before)
-        F.posexplode_outer(normalized_tokens(F.col("text"))).alias(
-            "pos", "word"
-        ),
-    ).filter(F.col("word").isNotNull())
+    # explode_nonempty (r16, the shared owner): one tokenizer
+    # evaluation per row; the blank-doc null row dies at the generate
+    # (the blank-doc left join below keeps those docs, same as before)
+    toks = explode_nonempty(
+        docs, ["doc_id", "source"], normalized_tokens(F.col("text")),
+        "word", pos_alias="pos",
+    )
     encoded = (
         toks.join(hint(seg), "word")
         .select(
@@ -1403,12 +1393,14 @@ def q_bpe_encode_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = [(r["piece"], int(r["piece_id"])) for r in vocab_rows]
     unk_id = len(vocab)
     other_words = (
-        docs.filter(F.col("doc_id") % 2 == 1)
-        .select(
-            # explode_OUTER (r15): one tokenizer evaluation per row
-            F.explode_outer(normalized_tokens(F.col("text"))).alias("word")
+        explode_nonempty(
+            # one tokenizer evaluation per row (r16 shared owner)
+            docs.filter(F.col("doc_id") % 2 == 1),
+            [],
+            normalized_tokens(F.col("text")),
+            "word",
+            keep=F.length("word") > 0,
         )
-        .filter(F.length("word") > 0)
         .unionByName(
             spark.createDataFrame(
                 [(w,) for w in OOV_PROBE_WORDS], "word string"

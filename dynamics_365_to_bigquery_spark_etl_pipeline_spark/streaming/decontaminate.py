@@ -41,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.storagelevel import StorageLevel
 
 from ..operators import curation as C
+from ..operators.expr_util import explode_nonempty
 from ..operators.stage import stage
 from .util import (
     check_reserved_columns,
@@ -78,18 +79,16 @@ def contamination_hits(
         F.array_distinct(C.word_ngrams(F.col(text_col), n)).alias("_grams"),
     )
     return (
-        reps.select(
-            "_th",
-            F.size("_grams").cast("long").alias("n_doc_ngrams"),
-            # explode_OUTER (r15): plain explode's inferred size>0
-            # filter pushes below the distinct with the n-gram
-            # expression substituted in — 2 extra evaluations per RAW
-            # batch row, defeating the routing. The null row an
-            # empty-gram text emits dies at the inner gh join below;
-            # the explicit isnotnull keeps the shape obvious.
-            F.explode_outer("_grams").alias("_ngram"),
+        # explode_nonempty (r16, the shared owner): no inferred size>0
+        # filter, which used to push below the distinct with the n-gram
+        # expression substituted in — 2 extra evaluations per RAW batch
+        # row, defeating the routing (r15)
+        explode_nonempty(
+            reps,
+            ["_th", F.size("_grams").cast("long").alias("n_doc_ngrams")],
+            "_grams",
+            "_ngram",
         )
-        .filter(F.col("_ngram").isNotNull())
         .withColumn("gh", C.hash60(F.col("_ngram")))
         .join(F.broadcast(grams), "gh")
         .groupBy("_th", "n_doc_ngrams")

@@ -44,6 +44,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import bpe
 from ..operators.dedup import normalized_tokens
+from ..operators.expr_util import explode_nonempty
 from .util import (
     check_reserved_columns,
     project_to_schema,
@@ -94,14 +95,16 @@ def stream_encode_docs(
             return
         key = f"{_query_id()}-epoch-{epoch_id}"
         batch_df = project_to_schema(batch_df, schema)
-        toks = batch_df.select(
-            doc_id_col,
-            # posexplode_OUTER (r15): one tokenizer evaluation per row
-            # (no inferred size>0 filter); nulls die at the length gate
-            F.posexplode_outer(normalized_tokens(F.col(text_col))).alias(
-                "pos", "word"
-            ),
-        ).filter(F.length("word") > 0)
+        # explode_nonempty (r16, the shared owner): one tokenizer
+        # evaluation per row; the length gate subsumes the null kill
+        toks = explode_nonempty(
+            batch_df,
+            [doc_id_col],
+            normalized_tokens(F.col(text_col)),
+            "word",
+            pos_alias="pos",
+            keep=F.length("word") > 0,
+        )
         # one row per DISTINCT batch word (encode_words dedupes); the
         # join back is batch-sized, never corpus- or vocabulary-sized
         enc = bpe.encode_words(toks, merges, vocab, unk_id=unk_id)

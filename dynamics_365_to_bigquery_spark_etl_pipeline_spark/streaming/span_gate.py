@@ -52,6 +52,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import curation as C
+from ..operators.expr_util import explode_nonempty
 from ..operators import text as X
 from ..operators.ngram_store import NgramCountStore
 from .util import (
@@ -129,15 +130,13 @@ def span_stats(
         )
         .dropDuplicates(["_th"])
     )
-    wins = reps.select(
-        "_th",
-        # posexplode_OUTER + isnotnull (r15, same rationale as
-        # curation.routed_dup_windows): no inferred size>0 filter, so
-        # the window expression is evaluated once per distinct text.
-        F.posexplode_outer(C.word_ngrams(F.col(text_col), w)).alias(
-            "pos", "gram"
-        ),
-    ).filter(F.col("gram").isNotNull())
+    # explode_nonempty (r16, the shared owner; same rationale as
+    # curation.routed_dup_windows): no inferred size>0 filter, so the
+    # window expression is evaluated once per distinct text.
+    wins = explode_nonempty(
+        reps, ["_th"], C.word_ngrams(F.col(text_col), w), "gram",
+        pos_alias="pos",
+    )
     pertext = (
         wins.join(dup_grams.select("gram"), "gram")
         .groupBy("_th")

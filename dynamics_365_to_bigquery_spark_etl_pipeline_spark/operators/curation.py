@@ -169,6 +169,7 @@ def routed_dup_windows(
     w: int,
     min_occurrences: int,
     id_col: str = "doc_id",
+    spread: int | None = None,
 ):
     """The routed duplicate-window derivation (the r9 law applied to
     span dedup): windows are a function of the TEXT alone, and a
@@ -187,6 +188,14 @@ def routed_dup_windows(
         .distinct()
         .select(F.md5(F.col(text_col)).alias("_th"), text_col)
     )
+    if spread:
+        # scan-split-conditioned spread (r16, guide §2/§6): callers
+        # pass catalog.kernel_spread(...) — the distinct's exchange is
+        # AQE-coalesced to ~1 task on split-starved fixtures, making
+        # the W-window zip_with chain (this family's dominant CPU)
+        # single-core; one tiny (_th, text) exchange spreads it. None
+        # at real scale — the plan is then unchanged.
+        reps = reps.repartition(spread)
     mult = members.groupBy("_th").agg(F.count("*").alias("mult"))
     # one explode_nonempty owner (r16): no inferred size>0 filter, so
     # the window expression is evaluated once per distinct text (r15)

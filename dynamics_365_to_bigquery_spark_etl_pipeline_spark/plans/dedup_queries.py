@@ -22,7 +22,7 @@ import weakref
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, table_num_rows
+from ..catalog import kernel_spread, load_table, table_num_rows
 from ..operators import dedup as D
 from ..operators import text as X
 from ..operators.similarity import cosine_sql
@@ -681,18 +681,40 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds,
     ).transform(stage)
 
+    # Parallelism-deficit-conditioned SALT on the low-cardinality join
+    # key (r16, guide §2.5): the within-cluster self-join hashes on
+    # cluster_id, whose key space is SEM_CENTROIDS (8) — at most 8
+    # partitions regardless of shuffle settings, and AQE coalesced them
+    # to ONE task carrying the whole Σ|cluster|² cosine verify (the
+    # registry's slowest single stage: 4.5 s of CPU on one core at
+    # sf0.1). Side a gets a deterministic salt (never rand() — task
+    # retries must reproduce rows, guide §2.5), side b is exploded k
+    # ways, so each (a, b) pair joins exactly once, on a key space of
+    # SEM_CENTROIDS × k. Conditioned like every spread this round: only
+    # when the embeddings input is split-starved (kernel_spread
+    # non-None — a fixture-layout deficit); at real scale the cure is
+    # centroid count scaling with the corpus, and the plan is
+    # unchanged. Measured 6.6 -> 2.2 s sweep wall, pair set identical.
+    import math
+
+    k = 1
+    if kernel_spread(spark, sf_dir, "embeddings") is not None:
+        par = spark.sparkContext.defaultParallelism
+        k = max(1, math.ceil(par / SEM_CENTROIDS))
     a = assigned.select(
         F.col("bucket_id").alias("cluster_id"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(k)).cast("int").alias("_salt"),
     )
     b = assigned.select(
         F.col("bucket_id").alias("cluster_id"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_salt"),
     )
     rep_pairs = (
-        a.join(b, "cluster_id")
+        a.join(b, ["cluster_id", "_salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine(F.col("va"), F.col("vb")) >= COSINE_DUP_MIN)
         .select("cluster_id", "id_a", "id_b")

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import curation as C
+from ..catalog import kernel_spread
 from ..operators.expr_util import explode_nonempty
 from ..operators import frequent as FR
 from ..operators import text as X
@@ -992,9 +993,11 @@ def q_text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     almost nothing past the one distinct."""
     docs = load_table(spark, sf_dir, "documents")
     # shared routed core + fold (operators/curation.py — one rule for
-    # the detector, the cutter, and the streaming span gate)
+    # the detector, the cutter, and the streaming span gate); spread =
+    # scan-split-conditioned kernel fan-out (r16, None at real scale)
     members, reps, wins, dup = C.routed_dup_windows(
-        docs, "text", DUP_SPAN_W, DUP_SPAN_MIN
+        docs, "text", DUP_SPAN_W, DUP_SPAN_MIN,
+        spread=kernel_spread(spark, sf_dir, "documents"),
     )
     pertext = (
         wins.join(dup, "gram")
@@ -1093,9 +1096,11 @@ def q_text_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully-cut and blank docs coalesce to '' on both sides."""
     docs = load_table(spark, sf_dir, "documents")
     # shared routed core (operators/curation.py — one rule with the
-    # detector and the streaming span gate)
+    # detector and the streaming span gate); spread = scan-split-
+    # conditioned kernel fan-out (r16, None at real scale)
     members, reps, wins, dup = C.routed_dup_windows(
-        docs, "text", DUP_SPAN_W, DUP_SPAN_MIN
+        docs, "text", DUP_SPAN_W, DUP_SPAN_MIN,
+        spread=kernel_spread(spark, sf_dir, "documents"),
     )
     toks = F.split(
         F.regexp_replace(F.col("text"), r"^\s+|\s+$", ""), r"\s+"

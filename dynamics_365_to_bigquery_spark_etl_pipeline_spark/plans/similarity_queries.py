@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import kernel_spread, load_table
 from ..operators import similarity as S
 
 TOP_K = 10
@@ -20,10 +20,18 @@ N_PROBE = 4
 
 
 def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for the query subset against the corpus."""
+    """Exact cosine top-10 for the query subset against the corpus.
+
+    r16: the corpus side rides the scan-split-conditioned spread
+    (catalog.kernel_spread) — the |Q|·|C| cosine map stage ran as ONE
+    task on the fixture's 1-split scan (0.63 s of CPU, the row's
+    dominant stage); one tiny vector exchange spreads it when and only
+    when the input is split-starved. None (plan unchanged) at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return S.brute_force_topk(emb, queries, k=TOP_K)
+    n_spread = kernel_spread(spark, sf_dir, "embeddings")
+    corpus = emb.repartition(n_spread) if n_spread else emb
+    return S.brute_force_topk(corpus, queries, k=TOP_K)
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,7 +238,15 @@ def q_embed_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k via per-partition BLAS matmul + partial top-k — the
     scale path for an exact dense scan (no |Q|x|C| pair rows; measured
-    at sf1: ~2 s vs the JVM pair-join's 78 s, same oracle)."""
+    at sf1: ~2 s vs the JVM pair-join's 78 s, same oracle).
+
+    NO kernel_spread here (r16 measured rejection): unlike the
+    pair-join twin above, the Arrow-batched BLAS scan is so cheap per
+    row that spreading it across defaultParallelism partitions costs
+    more in Python-worker round-trips than the matmul saves — measured
+    0.46 -> 0.71 s median at sf0.1 with the spread, so the base shape
+    stays. At real scale the scan arrives multi-split anyway and each
+    split gets its own Arrow task without an extra exchange."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return S.matmul_topk(emb, queries, k=TOP_K)

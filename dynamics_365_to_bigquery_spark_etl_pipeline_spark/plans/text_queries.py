@@ -852,9 +852,21 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # query strings tokenize through the SAME normalizer as the corpus
     # (one shared rule — a raw str.split here would silently diverge
-    # from the store's topk on any punctuated/cased query; r12 review)
-    qraw = spark.createDataFrame(
-        list(BM25_QUERIES), "query_id string, qtext string"
+    # from the store's topk on any punctuated/cased query; r12 review).
+    # Built as a SQL VALUES relation, not createDataFrame (r16, guide
+    # §4): PySpark's createDataFrame backs a local list with a PYTHON
+    # RDD, and this frame is scanned four times in the plan — each scan
+    # fanned defaultParallelism Python-worker tasks doing nothing (two
+    # ~6 s-of-task-time stages at 0.2 s CPU in the profile). A VALUES
+    # literal is a pure-JVM LocalRelation: zero tasks, no Python
+    # boundary, same rows (strings ride the shared SQL escaper).
+    qraw = spark.sql(
+        "SELECT query_id, qtext FROM VALUES "
+        + ", ".join(
+            f"({X._sql_quote(qid)}, {X._sql_quote(q)})"
+            for qid, q in BM25_QUERIES
+        )
+        + " AS t(query_id, qtext)"
     )
     qterms = X.bm25_query_terms(qraw)
     tf_q = tf.join(F.broadcast(qterms.select("tok").distinct()), "tok")
@@ -1407,8 +1419,13 @@ def q_bpe_encode_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep=F.length("word") > 0,
         )
         .unionByName(
-            spark.createDataFrame(
-                [(w,) for w in OOV_PROBE_WORDS], "word string"
+            # VALUES relation, not createDataFrame (r16): the local
+            # word list otherwise rides a 32-partition Python RDD whose
+            # every scan spins Python workers (see the bm25 qraw note)
+            spark.sql(
+                "SELECT word FROM VALUES "
+                + ", ".join(f"({X._sql_quote(w)})" for w in OOV_PROBE_WORDS)
+                + " AS t(word)"
             )
         )
         .distinct()
